@@ -1,0 +1,219 @@
+"""Flat exact dense search: blocked matmul + hierarchical top-k.
+
+This is the XLA reference path for the retrieval engine (the fused Pallas
+kernel in ``ops/pallas_topk.py`` is the production path; both must agree).
+It replaces the reference's delegation of ANN search to SeekDB/OceanBase
+(reference: super_rag/vectorstore/seekdb_connector.py:98-107) with an
+on-device program:
+
+    scores[B, N] = transform(Q @ C.T)   computed in corpus blocks
+    topk over blocks, then a final merge of block candidates
+
+The corpus lives in HBM as bf16 or int8 (+ per-row scales); queries arrive
+as float32.  Filtering (metadata / deletion bitmaps) is a boolean mask
+multiplied into the scores as -inf — masked scoring, never gather/compact,
+so shapes stay static and the MXU tiles stay dense.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from super_rag_tpu.ops.quant import quantize_int8
+from super_rag_tpu.ops.topk import blockwise_topk
+
+NEG_INF = float("-inf")
+
+
+class Metric(str, enum.Enum):
+    """Distance metrics (reference default is cosine — config.py:66)."""
+
+    COSINE = "cosine"
+    DOT = "ip"
+    L2 = "l2"
+
+
+class DenseCorpus(NamedTuple):
+    """Device-resident corpus shard.
+
+    values    [N, D]  bf16/f32 embeddings, or int8 codes
+    scales    [N]     f32 per-row dequant scales (int8 only; else None)
+    norms_sq  [N]     f32 squared L2 norms (L2 metric only; else None)
+    """
+
+    values: jax.Array
+    scales: Optional[jax.Array] = None
+    norms_sq: Optional[jax.Array] = None
+
+    @property
+    def size(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.values.shape[1]
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.values.dtype == jnp.int8
+
+
+def build_corpus(
+    embeddings: jax.Array,
+    metric: Metric = Metric.COSINE,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> DenseCorpus:
+    """Prepare embeddings for device residence.
+
+    Cosine corpora are L2-normalized once at build time so queries reduce
+    to dot products.  ``dtype=jnp.int8`` selects per-row symmetric
+    quantization (ops/quant.py).
+    """
+    x = embeddings.astype(jnp.float32)
+    if metric == Metric.COSINE:
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.where(n > 0, n, 1.0)
+    norms_sq = jnp.sum(x * x, axis=-1) if metric == Metric.L2 else None
+    if dtype == jnp.int8:
+        q, scales = quantize_int8(x)
+        return DenseCorpus(values=q, scales=scales, norms_sq=norms_sq)
+    return DenseCorpus(values=x.astype(dtype), scales=None, norms_sq=norms_sq)
+
+
+def _block_scores(
+    q: jax.Array,  # [B, D] f32
+    values: jax.Array,  # [T, D] storage dtype
+    scales: Optional[jax.Array],  # [T]
+    norms_sq: Optional[jax.Array],  # [T]
+    metric: Metric,
+) -> jax.Array:
+    """Scores of one corpus block; higher is better for every metric."""
+    v = values.astype(jnp.bfloat16) if values.dtype == jnp.int8 else values
+    dots = jax.lax.dot_general(
+        q.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, T]
+    if scales is not None:
+        dots = dots * scales[None, :]
+    if metric == Metric.L2:
+        # rank by -||q - e||^2 = 2 q.e - ||e||^2 (q norm constant per row)
+        return 2.0 * dots - norms_sq[None, :]
+    return dots
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "block_size")
+)
+def dense_search(
+    queries: jax.Array,
+    corpus: DenseCorpus,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    mask: Optional[jax.Array] = None,
+    block_size: int = 8192,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k search of ``queries [B, D]`` against a corpus shard.
+
+    Returns ``(scores [B, k], indices [B, k])``; cosine scores are true
+    cosine similarities, L2 scores are ``-||q - e||^2``.  ``mask`` is an
+    optional ``[N]`` boolean keep-mask (False rows can never win; their
+    score is -inf).  Memory high-water is one ``[B, block_size]`` score
+    block — the full ``[B, N]`` matrix is never materialized.
+    """
+    metric = Metric(metric)
+    q = queries.astype(jnp.float32)
+    if metric == Metric.COSINE:
+        n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / jnp.where(n > 0, n, 1.0)
+
+    n_rows = corpus.size
+    k_eff = min(k, n_rows)
+
+    if n_rows <= block_size:
+        scores = _block_scores(
+            q, corpus.values, corpus.scales, corpus.norms_sq, metric
+        )
+        if mask is not None:
+            scores = jnp.where(mask[None, :], scores, NEG_INF)
+        return jax.lax.top_k(scores, k_eff)
+
+    # Pad the corpus to a whole number of blocks, then scan blocks with a
+    # running candidate list.  Padding rows are masked to -inf.
+    pad = (-n_rows) % block_size
+    values = jnp.pad(corpus.values, ((0, pad), (0, 0)))
+    keep = jnp.ones((n_rows,), jnp.bool_) if mask is None else mask
+    keep = jnp.pad(keep, (0, pad), constant_values=False)
+    scales = (
+        jnp.pad(corpus.scales, (0, pad)) if corpus.scales is not None else None
+    )
+    norms_sq = (
+        jnp.pad(corpus.norms_sq, (0, pad))
+        if corpus.norms_sq is not None
+        else None
+    )
+    num_blocks = values.shape[0] // block_size
+    d = values.shape[1]
+
+    def body(carry, inp):
+        bvals, bkeep, bscales, bnorms, base = inp
+        s = _block_scores(q, bvals, bscales, bnorms, metric)
+        s = jnp.where(bkeep[None, :], s, NEG_INF)
+        kb = min(k_eff, block_size)
+        v, i = jax.lax.top_k(s, kb)
+        return carry, (v, i.astype(jnp.int32) + base)
+
+    blocks = (
+        values.reshape(num_blocks, block_size, d),
+        keep.reshape(num_blocks, block_size),
+        scales.reshape(num_blocks, block_size) if scales is not None else
+        jnp.zeros((num_blocks, 0)),
+        norms_sq.reshape(num_blocks, block_size) if norms_sq is not None else
+        jnp.zeros((num_blocks, 0)),
+        jnp.arange(num_blocks, dtype=jnp.int32) * block_size,
+    )
+
+    # Rebind optional fields as None inside body when absent.
+    has_scales = scales is not None
+    has_norms = norms_sq is not None
+
+    def body_wrapped(carry, inp):
+        bvals, bkeep, bscales, bnorms, base = inp
+        return body(
+            carry,
+            (
+                bvals,
+                bkeep,
+                bscales if has_scales else None,
+                bnorms if has_norms else None,
+                base,
+            ),
+        )
+
+    _, (vals, idxs) = jax.lax.scan(body_wrapped, None, blocks)
+    # vals: [num_blocks, B, kb] -> [B, num_blocks * kb]
+    kb = vals.shape[-1]
+    b = q.shape[0]
+    vals = jnp.moveaxis(vals, 0, 1).reshape(b, num_blocks * kb)
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(b, num_blocks * kb)
+    fv, pos = jax.lax.top_k(vals, k_eff)
+    fi = jnp.take_along_axis(idxs, pos, axis=-1)
+    return fv, fi
+
+
+def exact_scores(
+    queries: jax.Array, corpus: DenseCorpus, metric: Metric = Metric.COSINE
+) -> jax.Array:
+    """Full [B, N] score matrix — test/gold path only (O(B*N) memory)."""
+    metric = Metric(metric)
+    q = queries.astype(jnp.float32)
+    if metric == Metric.COSINE:
+        n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / jnp.where(n > 0, n, 1.0)
+    return _block_scores(q, corpus.values, corpus.scales, corpus.norms_sq, metric)
