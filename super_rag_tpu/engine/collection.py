@@ -1,0 +1,211 @@
+"""Collection-level query engine: embed ⊕ dense ⊕ BM25 ⊕ RRF ⊕ rerank.
+
+This is the on-device replacement for the reference's query-time pipeline
+(call stack SURVEY.md section 3.1): where the reference's nodeflow runs
+vector_search (HTTP embed + SeekDB query) -> merge -> rerank (HTTP) as
+separate network hops, here the stages are jitted device programs over a
+shared DeviceIndex, and the nodeflow nodes (nodeflow/runners/) become thin
+wrappers over these methods.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from super_rag_tpu.engine.index import DeviceIndex, FilterSpec, IndexSpec, _chat_hash
+from super_rag_tpu.engine.index import INDEXER_CODES
+from super_rag_tpu.models.hash_embedder import HashEmbedder
+from super_rag_tpu.ops.fusion import rrf_fuse
+
+
+@dataclass
+class SearchHit:
+    row: int
+    score: float
+    text: str
+    metadata: dict
+    recall_type: str  # vector_search | fulltext_search | hybrid | reranked
+
+
+class CollectionEngine:
+    """One collection: a DeviceIndex + an embedder (+ optional reranker).
+
+    ``embedder`` is any object with ``embed(list[str]) -> [B, dim]``;
+    the default HashEmbedder keeps the engine fully self-contained
+    (reference tests depended on live HTTP embedding APIs; ours don't).
+    ``reranker`` is an optional callable ``(query, texts) -> scores``.
+    """
+
+    def __init__(
+        self,
+        spec: IndexSpec,
+        embedder: Optional[Any] = None,
+        reranker: Optional[Callable[[str, Sequence[str]], np.ndarray]] = None,
+    ):
+        self.index = DeviceIndex(spec)
+        self.embedder = embedder or HashEmbedder(dim=spec.dim)
+        self.reranker = reranker
+
+    # -- ingest ---------------------------------------------------------------
+
+    def ingest(
+        self,
+        texts: Sequence[str],
+        metadata: Optional[Sequence[dict]] = None,
+        indexer: str = "vector",
+        chat_id: Optional[str] = None,
+    ) -> list[int]:
+        emb = np.asarray(self.embedder.embed(list(texts)))
+        return self.index.add(
+            emb, texts, metadata, indexer=indexer, chat_id=chat_id
+        )
+
+    def delete(self, rows: Sequence[int]) -> None:
+        self.index.delete(rows)
+
+    # -- search ---------------------------------------------------------------
+
+    def _filter(
+        self,
+        index_types: Optional[Sequence[str]],
+        chat_id: Optional[str],
+        doc_rows: Optional[Sequence[int]],
+    ) -> Optional[FilterSpec]:
+        if index_types is None and chat_id is None and doc_rows is None:
+            return None
+        codes = (
+            frozenset(INDEXER_CODES[t] for t in index_types)
+            if index_types is not None
+            else None
+        )
+        return FilterSpec(
+            indexers=codes,
+            chat_hash=_chat_hash(chat_id) if chat_id else None,
+            doc_rows=tuple(doc_rows) if doc_rows is not None else None,
+        )
+
+    def _hits(
+        self, scores: np.ndarray, rows: np.ndarray, recall_type: str,
+        min_score: Optional[float] = None,
+    ) -> list[SearchHit]:
+        out = []
+        for s, r in zip(scores, rows):
+            r = int(r)
+            if r < 0 or not np.isfinite(s):
+                continue
+            if min_score is not None and s < min_score:
+                continue
+            meta = self.index.row_meta[r]
+            if meta is None:
+                continue
+            md = {k: v for k, v in meta.items() if k != "text"}
+            out.append(
+                SearchHit(row=r, score=float(s), text=meta["text"],
+                          metadata=md, recall_type=recall_type)
+            )
+        return out
+
+    def search(
+        self,
+        query: str,
+        top_k: int = 5,
+        mode: str = "hybrid",  # dense | fulltext | hybrid
+        similarity_threshold: Optional[float] = None,
+        index_types: Optional[Sequence[str]] = None,
+        chat_id: Optional[str] = None,
+        doc_rows: Optional[Sequence[int]] = None,
+        rerank: bool = False,
+        candidates: int = 100,
+        rrf_k: int = 60,
+    ) -> list[SearchHit]:
+        """Single-query search (batch variant: search_batch)."""
+        hits = self.search_batch(
+            [query], top_k=top_k, mode=mode,
+            similarity_threshold=similarity_threshold,
+            index_types=index_types, chat_id=chat_id, doc_rows=doc_rows,
+            rerank=rerank, candidates=candidates, rrf_k=rrf_k,
+        )
+        return hits[0]
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 5,
+        mode: str = "hybrid",
+        similarity_threshold: Optional[float] = None,
+        index_types: Optional[Sequence[str]] = None,
+        chat_id: Optional[str] = None,
+        doc_rows: Optional[Sequence[int]] = None,
+        rerank: bool = False,
+        candidates: int = 100,
+        rrf_k: int = 60,
+    ) -> list[list[SearchHit]]:
+        if self.index.size == 0:
+            return [[] for _ in queries]
+        flt = self._filter(index_types, chat_id, doc_rows)
+        k_recall = max(top_k, candidates if (rerank or mode == "hybrid") else top_k)
+        k_recall = min(k_recall, self.index.size)
+
+        dense_i = lex_i = None
+        if mode in ("dense", "hybrid"):
+            q_emb = jnp.asarray(np.asarray(self.embedder.embed(list(queries))))
+            dense_v, dense_i = self.index.search_dense(q_emb, k_recall, flt)
+        if mode in ("fulltext", "hybrid"):
+            lex_v, lex_i = self.index.search_bm25(queries, k_recall, flt)
+
+        if mode == "dense":
+            v, i = np.asarray(dense_v), np.asarray(dense_i)
+            i = np.where(np.isfinite(v), i, -1)
+            results = [
+                self._hits(v[b][:top_k], i[b][:top_k], "vector_search",
+                           similarity_threshold)
+                for b in range(len(queries))
+            ]
+        elif mode == "fulltext":
+            v, i = np.asarray(lex_v), np.asarray(lex_i)
+            i = np.where(np.isfinite(v), i, -1)
+            results = [
+                self._hits(v[b][:top_k], i[b][:top_k], "fulltext_search")
+                for b in range(len(queries))
+            ]
+        else:
+            di = jnp.where(jnp.isfinite(dense_v), dense_i, -1)
+            li = jnp.where(jnp.isfinite(lex_v), lex_i, -1)
+            fused_v, fused_i = rrf_fuse(
+                di.astype(jnp.int32), li.astype(jnp.int32),
+                k=min(k_recall * 2, di.shape[1] + li.shape[1]), rrf_k=rrf_k,
+            )
+            v, i = np.asarray(fused_v), np.asarray(fused_i)
+            take = k_recall if rerank else top_k
+            results = [
+                self._hits(v[b][:take], i[b][:take], "hybrid")
+                for b in range(len(queries))
+            ]
+
+        if rerank and self.reranker is not None:
+            reranked = []
+            for q, hits in zip(queries, results):
+                if not hits:
+                    reranked.append(hits)
+                    continue
+                scores = np.asarray(self.reranker(q, [h.text for h in hits]))
+                order = np.argsort(-scores)[:top_k]
+                new = []
+                for pos in order:
+                    h = hits[int(pos)]
+                    new.append(
+                        SearchHit(row=h.row, score=float(scores[pos]),
+                                  text=h.text, metadata=h.metadata,
+                                  recall_type="reranked")
+                    )
+                reranked.append(new)
+            results = reranked
+        elif rerank:
+            results = [h[:top_k] for h in results]
+
+        return results

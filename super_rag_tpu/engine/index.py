@@ -1,0 +1,417 @@
+"""Mutable device-resident hybrid index (dense + BM25 + filters).
+
+The TPU-native replacement for a SeekDB collection (reference:
+super_rag/vectorstore/seekdb_connector.py — create_collection/add/delete/
+search).  XLA buffers are immutable, so mutability is layered on top
+(SURVEY.md section 7.4 'Mutable index vs. immutable XLA buffers'):
+
+  * capacity-class arrays — embeddings, BM25 doc-term tables, and filter
+    columns are allocated in power-of-two capacities and grown by copy,
+    so jitted programs recompile only per capacity class, never per
+    insert;
+  * a write cursor + validity bitmap — inserts write at the cursor via
+    donated dynamic_update_slice (in-place on TPU), deletes just clear
+    validity bits; queries always mask by validity, so a consistent
+    snapshot is whatever the current buffers say;
+  * filter columns as masked scoring — indexer-type codes and a chat hash
+    live as small device columns; a query filter compiles to one boolean
+    mask fed to the same fused kernels.
+
+Row metadata (chunk text, ids) stays host-side, keyed by row number.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from super_rag_tpu.ops.bm25 import LexicalCorpus, bm25_search
+from super_rag_tpu.ops.dense import DenseCorpus, Metric, dense_search
+from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
+from super_rag_tpu.ops.quant import quantize_int8
+from super_rag_tpu.tokenize.analyzer import Analyzer, DocFrequency
+
+# Indexer-type codes (reference index/base.py IndexType; filterable via
+# context/context.py metadata filters).
+INDEXER_CODES = {"vector": 0, "summary": 1, "vision": 2, "graph": 3}
+
+WRITE_BLOCK = 256  # inserts are padded to this many rows per device write
+
+
+@dataclass(frozen=True)
+class IndexSpec:
+    dim: int
+    metric: Metric = Metric.COSINE
+    dtype: Any = jnp.bfloat16  # storage dtype: bfloat16 | float32 | int8
+    bm25_slots: int = 64
+    vocab_size: int = 1 << 17
+    min_capacity: int = 4096
+
+
+@dataclass(frozen=True)
+class FilterSpec:
+    """Query-time filter, mirroring the reference's metadata filter DSL
+    (context/context.py:50-111: indexer IN index_types OR missing,
+    chat_id equality)."""
+
+    indexers: Optional[frozenset[int]] = None  # allowed indexer codes
+    chat_hash: Optional[int] = None  # exact chat scope, None = no filter
+    doc_rows: Optional[tuple[int, ...]] = None  # restrict to documents
+
+
+def _chat_hash(chat_id: Optional[str]) -> int:
+    if not chat_id:
+        return 0
+    from super_rag_tpu.tokenize.analyzer import fnv1a32
+
+    h = fnv1a32(chat_id)
+    return int(h & 0x7FFFFFFF) or 1
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_block(dst: jax.Array, src: jax.Array, start: jax.Array) -> jax.Array:
+    idx = (start,) + (jnp.int32(0),) * (dst.ndim - 1)
+    return jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), idx)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _clear_rows(valid: jax.Array, rows: jax.Array) -> jax.Array:
+    # rows padded with -1; scatter-drop on negatives
+    return valid.at[rows].set(False, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("has_chat", "has_indexers"))
+def _filter_mask(
+    valid: jax.Array,
+    indexer_code: jax.Array,
+    chat_code: jax.Array,
+    allowed_bits: jax.Array,  # uint32 bitmask of allowed indexer codes
+    chat_value: jax.Array,
+    has_chat: bool,
+    has_indexers: bool,
+) -> jax.Array:
+    m = valid
+    if has_indexers:
+        bit = (allowed_bits >> indexer_code.astype(jnp.uint32)) & 1
+        m = m & (bit == 1)
+    if has_chat:
+        # chat-scoped rows match their chat; unscoped rows (0) stay
+        # visible, mirroring the reference's `OR missing` semantics.
+        m = m & ((chat_code == chat_value) | (chat_code == 0))
+    return m
+
+
+class DeviceIndex:
+    """One collection's hybrid index on one chip (sharding: parallel/)."""
+
+    def __init__(self, spec: IndexSpec, analyzer: Optional[Analyzer] = None):
+        self.spec = spec
+        self.analyzer = analyzer or Analyzer(vocab_size=spec.vocab_size)
+        assert self.analyzer.vocab_size == spec.vocab_size
+        self.df = DocFrequency()
+        self.size = 0  # write cursor
+        self._capacity = 0
+        self.row_meta: list[Optional[dict]] = []
+        self._alloc(spec.min_capacity)
+
+    # -- storage management ------------------------------------------------
+
+    def _alloc(self, capacity: int) -> None:
+        spec = self.spec
+        old = self._capacity
+        grow = lambda a, shape, dtype, fill=0: (
+            jnp.full(shape, fill, dtype)
+            if old == 0
+            else jnp.concatenate(
+                [a, jnp.full((shape[0] - old, *shape[1:]), fill, dtype)]
+            )
+        )
+        self.emb = grow(
+            getattr(self, "emb", None), (capacity, spec.dim), spec.dtype
+        )
+        self.scales = (
+            grow(getattr(self, "scales", None), (capacity,), jnp.float32)
+            if spec.dtype == jnp.int8
+            else None
+        )
+        self.norms_sq = (
+            grow(getattr(self, "norms_sq", None), (capacity,), jnp.float32)
+            if spec.metric == Metric.L2
+            else None
+        )
+        self.terms = grow(
+            getattr(self, "terms", None),
+            (capacity, spec.bm25_slots),
+            jnp.int32,
+            fill=spec.vocab_size,
+        )
+        self.tfs = grow(
+            getattr(self, "tfs", None), (capacity, spec.bm25_slots), jnp.bfloat16
+        )
+        self.doc_len = grow(getattr(self, "doc_len", None), (capacity,), jnp.float32, 1)
+        self.valid = grow(getattr(self, "valid", None), (capacity,), jnp.bool_)
+        self.indexer_code = grow(
+            getattr(self, "indexer_code", None), (capacity,), jnp.int32
+        )
+        self.chat_code = grow(getattr(self, "chat_code", None), (capacity,), jnp.int32)
+        self._capacity = capacity
+
+    def _ensure_capacity(self, extra: int) -> None:
+        need = self.size + extra
+        cap = self._capacity
+        while cap < need:
+            cap *= 2
+        if cap != self._capacity:
+            self._alloc(cap)
+
+    # -- mutation ------------------------------------------------------------
+
+    def add(
+        self,
+        embeddings: np.ndarray | jax.Array,  # [M, dim] float
+        texts: Sequence[str],
+        metadata: Optional[Sequence[dict]] = None,
+        indexer: str = "vector",
+        chat_id: Optional[str] = None,
+    ) -> list[int]:
+        """Insert rows; returns their row ids."""
+        m = len(texts)
+        assert embeddings.shape == (m, self.spec.dim)
+        metadata = metadata or [{} for _ in range(m)]
+        self._ensure_capacity(m + WRITE_BLOCK)
+
+        x = np.asarray(embeddings, np.float32)
+        if self.spec.metric == Metric.COSINE:
+            n = np.linalg.norm(x, axis=-1, keepdims=True)
+            x = x / np.where(n > 0, n, 1.0)
+        norms = (x * x).sum(-1).astype(np.float32)
+        if self.spec.dtype == jnp.int8:
+            qv, qs = quantize_int8(jnp.asarray(x))
+            emb_block = np.asarray(qv)
+            scale_block = np.asarray(qs)
+        else:
+            emb_block = x
+            scale_block = None
+
+        terms, tfs, lens = self.analyzer.batch_doc_entries(
+            list(texts), self.spec.bm25_slots
+        )
+        # unique terms per row feed the df table
+        for r in range(m):
+            row_terms = terms[r][terms[r] != self.analyzer.pad_id]
+            self.df.add_doc(row_terms.tolist(), int(lens[r]))
+
+        code = INDEXER_CODES.get(indexer, 0)
+        chat = _chat_hash(chat_id)
+
+        start = self.size
+        # pad to WRITE_BLOCK granularity so insert programs are reused
+        pad_m = -(-m // WRITE_BLOCK) * WRITE_BLOCK
+
+        def padded(a, fill=0):
+            out = np.full((pad_m, *a.shape[1:]), fill, a.dtype)
+            out[:m] = a
+            return jnp.asarray(out)
+
+        s = jnp.int32(start)
+        self.emb = _write_block(self.emb, padded(emb_block), s)
+        if self.scales is not None:
+            self.scales = _write_block(self.scales, padded(scale_block), s)
+        if self.norms_sq is not None:
+            self.norms_sq = _write_block(self.norms_sq, padded(norms), s)
+        self.terms = _write_block(
+            self.terms, padded(terms, fill=self.spec.vocab_size), s
+        )
+        self.tfs = _write_block(self.tfs, padded(tfs.astype(np.float32)), s)
+        self.doc_len = _write_block(
+            self.doc_len, padded(np.maximum(lens, 1.0)), s
+        )
+        vmask = np.zeros(pad_m, bool)
+        vmask[:m] = True
+        self.valid = _write_block(self.valid, jnp.asarray(vmask), s)
+        self.indexer_code = _write_block(
+            self.indexer_code, padded(np.full(m, code, np.int32)), s
+        )
+        self.chat_code = _write_block(
+            self.chat_code, padded(np.full(m, chat, np.int32)), s
+        )
+
+        rows = list(range(start, start + m))
+        self.row_meta.extend(
+            {"text": t, **md} for t, md in zip(texts, metadata)
+        )
+        self.row_meta.extend([None] * 0)
+        self.size = start + m
+        return rows
+
+    def delete(self, rows: Sequence[int]) -> None:
+        if not rows:
+            return
+        for r in rows:
+            meta = self.row_meta[r] if r < len(self.row_meta) else None
+            if meta is not None:
+                row_terms = np.asarray(self.terms[r])
+                row_terms = row_terms[row_terms != self.analyzer.pad_id]
+                self.df.remove_doc(row_terms.tolist(), int(self.doc_len[r]))
+                self.row_meta[r] = None
+        pad = -(-len(rows) // WRITE_BLOCK) * WRITE_BLOCK
+        arr = np.full(pad, -1, np.int32)
+        arr[: len(rows)] = rows
+        self.valid = _clear_rows(self.valid, jnp.asarray(arr))
+
+    @property
+    def live_count(self) -> int:
+        return sum(1 for m_ in self.row_meta if m_ is not None)
+
+    # -- query ---------------------------------------------------------------
+
+    def _mask(self, flt: Optional[FilterSpec]) -> jax.Array:
+        if flt is None or (
+            flt.indexers is None and flt.chat_hash is None and flt.doc_rows is None
+        ):
+            return self.valid
+        bits = 0
+        if flt.indexers is not None:
+            for c in flt.indexers:
+                bits |= 1 << c
+        m = _filter_mask(
+            self.valid,
+            self.indexer_code,
+            self.chat_code,
+            jnp.uint32(bits),
+            jnp.int32(flt.chat_hash or 0),
+            has_chat=flt.chat_hash is not None,
+            has_indexers=flt.indexers is not None,
+        )
+        if flt.doc_rows is not None:
+            dm = np.zeros(self._capacity, bool)
+            dm[list(flt.doc_rows)] = True
+            m = m & jnp.asarray(dm)
+        return m
+
+    def dense_corpus(self) -> DenseCorpus:
+        return DenseCorpus(
+            values=self.emb, scales=self.scales, norms_sq=self.norms_sq
+        )
+
+    def search_dense(
+        self,
+        query_emb: jax.Array,  # [B, dim]
+        k: int,
+        flt: Optional[FilterSpec] = None,
+        use_pallas: Optional[bool] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        mask = self._mask(flt)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and self._capacity >= 1024
+        if use_pallas:
+            return pallas_dense_topk(
+                query_emb, self.dense_corpus(), k=k, metric=self.spec.metric,
+                mask=mask, tile=2048,
+            )
+        return dense_search(
+            query_emb, self.dense_corpus(), k=k, metric=self.spec.metric,
+            mask=mask,
+        )
+
+    def search_bm25(
+        self,
+        queries: Sequence[str],
+        k: int,
+        flt: Optional[FilterSpec] = None,
+        max_terms: int = 16,
+    ) -> tuple[jax.Array, jax.Array]:
+        qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
+        qi = np.zeros((len(queries), max_terms), np.float32)
+        for i, q in enumerate(queries):
+            qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
+        corpus = LexicalCorpus(
+            terms=self.terms, tfs=self.tfs, doc_len=self.doc_len
+        )
+        return bm25_search(
+            jnp.asarray(qt),
+            jnp.asarray(qi),
+            corpus,
+            jnp.float32(self.df.avgdl),
+            vocab_size=self.spec.vocab_size,
+            k=k,
+            mask=self._mask(flt),
+        )
+
+    # -- snapshot / restore ----------------------------------------------------
+
+    def snapshot_state(self) -> tuple[dict, dict]:
+        """(arrays, host_state) — see engine/snapshot.py for file IO."""
+        arrays = {
+            "emb": np.asarray(self.emb[: self.size]),
+            "terms": np.asarray(self.terms[: self.size]),
+            "tfs": np.asarray(self.tfs[: self.size].astype(jnp.float32)),
+            "doc_len": np.asarray(self.doc_len[: self.size]),
+            "valid": np.asarray(self.valid[: self.size]),
+            "indexer_code": np.asarray(self.indexer_code[: self.size]),
+            "chat_code": np.asarray(self.chat_code[: self.size]),
+        }
+        if self.scales is not None:
+            arrays["scales"] = np.asarray(self.scales[: self.size])
+        if self.norms_sq is not None:
+            arrays["norms_sq"] = np.asarray(self.norms_sq[: self.size])
+        host = {
+            "spec": {
+                "dim": self.spec.dim,
+                "metric": self.spec.metric.value,
+                "dtype": jnp.dtype(self.spec.dtype).name,
+                "bm25_slots": self.spec.bm25_slots,
+                "vocab_size": self.spec.vocab_size,
+                "min_capacity": self.spec.min_capacity,
+            },
+            "size": self.size,
+            "row_meta": self.row_meta,
+            "df": self.df.state(),
+        }
+        return arrays, host
+
+    @classmethod
+    def from_snapshot(cls, arrays: dict, host: dict) -> "DeviceIndex":
+        s = host["spec"]
+        spec = IndexSpec(
+            dim=s["dim"],
+            metric=Metric(s["metric"]),
+            dtype=jnp.dtype(s["dtype"]),
+            bm25_slots=s["bm25_slots"],
+            vocab_size=s["vocab_size"],
+            min_capacity=s["min_capacity"],
+        )
+        idx = cls(spec)
+        n = host["size"]
+        idx._ensure_capacity(n)
+        pad = idx._capacity - n
+
+        def put(name, a, fill=0):
+            a = np.asarray(a)
+            a = np.pad(
+                a,
+                [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                constant_values=fill,
+            )
+            setattr(idx, name, jnp.asarray(a).astype(getattr(idx, name).dtype))
+
+        put("emb", arrays["emb"])
+        put("terms", arrays["terms"], fill=spec.vocab_size)
+        put("tfs", arrays["tfs"])
+        put("doc_len", arrays["doc_len"], fill=1)
+        put("valid", arrays["valid"])
+        put("indexer_code", arrays["indexer_code"])
+        put("chat_code", arrays["chat_code"])
+        if "scales" in arrays:
+            put("scales", arrays["scales"])
+        if "norms_sq" in arrays:
+            put("norms_sq", arrays["norms_sq"])
+        idx.size = n
+        idx.row_meta = list(host["row_meta"])
+        idx.df = DocFrequency.from_state(host["df"])
+        return idx

@@ -1,0 +1,139 @@
+"""DeviceIndex + CollectionEngine lifecycle: insert, search, filter,
+delete, snapshot/restore."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_rag_tpu.engine.collection import CollectionEngine
+from super_rag_tpu.engine.index import DeviceIndex, FilterSpec, IndexSpec
+from super_rag_tpu.engine.snapshot import load_index, save_index, snapshot_exists
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped across a sleepy canine",
+    "TPU systolic arrays multiply matrices fast",
+    "JAX compiles numpy programs to XLA",
+    "the dog sleeps while the fox runs",
+    "matrix multiplication throughput dominates inference",
+]
+
+
+@pytest.fixture
+def engine():
+    eng = CollectionEngine(IndexSpec(dim=64, dtype=jnp.float32, vocab_size=1 << 14))
+    eng.ingest(DOCS, metadata=[{"doc_id": f"d{i}"} for i in range(len(DOCS))])
+    return eng
+
+
+def test_dense_search_returns_relevant(engine):
+    hits = engine.search("fox jumping over dogs", top_k=3, mode="dense")
+    assert len(hits) == 3
+    texts = [h.text for h in hits]
+    assert any("fox" in t for t in texts)
+    assert hits[0].score >= hits[-1].score
+    assert hits[0].metadata["doc_id"].startswith("d")
+
+
+def test_fulltext_search(engine):
+    hits = engine.search("systolic arrays", top_k=2, mode="fulltext")
+    assert hits and hits[0].text == DOCS[2]
+    assert hits[0].recall_type == "fulltext_search"
+
+
+def test_hybrid_beats_padding(engine):
+    hits = engine.search("fox", top_k=4, mode="hybrid")
+    assert 1 <= len(hits) <= 4
+    assert all(h.row >= 0 for h in hits)
+
+
+def test_delete_removes_from_results(engine):
+    hits = engine.search("systolic arrays", top_k=1, mode="fulltext")
+    engine.delete([hits[0].row])
+    hits2 = engine.search("systolic arrays", top_k=3, mode="fulltext")
+    assert all(h.row != hits[0].row for h in hits2)
+    assert engine.index.live_count == len(DOCS) - 1
+
+
+def test_chat_filter():
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp.float32, vocab_size=1 << 14))
+    eng.ingest(["shared doc about foxes"], indexer="vector")
+    eng.ingest(["private chat doc about foxes"], chat_id="chat-1")
+    eng.ingest(["other chat doc about foxes"], chat_id="chat-2")
+    # unscoped query sees everything unscoped + nothing? reference semantics:
+    # chat filter shows unscoped rows OR matching chat rows
+    hits = eng.search("foxes", top_k=5, mode="dense", chat_id="chat-1")
+    texts = {h.text for h in hits}
+    assert "private chat doc about foxes" in texts
+    assert "other chat doc about foxes" not in texts
+    assert "shared doc about foxes" in texts
+
+
+def test_indexer_filter():
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp.float32, vocab_size=1 << 14))
+    eng.ingest(["vector indexed doc"], indexer="vector")
+    eng.ingest(["summary of the document"], indexer="summary")
+    hits = eng.search("doc", top_k=5, mode="dense", index_types=["summary"])
+    assert {h.text for h in hits} == {"summary of the document"}
+
+
+def test_rerank_with_custom_reranker():
+    def reverse_reranker(query, texts):
+        # score by index: later texts win — proves reranker is applied
+        return np.arange(len(texts), dtype=np.float32)
+
+    eng = CollectionEngine(
+        IndexSpec(dim=32, dtype=jnp.float32, vocab_size=1 << 14),
+        reranker=reverse_reranker,
+    )
+    eng.ingest(DOCS)
+    base = eng.search("fox", top_k=3, mode="hybrid", rerank=False)
+    rr = eng.search("fox", top_k=3, mode="hybrid", rerank=True, candidates=6)
+    assert all(h.recall_type == "reranked" for h in rr)
+    if len(base) >= 2:
+        assert [h.row for h in rr] != [h.row for h in base] or len(rr) == 1
+
+
+def test_capacity_growth():
+    idx = DeviceIndex(IndexSpec(dim=8, dtype=jnp.float32, min_capacity=256,
+                                vocab_size=1 << 14))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        idx.add(rng.standard_normal((200, 8)), [f"doc {i}" for i in range(200)])
+    assert idx.size == 600
+    assert idx._capacity >= 600 + 256
+    v, i = idx.search_dense(jnp.asarray(rng.standard_normal((1, 8)),
+                                        jnp.float32), k=5)
+    assert np.all(np.asarray(i) < 600)
+
+
+def test_int8_index_roundtrip(rng):
+    idx = DeviceIndex(IndexSpec(dim=64, dtype=jnp.int8, vocab_size=1 << 14))
+    x = rng.standard_normal((100, 64)).astype(np.float32)
+    idx.add(x, [f"t{i}" for i in range(100)])
+    q = jnp.asarray(x[17:18])
+    v, i = idx.search_dense(q, k=1)
+    assert int(np.asarray(i)[0, 0]) == 17  # self-match survives int8
+
+
+def test_snapshot_restore(tmp_path, engine):
+    path = str(tmp_path / "snap")
+    save_index(engine.index, path)
+    assert snapshot_exists(path)
+    restored = load_index(path)
+    assert restored.size == engine.index.size
+    assert restored.df.num_docs == engine.index.df.num_docs
+
+    eng2 = CollectionEngine(restored.spec)
+    eng2.index = restored
+    h1 = engine.search("fox jumps", top_k=3, mode="hybrid")
+    h2 = eng2.search("fox jumps", top_k=3, mode="hybrid")
+    assert [h.row for h in h1] == [h.row for h in h2]
+    np.testing.assert_allclose(
+        [h.score for h in h1], [h.score for h in h2], rtol=1e-3
+    )
+
+
+def test_empty_engine_search():
+    eng = CollectionEngine(IndexSpec(dim=16, dtype=jnp.float32, vocab_size=1 << 14))
+    assert eng.search("anything", top_k=3) == []

@@ -1,0 +1,59 @@
+"""Fused Pallas kernel must agree with the XLA reference path.
+
+Runs in interpreter mode on the CPU test mesh; the real-TPU compiled run
+is exercised by bench.py / scripts on hardware.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_rag_tpu.ops.dense import Metric, build_corpus, dense_search
+from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
+
+
+def _sets_match(i1, i2):
+    for a, b in zip(np.asarray(i1), np.asarray(i2)):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+@pytest.mark.parametrize("metric", [Metric.COSINE, Metric.DOT, Metric.L2])
+def test_matches_xla(rng, metric):
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    c = rng.standard_normal((1000, 128)).astype(np.float32)
+    corpus = build_corpus(jnp.asarray(c), metric=metric, dtype=jnp.float32)
+    gv, gi = dense_search(jnp.asarray(q), corpus, k=10, metric=metric)
+    pv, pi = pallas_dense_topk(
+        jnp.asarray(q), corpus, k=10, metric=metric, tile=256, interpret=True
+    )
+    _sets_match(pi, gi)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(pv)), np.sort(np.asarray(gv)), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_int8_with_scales(rng):
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    c = rng.standard_normal((512, 64)).astype(np.float32)
+    corpus = build_corpus(jnp.asarray(c), dtype=jnp.int8)
+    gv, gi = dense_search(jnp.asarray(q), corpus, k=8)
+    pv, pi = pallas_dense_topk(
+        jnp.asarray(q), corpus, k=8, tile=128, interpret=True
+    )
+    _sets_match(pi, gi)
+
+
+def test_mask_and_ragged_padding(rng):
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    c = rng.standard_normal((300, 32)).astype(np.float32)  # not a tile multiple
+    corpus = build_corpus(jnp.asarray(c), dtype=jnp.float32)
+    mask = np.zeros(300, bool)
+    mask[50:150] = True
+    pv, pi = pallas_dense_topk(
+        jnp.asarray(q), corpus, k=5, mask=jnp.asarray(mask), tile=128,
+        interpret=True,
+    )
+    pi = np.asarray(pi)
+    assert np.all((pi >= 50) & (pi < 150))
+    gv, gi = dense_search(jnp.asarray(q), corpus, k=5, mask=jnp.asarray(mask))
+    _sets_match(pi, gi)
