@@ -1,0 +1,105 @@
+"""Framework configuration (env-driven).
+
+Counterpart of the reference's pydantic-settings Config
+(super_rag/config.py:36-138): one Settings object resolved from
+environment variables with sane defaults; per-collection settings live in
+the collection's JSON config column (store/db.py) just like the reference
+(schema CollectionConfig — view_models.py:51-90).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env(name: str, default: str) -> str:
+    return os.environ.get(f"SUPER_RAG_{name}", default)
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(_env(name, str(default)))
+
+
+def _env_float(name: str, default: float) -> float:
+    return float(_env(name, str(default)))
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    return _env(name, str(default)).lower() in ("1", "true", "yes", "on")
+
+
+@dataclass
+class Settings:
+    # storage
+    data_dir: str = field(default_factory=lambda: _env("DATA_DIR", "./data"))
+    db_path: str = field(default_factory=lambda: _env("DB_PATH", ""))
+    object_store_type: str = field(
+        default_factory=lambda: _env("OBJECT_STORE_TYPE", "local")
+    )
+
+    # chunking (reference defaults: 400/20 — config.py:82-83)
+    chunk_size: int = field(default_factory=lambda: _env_int("CHUNK_SIZE", 400))
+    chunk_overlap: int = field(
+        default_factory=lambda: _env_int("CHUNK_OVERLAP", 20)
+    )
+
+    # retrieval defaults (reference: top_k=5, sim>=0.2 —
+    # collection_service.py:268-269)
+    default_top_k: int = field(default_factory=lambda: _env_int("TOP_K", 5))
+    default_similarity_threshold: float = field(
+        default_factory=lambda: _env_float("SIMILARITY_THRESHOLD", 0.2)
+    )
+    rerank_candidates: int = field(
+        default_factory=lambda: _env_int("RERANK_CANDIDATES", 100)
+    )
+    max_rerank_docs: int = field(
+        default_factory=lambda: _env_int("MAX_RERANK_DOCS", 1000)
+    )
+
+    # engine
+    embedding_dim: int = field(default_factory=lambda: _env_int("EMBED_DIM", 256))
+    index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
+    bm25_slots: int = field(default_factory=lambda: _env_int("BM25_SLOTS", 64))
+    vocab_size: int = field(default_factory=lambda: _env_int("VOCAB_SIZE", 1 << 17))
+    embed_batch_size: int = field(
+        default_factory=lambda: _env_int("EMBED_BATCH", 256)
+    )
+
+    # quotas (reference config.py:75-79)
+    max_document_size_mb: int = field(
+        default_factory=lambda: _env_int("MAX_DOC_MB", 100)
+    )
+    max_documents_per_collection: int = field(
+        default_factory=lambda: _env_int("MAX_DOCS_PER_COLLECTION", 10000)
+    )
+    max_collections_per_user: int = field(
+        default_factory=lambda: _env_int("MAX_COLLECTIONS_PER_USER", 100)
+    )
+
+    # auth
+    jwt_secret: str = field(
+        default_factory=lambda: _env("JWT_SECRET", "dev-secret-change-me")
+    )
+    jwt_ttl_hours: int = field(default_factory=lambda: _env_int("JWT_TTL_HOURS", 72))
+
+    # server
+    host: str = field(default_factory=lambda: _env("HOST", "127.0.0.1"))
+    port: int = field(default_factory=lambda: _env_int("PORT", 8712))
+
+    # reconciler (reference: hourly — config/ray_schedule.py:84-86)
+    reconcile_interval_s: float = field(
+        default_factory=lambda: _env_float("RECONCILE_INTERVAL", 3600.0)
+    )
+
+    def resolved_db_path(self) -> str:
+        return self.db_path or os.path.join(self.data_dir, "super_rag.db")
+
+    def objects_root(self) -> str:
+        return os.path.join(self.data_dir, "objects")
+
+    def snapshots_root(self) -> str:
+        return os.path.join(self.data_dir, "snapshots")
+
+
+settings = Settings()

@@ -1,0 +1,103 @@
+"""Document index tasks: parse -> chunk -> embed -> device insert.
+
+Counterpart of the reference's Ray task bodies (tasks/document.py:12-240
+and tasks/utils.py:6-55): the parse step pulls the original from the
+object store and produces Parts; create_index chunks, embeds on device,
+and inserts into the collection's DeviceIndex, recording the engine row
+ids in DocumentIndex.index_data (the reference stores SeekDB ctx_ids the
+same way — index/vector_and_full_text_index.py:104-129) so update/delete
+are exact.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+from super_rag_tpu.chunk.chunking import Rechunker
+from super_rag_tpu.config import Settings
+from super_rag_tpu.engine.manager import EngineManager
+from super_rag_tpu.fileparser.parser import DocParser
+from super_rag_tpu.store.db import Database
+from super_rag_tpu.store.objectstore import ObjectStore
+
+logger = logging.getLogger(__name__)
+
+
+class DocumentIndexTask:
+    def __init__(self, db: Database, objects: ObjectStore,
+                 engines: EngineManager, cfg: Settings):
+        self.db = db
+        self.objects = objects
+        self.engines = engines
+        self.cfg = cfg
+        self.parser = DocParser()
+
+    def _load_parts(self, document: dict):
+        data = self.objects.get(document["object_path"])
+        return self.parser.parse_file(document["name"], data)
+
+    def create_index(self, document_id: str, index_type: str,
+                     version: int) -> dict:
+        """Parse + chunk + embed + insert; returns index_data for the spec
+        row.  Idempotent per (document, version): any rows from a prior
+        version are removed first."""
+        doc = self.db.get_document(document_id)
+        if doc is None:
+            raise ValueError(f"document {document_id} not found")
+        coll = self.db.get_collection(doc["collection_id"])
+        engine = self.engines.get(coll["id"], coll["config"])
+
+        # delete rows of the previous version (update = delete + recreate,
+        # reference index/vector_and_full_text_index.py:89-166)
+        spec_row = self.db.query_one(
+            "SELECT * FROM document_index WHERE document_id=? AND index_type=?",
+            (document_id, index_type),
+        )
+        import json as _json
+
+        old_rows = []
+        if spec_row and spec_row.get("index_data"):
+            old_rows = _json.loads(spec_row["index_data"]).get("rows", [])
+        if old_rows:
+            engine.delete(old_rows)
+
+        parts = self._load_parts(doc)
+        chunker = Rechunker(self.cfg.chunk_size, self.cfg.chunk_overlap)
+        chunks = chunker.rechunk(parts, metadata={"document_id": document_id})
+        if not chunks:
+            return {"rows": [], "chunks": 0}
+
+        if index_type == "summary":
+            # summary indexing needs a completion model; see service layer.
+            raise ValueError("summary index requires a completion service")
+
+        rows = engine.ingest(
+            [c.padded_text for c in chunks],
+            metadata=[
+                {**c.metadata, "document_id": document_id,
+                 "collection_id": coll["id"], "document_name": doc["name"]}
+                for c in chunks
+            ],
+            indexer="vector",
+            chat_id=doc.get("chat_id"),
+        )
+        return {"rows": rows, "chunks": len(chunks)}
+
+    def delete_index(self, document_id: str, index_type: str) -> None:
+        doc = self.db.get_document(document_id)
+        if doc is None:
+            return
+        spec_row = self.db.query_one(
+            "SELECT * FROM document_index WHERE document_id=? AND index_type=?",
+            (document_id, index_type),
+        )
+        import json as _json
+
+        rows = []
+        if spec_row and spec_row.get("index_data"):
+            rows = _json.loads(spec_row["index_data"]).get("rows", [])
+        if rows:
+            coll = self.db.get_collection(doc["collection_id"])
+            engine = self.engines.get(coll["id"], coll["config"] if coll else {})
+            engine.delete(rows)
