@@ -1,0 +1,543 @@
+"""REST API routes (mirror of the reference's api/ surface, SURVEY.md 2.2).
+
+All routes live under /api/v1.  Handlers are thin: auth resolution,
+request shaping, service call, JSON response.  An audit middleware writes
+request/latency rows for every /api/v1 call (reference
+utils/audit_decorator.py + api/audit.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import time
+from typing import Optional
+
+from super_rag_tpu.api.auth import COOKIE_NAME
+from super_rag_tpu.api.http import HttpError, Request, Response, Router, WebSocket
+from super_rag_tpu.nodeflow.models import node_type_catalog
+from super_rag_tpu.service.chat_service import ChatService
+from super_rag_tpu.service.collection_service import CollectionService
+from super_rag_tpu.service.context import AppContext
+from super_rag_tpu.service.document_service import DocumentService
+from super_rag_tpu.service.workflow_service import WorkflowService
+
+
+def build_router(ctx: AppContext) -> Router:
+    router = Router()
+    collections = CollectionService(ctx)
+    documents = DocumentService(ctx, collections)
+    workflows = WorkflowService(ctx)
+    chats = ChatService(ctx, collections)
+    auth = ctx.auth
+
+    # -- middleware: audit log ------------------------------------------------
+
+    async def audit_mw(req: Request, nxt):
+        t0 = time.perf_counter()
+        resp = await nxt(req)
+        if req.path.startswith("/api/v1"):
+            user = req.state.get("user") or {}
+            ctx.db.add_audit(
+                user.get("username", ""), req.path, req.method, resp.status,
+                (time.perf_counter() - t0) * 1000,
+                request=req.body[:1000].decode("utf-8", "replace"),
+            )
+        return resp
+
+    router.use(audit_mw)
+
+    def me(req: Request) -> dict:
+        user = auth.required(req)
+        req.state["user"] = user
+        return user
+
+    # -- health ------------------------------------------------------------------
+
+    @router.get("/health")
+    async def health(req: Request) -> Response:
+        return Response.json({"status": "ok"})
+
+    # -- auth ----------------------------------------------------------------------
+
+    @router.post("/api/v1/auth/register")
+    async def register(req: Request) -> Response:
+        body = req.json()
+        user = auth.register(
+            body.get("username", ""), body.get("password", ""),
+            body.get("email", ""),
+        )
+        return Response.json(user, status=201)
+
+    @router.post("/api/v1/auth/login")
+    async def login(req: Request) -> Response:
+        body = req.json()
+        user, token = auth.login(body.get("username", ""), body.get("password", ""))
+        return Response.json(
+            {"user": user, "token": token},
+            headers={"Set-Cookie":
+                     f"{COOKIE_NAME}={token}; HttpOnly; Path=/; SameSite=Lax"},
+        )
+
+    @router.post("/api/v1/auth/logout")
+    async def logout(req: Request) -> Response:
+        return Response.json(
+            {"ok": True},
+            headers={"Set-Cookie":
+                     f"{COOKIE_NAME}=; Max-Age=0; Path=/"},
+        )
+
+    @router.get("/api/v1/users/me")
+    async def users_me(req: Request) -> Response:
+        return Response.json(me(req))
+
+    @router.get("/api/v1/users")
+    async def list_users(req: Request) -> Response:
+        auth.required_admin(req)
+        return Response.json(
+            [auth._public(u) for u in ctx.db.list_users()]
+        )
+
+    @router.post("/api/v1/apikeys")
+    async def create_key(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        return Response.json(
+            ctx.db.create_api_key(user["id"], body.get("description", "")),
+            status=201,
+        )
+
+    @router.get("/api/v1/apikeys")
+    async def list_keys(req: Request) -> Response:
+        user = me(req)
+        return Response.json(ctx.db.list_api_keys(user["id"]))
+
+    @router.delete("/api/v1/apikeys/{kid}")
+    async def delete_key(req: Request) -> Response:
+        user = me(req)
+        if not ctx.db.delete_api_key(req.path_params["kid"], user["id"]):
+            raise HttpError(404, "api key not found")
+        return Response.no_content()
+
+    # -- collections -------------------------------------------------------------------
+
+    @router.post("/api/v1/collections")
+    async def create_collection(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        coll = collections.create(
+            user["username"], body.get("title", ""),
+            body.get("description", ""), body.get("config"),
+        )
+        return Response.json(coll, status=201)
+
+    @router.get("/api/v1/collections")
+    async def list_collections(req: Request) -> Response:
+        user = me(req)
+        return Response.json(collections.list(user["username"]))
+
+    @router.get("/api/v1/collections/{cid}")
+    async def get_collection(req: Request) -> Response:
+        user = me(req)
+        return Response.json(
+            collections.get(user["username"], req.path_params["cid"])
+        )
+
+    @router.put("/api/v1/collections/{cid}")
+    async def update_collection(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        return Response.json(
+            collections.update(user["username"], req.path_params["cid"], **body)
+        )
+
+    @router.delete("/api/v1/collections/{cid}")
+    async def delete_collection(req: Request) -> Response:
+        user = me(req)
+        collections.delete(user["username"], req.path_params["cid"])
+        return Response.no_content()
+
+    # -- search (the north-star route) ----------------------------------------------------
+
+    @router.post("/api/v1/collections/{cid}/searches")
+    async def create_search(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        query = body.get("query", "")
+        if not query:
+            raise HttpError(422, "query required")
+        result = await collections.execute_search(
+            user["username"], req.path_params["cid"], query,
+            top_k=body.get("top_k"),
+            similarity_threshold=body.get("similarity_threshold"),
+            use_fulltext=body.get("use_fulltext", True),
+            use_graph=body.get("use_graph", False),
+            use_rerank=body.get("use_rerank", True),
+            chat_id=body.get("chat_id"),
+        )
+        return Response.json(result, status=201)
+
+    # -- documents ----------------------------------------------------------------------------
+
+    @router.post("/api/v1/collections/{cid}/documents")
+    async def upload_documents(req: Request) -> Response:
+        user = me(req)
+        cid = req.path_params["cid"]
+        created = []
+        ctype = req.headers.get("content-type", "")
+        if ctype.startswith("multipart/form-data"):
+            for part in req.multipart():
+                if part["filename"]:
+                    created.append(
+                        documents.create(
+                            user["username"], cid, part["filename"], part["data"]
+                        )
+                    )
+        else:
+            body = req.json()
+            items = body if isinstance(body, list) else [body]
+            for item in items:
+                name = item.get("name", "")
+                if not name:
+                    raise HttpError(422, "document name required")
+                if "content_base64" in item:
+                    data = base64.b64decode(item["content_base64"])
+                else:
+                    data = item.get("content", "").encode()
+                created.append(
+                    documents.create(
+                        user["username"], cid, name, data,
+                        metadata=item.get("metadata"),
+                        chat_id=item.get("chat_id"),
+                    )
+                )
+        return Response.json(created, status=201)
+
+    @router.get("/api/v1/collections/{cid}/documents")
+    async def list_documents(req: Request) -> Response:
+        user = me(req)
+        return Response.json(
+            documents.list(user["username"], req.path_params["cid"])
+        )
+
+    @router.get("/api/v1/documents/{did}")
+    async def get_document(req: Request) -> Response:
+        user = me(req)
+        return Response.json(documents.get(user["username"],
+                                           req.path_params["did"]))
+
+    @router.delete("/api/v1/documents/{did}")
+    async def delete_document(req: Request) -> Response:
+        user = me(req)
+        documents.delete(user["username"], req.path_params["did"])
+        return Response.no_content()
+
+    @router.get("/api/v1/documents/{did}/chunks")
+    async def document_chunks(req: Request) -> Response:
+        user = me(req)
+        return Response.json(
+            documents.chunks(user["username"], req.path_params["did"])
+        )
+
+    @router.post("/api/v1/documents/{did}/rebuild_indexes")
+    async def rebuild_indexes(req: Request) -> Response:
+        user = me(req)
+        only_failed = req.query.get("only_failed", "") in ("1", "true")
+        n = documents.rebuild_indexes(
+            user["username"], req.path_params["did"], only_failed=only_failed
+        )
+        return Response.json({"rebuilt": n})
+
+    @router.get("/api/v1/documents/{did}/preview")
+    async def preview_document(req: Request) -> Response:
+        user = me(req)
+        rng = req.headers.get("range", "")
+        start, end = 0, None
+        if rng.startswith("bytes="):
+            s, _, e = rng[6:].partition("-")
+            start = int(s or 0)
+            end = int(e) + 1 if e else None
+        doc, stream = documents.preview_bytes(
+            user["username"], req.path_params["did"], start, end
+        )
+        status = 206 if rng else 200
+        return Response(
+            status=status,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Document-Name": doc["name"]},
+            stream=stream,
+        )
+
+    # -- marketplace -----------------------------------------------------------------------------
+
+    @router.post("/api/v1/collections/{cid}/publish")
+    async def publish(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        return Response.json(ctx.db.publish_collection(req.path_params["cid"]))
+
+    @router.post("/api/v1/collections/{cid}/unpublish")
+    async def unpublish(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        ctx.db.unpublish_collection(req.path_params["cid"])
+        return Response.json({"ok": True})
+
+    @router.get("/api/v1/marketplace/collections")
+    async def marketplace_list(req: Request) -> Response:
+        me(req)
+        return Response.json(ctx.db.list_marketplace())
+
+    @router.post("/api/v1/marketplace/collections/{cid}/subscribe")
+    async def subscribe(req: Request) -> Response:
+        user = me(req)
+        return Response.json(
+            ctx.db.subscribe(user["username"], req.path_params["cid"])
+        )
+
+    @router.delete("/api/v1/marketplace/collections/{cid}/subscribe")
+    async def unsubscribe(req: Request) -> Response:
+        user = me(req)
+        ctx.db.unsubscribe(user["username"], req.path_params["cid"])
+        return Response.no_content()
+
+    @router.get("/api/v1/marketplace/subscriptions")
+    async def subscriptions(req: Request) -> Response:
+        user = me(req)
+        return Response.json(ctx.db.list_subscriptions(user["username"]))
+
+    # -- workflows -----------------------------------------------------------------------------------
+
+    @router.post("/api/v1/workflows")
+    async def create_workflow(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        return Response.json(
+            workflows.create(
+                user["username"], body.get("title", "workflow"),
+                body.get("definition", body.get("graph", {})),
+                body.get("description", ""),
+            ),
+            status=201,
+        )
+
+    @router.get("/api/v1/workflows")
+    async def list_workflows(req: Request) -> Response:
+        user = me(req)
+        return Response.json(workflows.list(user["username"]))
+
+    @router.get("/api/v1/workflows/{wid}")
+    async def get_workflow(req: Request) -> Response:
+        user = me(req)
+        return Response.json(workflows.get(user["username"],
+                                           req.path_params["wid"]))
+
+    @router.put("/api/v1/workflows/{wid}")
+    async def update_workflow(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        return Response.json(
+            workflows.update_definition(
+                user["username"], req.path_params["wid"],
+                body.get("definition", {}),
+            )
+        )
+
+    @router.get("/api/v1/workflows/{wid}/versions")
+    async def workflow_versions(req: Request) -> Response:
+        user = me(req)
+        return Response.json(workflows.versions(user["username"],
+                                                req.path_params["wid"]))
+
+    @router.post("/api/v1/workflows/{wid}/run")
+    async def run_workflow(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        return Response.json(
+            await workflows.run(user["username"], req.path_params["wid"],
+                                body.get("inputs", body))
+        )
+
+    @router.get("/api/v1/workflows/{wid}/runs")
+    async def workflow_runs(req: Request) -> Response:
+        user = me(req)
+        return Response.json(workflows.runs(user["username"],
+                                            req.path_params["wid"]))
+
+    @router.get("/api/v1/workflow-runs/{rid}")
+    async def workflow_run_detail(req: Request) -> Response:
+        user = me(req)
+        return Response.json(workflows.run_detail(user["username"],
+                                                  req.path_params["rid"]))
+
+    @router.post("/api/v1/workflows/run")
+    async def run_workflow_once(req: Request) -> Response:
+        user = me(req)
+        body = req.json()
+        return Response.json(
+            await workflows.run_definition(
+                user["username"],
+                body.get("definition", body.get("workflow", {})),
+                body.get("inputs", {}),
+            )
+        )
+
+    # -- nodeflow catalog ---------------------------------------------------------------------------------
+
+    @router.get("/api/v1/nodeflow/node-types")
+    async def node_types(req: Request) -> Response:
+        return Response.json(node_type_catalog())
+
+    # -- llm providers ------------------------------------------------------------------------------------
+
+    @router.get("/api/v1/llm_providers")
+    async def list_providers(req: Request) -> Response:
+        me(req)
+        return Response.json(ctx.db.list_providers())
+
+    @router.post("/api/v1/llm_providers")
+    async def upsert_provider(req: Request) -> Response:
+        me(req)
+        b = req.json()
+        if not b.get("name"):
+            raise HttpError(422, "provider name required")
+        ctx.db.upsert_provider(
+            b["name"], b.get("label", ""), b.get("base_url", ""),
+            b.get("api_type", "openai"),
+        )
+        return Response.json(ctx.db.get_provider(b["name"]), status=201)
+
+    @router.delete("/api/v1/llm_providers/{name}")
+    async def delete_provider(req: Request) -> Response:
+        me(req)
+        ctx.db.delete_provider(req.path_params["name"])
+        return Response.no_content()
+
+    @router.get("/api/v1/llm_providers/{name}/models")
+    async def list_provider_models(req: Request) -> Response:
+        me(req)
+        return Response.json(ctx.db.list_models(req.path_params["name"]))
+
+    @router.post("/api/v1/llm_providers/{name}/models")
+    async def upsert_model(req: Request) -> Response:
+        me(req)
+        b = req.json()
+        ctx.db.upsert_model(
+            req.path_params["name"], b.get("api", "completion"),
+            b.get("model", ""), b.get("context_window", 0),
+            b.get("max_tokens", 0), b.get("tags", []),
+        )
+        return Response.json(ctx.db.list_models(req.path_params["name"]),
+                             status=201)
+
+    @router.post("/api/v1/llm_providers/{name}/key")
+    async def set_provider_key(req: Request) -> Response:
+        user = me(req)
+        b = req.json()
+        ctx.db.set_provider_key(
+            req.path_params["name"], user["username"], b.get("api_key", "")
+        )
+        return Response.json({"ok": True})
+
+    @router.get("/api/v1/llm/available_models")
+    async def available_models(req: Request) -> Response:
+        me(req)
+        tag = req.query.get("tag")
+        return Response.json(ctx.db.list_models(tag=tag))
+
+    # -- audit ------------------------------------------------------------------------------------------------
+
+    @router.get("/api/v1/audit_logs")
+    async def audit_logs(req: Request) -> Response:
+        user = auth.required(req)
+        limit = int(req.query.get("limit", "100"))
+        offset = int(req.query.get("offset", "0"))
+        who = None if user["role"] == "admin" else user["username"]
+        return Response.json(ctx.db.list_audit(who, limit, offset))
+
+    @router.get("/api/v1/audit_logs/{aid}")
+    async def audit_detail(req: Request) -> Response:
+        user = auth.required(req)
+        row = ctx.db.get_audit(int(req.path_params["aid"]))
+        if row is None or (
+            user["role"] != "admin" and row["user"] != user["username"]
+        ):
+            raise HttpError(404, "audit record not found")
+        return Response.json(row)
+
+    # -- chats ------------------------------------------------------------------------------------------------
+
+    @router.post("/api/v1/chats")
+    async def create_chat(req: Request) -> Response:
+        user = me(req)
+        b = req.json()
+        return Response.json(
+            chats.create(user["username"], b.get("title", ""),
+                         b.get("collection_ids")),
+            status=201,
+        )
+
+    @router.get("/api/v1/chats")
+    async def list_chats(req: Request) -> Response:
+        user = me(req)
+        return Response.json(chats.list(user["username"]))
+
+    @router.get("/api/v1/chats/{chat_id}")
+    async def get_chat(req: Request) -> Response:
+        user = me(req)
+        chat = chats.get(user["username"], req.path_params["chat_id"])
+        chat["messages"] = chats.messages(user["username"], chat["id"])
+        return Response.json(chat)
+
+    @router.delete("/api/v1/chats/{chat_id}")
+    async def delete_chat(req: Request) -> Response:
+        user = me(req)
+        chats.delete(user["username"], req.path_params["chat_id"])
+        return Response.no_content()
+
+    @router.post("/api/v1/chats/{chat_id}/messages/{mid}/feedback")
+    async def message_feedback(req: Request) -> Response:
+        user = me(req)
+        b = req.json()
+        chats.feedback(user["username"], req.path_params["chat_id"],
+                       req.path_params["mid"], b.get("feedback"))
+        return Response.json({"ok": True})
+
+    @router.post("/api/v1/chats/{chat_id}/completions")
+    async def chat_completions(req: Request) -> Response:
+        """SSE chat completion (reference frontend_chat_completions)."""
+        user = me(req)
+        b = req.json()
+        text = b.get("message", b.get("query", ""))
+        if not text:
+            raise HttpError(422, "message required")
+        events = chats.process_message(
+            user["username"], req.path_params["chat_id"], text,
+            collection_ids=b.get("collection_ids"),
+        )
+        return Response.sse(events)
+
+    @router.websocket("/api/v1/chats/{chat_id}/connect")
+    async def chat_ws(req: Request, ws: WebSocket) -> None:
+        """WebSocket chat (reference api/chat.py:75-105)."""
+        user = auth.resolve(req)
+        if user is None:
+            await ws.send_json({"event": "error", "data": "unauthorized"})
+            return
+        chat_id = req.path_params["chat_id"]
+        while True:
+            msg = await ws.receive_json()
+            if msg is None:
+                return
+            text = msg.get("message", msg.get("query", ""))
+            if not text:
+                await ws.send_json({"event": "error", "data": "empty message"})
+                continue
+            async for event in chats.process_message(
+                user["username"], chat_id, text,
+                collection_ids=msg.get("collection_ids"),
+            ):
+                await ws.send_json(event)
+
+    return router

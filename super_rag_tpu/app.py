@@ -1,0 +1,77 @@
+"""Application assembly: context + router + HTTP server.
+
+Counterpart of the reference's FastAPI assembly (super_rag/app.py):
+registers the REST routes, health endpoint, and (once present) the MCP
+mount; starts the periodic reconciler.  Run with:
+
+    python -m super_rag_tpu.app
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Optional
+
+from super_rag_tpu.api.http import HttpServer
+from super_rag_tpu.api.routes import build_router
+from super_rag_tpu.config import Settings, settings as default_settings
+from super_rag_tpu.service.context import AppContext, build_context
+
+logger = logging.getLogger(__name__)
+
+
+class App:
+    def __init__(self, cfg: Optional[Settings] = None,
+                 background_tasks: bool = True,
+                 ctx: Optional[AppContext] = None):
+        from super_rag_tpu.utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()  # remote TPU compiles are minutes; cache them
+        self.cfg = cfg or default_settings
+        self.ctx = ctx or build_context(self.cfg, background_tasks=background_tasks)
+        self.router = build_router(self.ctx)
+        try:
+            from super_rag_tpu.mcp.server import register_mcp_routes
+
+            register_mcp_routes(self.router, self.ctx)
+        except ImportError:
+            pass
+        self.server = HttpServer(self.router)
+
+    async def start(self, host: Optional[str] = None,
+                    port: Optional[int] = None) -> None:
+        await self.server.start(host or self.cfg.host,
+                                port if port is not None else self.cfg.port)
+        self.ctx.reconciler.start_periodic(self.cfg.reconcile_interval_s)
+        logger.info("super_rag_tpu listening on %s:%s",
+                    self.cfg.host, self.server.port)
+
+    async def stop(self) -> None:
+        self.ctx.reconciler.stop()
+        self.ctx.scheduler.wait_idle(timeout=30)
+        self.ctx.scheduler.shutdown()
+        self.ctx.engines.snapshot_all()
+        await self.server.stop()
+
+    @property
+    def port(self) -> int:
+        return self.server.port
+
+
+async def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    app = App()
+    await app.start()
+    try:
+        await self_serve(app)
+    finally:
+        await app.stop()
+
+
+async def self_serve(app: App) -> None:
+    await app.server.serve_forever()
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

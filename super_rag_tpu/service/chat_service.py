@@ -1,0 +1,134 @@
+"""Chat service: sessions, history, and the RAG answer pipeline.
+
+Counterpart of the reference's chat/agent services (chat_service.py,
+agent_chat_service.py:474-567): per-message pipeline = persist user
+message -> retrieve from the chat's collections -> build prompt with
+history -> generate -> persist assistant message with references.  The
+reference's generation is a remote MCP-agent tool loop; ours retrieves
+in-process (one device program) and generates via the pluggable
+completion client, falling back to an extractive answer when no LLM is
+configured.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import AsyncIterator, Optional
+
+from super_rag_tpu.api.http import HttpError
+from super_rag_tpu.service.collection_service import CollectionService
+from super_rag_tpu.service.context import AppContext
+
+
+class ChatService:
+    def __init__(self, ctx: AppContext, collections: CollectionService):
+        self.ctx = ctx
+        self.collections = collections
+
+    # -- CRUD -------------------------------------------------------------
+
+    def create(self, user: str, title: str = "",
+               collection_ids: Optional[list[str]] = None) -> dict:
+        chat = self.ctx.db.create_chat(user, title)
+        if collection_ids:
+            self.ctx.db.update_chat(
+                chat["id"], bot_id=",".join(collection_ids)
+            )
+            chat = self.ctx.db.get_chat(chat["id"])
+        return chat
+
+    def get(self, user: str, chat_id: str) -> dict:
+        chat = self.ctx.db.get_chat(chat_id)
+        if chat is None or chat["user"] != user or chat["status"] != "ACTIVE":
+            raise HttpError(404, f"chat {chat_id} not found")
+        return chat
+
+    def list(self, user: str) -> list[dict]:
+        return self.ctx.db.list_chats(user)
+
+    def delete(self, user: str, chat_id: str) -> None:
+        self.get(user, chat_id)
+        self.ctx.db.update_chat(chat_id, status="DELETED")
+
+    def messages(self, user: str, chat_id: str) -> list[dict]:
+        self.get(user, chat_id)
+        return self.ctx.db.list_chat_messages(chat_id)
+
+    def feedback(self, user: str, chat_id: str, message_id: str,
+                 feedback: Optional[str]) -> None:
+        self.get(user, chat_id)
+        self.ctx.db.set_message_feedback(message_id, feedback)
+
+    # -- message pipeline ------------------------------------------------------
+
+    async def process_message(
+        self, user: str, chat_id: str, text: str,
+        collection_ids: Optional[list[str]] = None,
+    ) -> AsyncIterator[dict]:
+        """Yields events: start, references, delta(s), done."""
+        chat = self.get(user, chat_id)
+        self.ctx.db.add_chat_message(chat_id, "user", [{"type": "text",
+                                                        "text": text}])
+        yield {"event": "start", "data": {"chat_id": chat_id}}
+
+        cids = collection_ids or [
+            c for c in (chat.get("bot_id") or "").split(",") if c
+        ]
+        references = []
+        docs = []
+        if cids:
+            for cid in cids:
+                try:
+                    result = await self.collections.execute_search(
+                        user, cid, text, chat_id=chat_id
+                    )
+                    docs.extend(result["items"])
+                except HttpError:
+                    continue
+            docs.sort(key=lambda d: -d["score"])
+            docs = docs[: self.ctx.cfg.default_top_k]
+            references = [
+                {"rank": i + 1, "score": d["score"], "text": d["text"][:300],
+                 "metadata": d["metadata"]}
+                for i, d in enumerate(docs)
+            ]
+        if references:
+            yield {"event": "references", "data": references}
+
+        history = self.ctx.db.list_chat_messages(chat_id, limit=8)
+        answer = await self._generate(text, docs, history)
+        # stream in a few chunks to exercise the streaming protocol
+        step = max(1, len(answer) // 4)
+        for i in range(0, len(answer), step):
+            yield {"event": "delta", "data": {"text": answer[i : i + step]}}
+            await asyncio.sleep(0)
+
+        msg = self.ctx.db.add_chat_message(
+            chat_id, "assistant",
+            [{"type": "text", "text": answer},
+             {"type": "references", "references": references}],
+        )
+        yield {"event": "done", "data": {"message_id": msg["id"]}}
+
+    async def _generate(self, query: str, docs: list[dict],
+                        history: list[dict]) -> str:
+        completion = self.ctx.completion
+        if completion is not None:
+            context = "\n\n".join(f"[{i+1}] {d['text']}" for i, d in enumerate(docs))
+            hist = "\n".join(
+                f"{m['role']}: {p.get('text', '')}"
+                for m in history[-6:] for p in m["parts"]
+                if p.get("type") == "text"
+            )
+            prompt = (
+                "Answer using the context; cite [n] indices.\n\n"
+                f"# History\n{hist}\n\n# Context\n{context}\n\n"
+                f"# Question\n{query}\n\n# Answer\n"
+            )
+            result = completion(prompt=prompt)
+            if hasattr(result, "__await__"):
+                result = await result
+            return str(result)
+        if docs:
+            return docs[0]["text"]
+        return "No relevant context found for your question."

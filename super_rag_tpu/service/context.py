@@ -1,0 +1,68 @@
+"""AppContext: wires the framework's subsystems together.
+
+The reference wires these through FastAPI lifespans and module singletons
+(super_rag/app.py:25-40, config.py engine factories); here one explicit
+context object owns the metadata db, object store, engine manager, task
+scheduler, reconciler, and auth — constructed once per process (or per
+test) and handed to services/routes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from super_rag_tpu.api.auth import Auth
+from super_rag_tpu.config import Settings, settings as default_settings
+from super_rag_tpu.engine.manager import EngineManager
+from super_rag_tpu.store.db import Database
+from super_rag_tpu.store.objectstore import LocalObjectStore, ObjectStore
+from super_rag_tpu.tasks.document import DocumentIndexTask
+from super_rag_tpu.tasks.reconciler import DocumentIndexReconciler
+from super_rag_tpu.tasks.scheduler import InProcessScheduler, TaskScheduler, ThreadScheduler
+
+
+@dataclass
+class AppContext:
+    cfg: Settings
+    db: Database
+    objects: ObjectStore
+    engines: EngineManager
+    reconciler: DocumentIndexReconciler
+    scheduler: TaskScheduler
+    auth: Auth
+    kg: Optional[object] = None  # knowledge-graph service (kg/)
+    completion: Optional[object] = None  # pluggable LLM client
+    reranker: Optional[object] = None  # callable (query, texts) -> scores
+
+    def services_for_nodeflow(self) -> dict:
+        return {
+            "engines": self.engines,
+            "db": self.db,
+            "kg": self.kg,
+            "completion": self.completion,
+            "reranker": self.reranker,
+        }
+
+
+def build_context(
+    cfg: Optional[Settings] = None,
+    background_tasks: bool = False,
+) -> AppContext:
+    cfg = cfg or default_settings
+    db = Database(cfg.resolved_db_path())
+    objects = LocalObjectStore(cfg.objects_root())
+    engines = EngineManager(cfg)
+    task = DocumentIndexTask(db, objects, engines, cfg)
+    reconciler = DocumentIndexReconciler(db)
+    scheduler: TaskScheduler = (
+        ThreadScheduler(task, reconciler.callbacks)
+        if background_tasks
+        else InProcessScheduler(task, reconciler.callbacks)
+    )
+    reconciler.scheduler = scheduler
+    auth = Auth(db, cfg.jwt_secret, cfg.jwt_ttl_hours)
+    return AppContext(
+        cfg=cfg, db=db, objects=objects, engines=engines,
+        reconciler=reconciler, scheduler=scheduler, auth=auth,
+    )

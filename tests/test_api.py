@@ -1,0 +1,379 @@
+"""End-to-end API tests over a real socket (httpx against our server)."""
+
+import asyncio
+import base64
+import json
+import threading
+
+import httpx
+import pytest
+
+from super_rag_tpu.app import App
+from super_rag_tpu.config import Settings
+
+
+class ServerThread:
+    """Runs the asyncio app in a thread; tests use sync httpx."""
+
+    def __init__(self, tmp_path):
+        self.cfg = Settings(
+            data_dir=str(tmp_path), embedding_dim=64, index_dtype="float32",
+            vocab_size=1 << 14, port=0,
+        )
+        self.loop = asyncio.new_event_loop()
+        self.app = None
+        self.started = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self.started.wait(30)
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+
+        async def boot():
+            # in-process scheduler: uploads index synchronously (simplest
+            # deterministic mode for tests)
+            self.app = App(self.cfg, background_tasks=False)
+            await self.app.start(port=0)
+            self.started.set()
+
+        self.loop.run_until_complete(boot())
+        self.loop.run_forever()
+
+    @property
+    def base(self):
+        return f"http://127.0.0.1:{self.app.port}"
+
+    def stop(self):
+        async def shutdown():
+            await self.app.stop()
+
+        fut = asyncio.run_coroutine_threadsafe(shutdown(), self.loop)
+        fut.result(10)
+        self.loop.call_soon_threadsafe(self.loop.stop)
+        self.thread.join(10)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    srv = ServerThread(tmp_path_factory.mktemp("api"))
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    with httpx.Client(base_url=server.base, timeout=60) as c:
+        r = c.post("/api/v1/auth/register",
+                   json={"username": "alice", "password": "secret123"})
+        assert r.status_code == 201, r.text
+        r = c.post("/api/v1/auth/login",
+                   json={"username": "alice", "password": "secret123"})
+        assert r.status_code == 200
+        token = r.json()["token"]
+        c.headers["Authorization"] = f"Bearer {token}"
+        yield c
+
+
+def test_health(server):
+    r = httpx.get(server.base + "/health")
+    assert r.status_code == 200 and r.json()["status"] == "ok"
+
+
+def test_auth_required(server):
+    r = httpx.get(server.base + "/api/v1/collections")
+    assert r.status_code == 401
+
+
+def test_login_wrong_password(server):
+    r = httpx.post(server.base + "/api/v1/auth/login",
+                   json={"username": "alice", "password": "wrong"})
+    assert r.status_code == 401
+
+
+@pytest.fixture(scope="module")
+def collection(client):
+    r = client.post("/api/v1/collections",
+                    json={"title": "kb", "description": "test"})
+    assert r.status_code == 201, r.text
+    return r.json()
+
+
+def test_collection_crud(client, collection):
+    r = client.get("/api/v1/collections")
+    assert any(c["id"] == collection["id"] for c in r.json())
+    r = client.get(f"/api/v1/collections/{collection['id']}")
+    assert r.json()["title"] == "kb"
+    r = client.put(f"/api/v1/collections/{collection['id']}",
+                   json={"description": "updated"})
+    assert r.json()["description"] == "updated"
+
+
+MD = """# Handbook
+
+## Retrieval
+
+the fox jumps over the dog and runs into the forest.
+
+## Hardware
+
+TPUs multiply matrices using systolic arrays at high throughput.
+"""
+
+
+@pytest.fixture(scope="module")
+def document(client, collection):
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        json=[{"name": "handbook.md", "content": MD}],
+    )
+    assert r.status_code == 201, r.text
+    return r.json()[0]
+
+
+def test_document_indexed(client, document):
+    r = client.get(f"/api/v1/documents/{document['id']}")
+    doc = r.json()
+    assert doc["status"] == "COMPLETE"
+    assert doc["indexes"][0]["status"] == "ACTIVE"
+
+
+def test_document_chunks(client, document):
+    r = client.get(f"/api/v1/documents/{document['id']}/chunks")
+    chunks = r.json()
+    assert chunks and any("systolic" in c["text"] for c in chunks)
+
+
+def test_search_route(client, collection, document):
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/searches",
+        json={"query": "how do TPUs multiply matrices", "top_k": 2},
+    )
+    assert r.status_code == 201, r.text
+    items = r.json()["items"]
+    assert items and "systolic" in items[0]["text"]
+    assert items[0]["rank"] == 1
+
+
+def test_search_requires_query(client, collection):
+    r = client.post(f"/api/v1/collections/{collection['id']}/searches", json={})
+    assert r.status_code == 422
+
+
+def test_multipart_upload(client, collection):
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        files={"file": ("notes.md", b"# Notes\n\nzebra quantum banana.",
+                        "text/markdown")},
+    )
+    assert r.status_code == 201, r.text
+    doc = r.json()[0]
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/searches",
+        json={"query": "zebra quantum banana", "top_k": 1},
+    )
+    assert "zebra" in r.json()["items"][0]["text"]
+
+
+def test_duplicate_upload_conflict(client, collection):
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        json=[{"name": "dup.md", "content": MD}],
+    )
+    assert r.status_code == 409
+
+
+def test_preview_range(client, document):
+    r = client.get(f"/api/v1/documents/{document['id']}/preview",
+                   headers={"Range": "bytes=2-9"})
+    assert r.status_code == 206
+    assert r.content == MD.encode()[2:10]
+
+
+def test_document_delete_removes_from_search(client, collection):
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        json=[{"name": "temp.md", "content": "# T\n\nxylophone vortex."}],
+    )
+    did = r.json()[0]["id"]
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/searches",
+        json={"query": "xylophone vortex", "top_k": 1},
+    )
+    assert "xylophone" in r.json()["items"][0]["text"]
+    assert client.delete(f"/api/v1/documents/{did}").status_code == 204
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/searches",
+        json={"query": "xylophone vortex", "top_k": 1},
+    )
+    items = r.json()["items"]
+    assert not items or "xylophone" not in items[0]["text"]
+
+
+def test_workflow_run(client, collection):
+    defn = {
+        "name": "wf",
+        "graph": {
+            "nodes": [
+                {"id": "start", "type": "start", "data": {}},
+                {"id": "vs", "type": "vector_search",
+                 "data": {"input_values": {
+                     "top_k": 3, "similarity_threshold": None,
+                     "collection_ids": [collection["id"]]}}},
+            ],
+            "edges": [{"source": "start", "target": "vs",
+                       "targetHandle": "query"}],
+        },
+    }
+    r = client.post("/api/v1/workflows",
+                    json={"title": "my flow", "definition": defn})
+    assert r.status_code == 201, r.text
+    wid = r.json()["id"]
+    r = client.post(f"/api/v1/workflows/{wid}/run",
+                    json={"inputs": {"query": "systolic arrays"}})
+    assert r.status_code == 200, r.text
+    out = r.json()["outputs"]
+    assert out["vs"]["docs"], out
+    r = client.get(f"/api/v1/workflows/{wid}/runs")
+    runs = r.json()
+    assert runs and runs[0]["status"] == "SUCCESS"
+    r = client.get(f"/api/v1/workflow-runs/{runs[0]['id']}")
+    assert any(nr["node_id"] == "vs" for nr in r.json()["node_runs"])
+
+
+def test_node_type_catalog_route(client):
+    r = client.get("/api/v1/nodeflow/node-types")
+    assert {c["type"] for c in r.json()} >= {"start", "vector_search", "merge"}
+
+
+def test_llm_provider_crud(client):
+    r = client.post("/api/v1/llm_providers",
+                    json={"name": "openai", "label": "OpenAI"})
+    assert r.status_code == 201
+    r = client.post("/api/v1/llm_providers/openai/models",
+                    json={"api": "embedding", "model": "text-embedding-3-small",
+                          "tags": ["default_for_embedding"]})
+    assert r.status_code == 201
+    r = client.get("/api/v1/llm/available_models?tag=default_for_embedding")
+    assert any(m["model"] == "text-embedding-3-small" for m in r.json())
+
+
+def test_marketplace_flow(server, client, collection):
+    r = client.post(f"/api/v1/collections/{collection['id']}/publish")
+    assert r.status_code == 200
+    # bob subscribes and can read the shared collection
+    with httpx.Client(base_url=server.base, timeout=30) as bob:
+        bob.post("/api/v1/auth/register",
+                 json={"username": "bob", "password": "hunter22"})
+        token = bob.post("/api/v1/auth/login",
+                         json={"username": "bob", "password": "hunter22"}
+                         ).json()["token"]
+        bob.headers["Authorization"] = f"Bearer {token}"
+        r = bob.get("/api/v1/marketplace/collections")
+        assert any(m["collection_id"] == collection["id"] for m in r.json())
+        bob.post(f"/api/v1/marketplace/collections/{collection['id']}/subscribe")
+        r = bob.post(
+            f"/api/v1/collections/{collection['id']}/searches",
+            json={"query": "systolic arrays", "top_k": 1},
+        )
+        assert r.status_code == 201, r.text
+        # but bob cannot modify it
+        r = bob.delete(f"/api/v1/collections/{collection['id']}")
+        assert r.status_code == 403
+
+
+def test_api_key_auth(server, client):
+    r = client.post("/api/v1/apikeys", json={"description": "ci"})
+    key = r.json()["key"]
+    with httpx.Client(base_url=server.base, timeout=30) as c2:
+        c2.headers["Authorization"] = f"Bearer {key}"
+        assert c2.get("/api/v1/users/me").json()["username"] == "alice"
+    assert client.delete(f"/api/v1/apikeys/{r.json()['id']}").status_code == 204
+
+
+def test_chat_sse(client, collection):
+    r = client.post("/api/v1/chats",
+                    json={"title": "t", "collection_ids": [collection["id"]]})
+    chat_id = r.json()["id"]
+    with client.stream(
+        "POST", f"/api/v1/chats/{chat_id}/completions",
+        json={"message": "tell me about systolic arrays"},
+    ) as r:
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/event-stream")
+        events = []
+        for line in r.iter_lines():
+            if line.startswith("event: "):
+                events.append(line[7:])
+    assert events[0] == "start" and events[-1] == "done"
+    assert "references" in events and "delta" in events
+    r = client.get(f"/api/v1/chats/{chat_id}")
+    msgs = r.json()["messages"]
+    assert [m["role"] for m in msgs] == ["user", "assistant"]
+
+
+def test_audit_log(client):
+    r = client.get("/api/v1/audit_logs?limit=5")
+    assert r.status_code == 200
+    assert len(r.json()) > 0
+    assert r.json()[0]["path"].startswith("/api/v1")
+
+
+def test_404_and_405(client):
+    assert client.get("/api/v1/nope").status_code == 404
+    assert client.delete("/health").status_code == 405
+
+
+def test_chat_websocket(server, client, collection):
+    """Drive the RFC6455 path with the websockets client library."""
+    import websockets.sync.client as wsc
+
+    r = client.post("/api/v1/chats",
+                    json={"title": "ws", "collection_ids": [collection["id"]]})
+    chat_id = r.json()["id"]
+    token = client.headers["Authorization"].split(" ")[1]
+    url = (server.base.replace("http://", "ws://")
+           + f"/api/v1/chats/{chat_id}/connect")
+    with wsc.connect(url, additional_headers={
+        "Authorization": f"Bearer {token}"}) as ws:
+        ws.send(json.dumps({"message": "what about the fox"}))
+        events = []
+        while True:
+            ev = json.loads(ws.recv(timeout=30))
+            events.append(ev["event"])
+            if ev["event"] == "done":
+                break
+    assert events[0] == "start" and "delta" in events
+
+
+def test_mcp_protocol(server, client, collection):
+    """MCP JSON-RPC: initialize, tools/list, search tool call."""
+    key = client.post("/api/v1/apikeys", json={"description": "mcp"}).json()["key"]
+    with httpx.Client(base_url=server.base, timeout=60,
+                      headers={"Authorization": f"Bearer {key}"}) as mcp:
+        r = mcp.post("/mcp", json={"jsonrpc": "2.0", "id": 1,
+                                   "method": "initialize", "params": {}})
+        assert r.json()["result"]["serverInfo"]["name"] == "super-rag-tpu"
+        r = mcp.post("/mcp", json={"jsonrpc": "2.0", "id": 2,
+                                   "method": "tools/list"})
+        names = {t["name"] for t in r.json()["result"]["tools"]}
+        assert {"list_collections", "search_collection"} <= names
+        r = mcp.post("/mcp", json={
+            "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+            "params": {"name": "list_collections", "arguments": {}}})
+        body = json.loads(r.json()["result"]["content"][0]["text"])
+        assert any(c["id"] == collection["id"] for c in body["collections"])
+        r = mcp.post("/mcp", json={
+            "jsonrpc": "2.0", "id": 4, "method": "tools/call",
+            "params": {"name": "search_collection",
+                       "arguments": {"collection_id": collection["id"],
+                                      "query": "systolic arrays"}}})
+        body = json.loads(r.json()["result"]["content"][0]["text"])
+        assert body["items"] and "systolic" in body["items"][0]["text"]
+
+
+def test_mcp_requires_auth_for_tools(server):
+    r = httpx.post(server.base + "/mcp", json={
+        "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+        "params": {"name": "list_collections", "arguments": {}}})
+    assert r.json()["error"]["code"] == -32001
