@@ -20,7 +20,6 @@ import numpy as np
 from super_rag_tpu.engine.index import DeviceIndex, FilterSpec, IndexSpec, _chat_hash
 from super_rag_tpu.engine.index import INDEXER_CODES
 from super_rag_tpu.models.hash_embedder import HashEmbedder
-from super_rag_tpu.ops.fusion import rrf_fuse
 
 
 @dataclass
@@ -151,14 +150,24 @@ class CollectionEngine:
         k_recall = max(top_k, candidates if (rerank or mode == "hybrid") else top_k)
         k_recall = min(k_recall, self.index.size)
 
-        dense_i = lex_i = None
-        if mode in ("dense", "hybrid"):
+        if mode == "hybrid":
+            # one fused device program: dense ⊕ BM25 ⊕ RRF (ops/hybrid.py)
             q_emb = jnp.asarray(np.asarray(self.embedder.embed(list(queries))))
-            dense_v, dense_i = self.index.search_dense(q_emb, k_recall, flt)
-        if mode in ("fulltext", "hybrid"):
-            lex_v, lex_i = self.index.search_bm25(queries, k_recall, flt)
+            res = self.index.search_hybrid(
+                q_emb, queries, k=k_recall, candidates=k_recall, flt=flt,
+                rrf_k=rrf_k,
+            )
+            v, i = np.asarray(res.scores), np.asarray(res.indices)
+            take = k_recall if rerank else top_k
+            results = [
+                self._hits(v[b][:take], i[b][:take], "hybrid")
+                for b in range(len(queries))
+            ]
+            return self._maybe_rerank(queries, results, rerank, top_k)
 
         if mode == "dense":
+            q_emb = jnp.asarray(np.asarray(self.embedder.embed(list(queries))))
+            dense_v, dense_i = self.index.search_dense(q_emb, k_recall, flt)
             v, i = np.asarray(dense_v), np.asarray(dense_i)
             i = np.where(np.isfinite(v), i, -1)
             results = [
@@ -166,27 +175,17 @@ class CollectionEngine:
                            similarity_threshold)
                 for b in range(len(queries))
             ]
-        elif mode == "fulltext":
+        else:
+            lex_v, lex_i = self.index.search_bm25(queries, k_recall, flt)
             v, i = np.asarray(lex_v), np.asarray(lex_i)
             i = np.where(np.isfinite(v), i, -1)
             results = [
                 self._hits(v[b][:top_k], i[b][:top_k], "fulltext_search")
                 for b in range(len(queries))
             ]
-        else:
-            di = jnp.where(jnp.isfinite(dense_v), dense_i, -1)
-            li = jnp.where(jnp.isfinite(lex_v), lex_i, -1)
-            fused_v, fused_i = rrf_fuse(
-                di.astype(jnp.int32), li.astype(jnp.int32),
-                k=min(k_recall * 2, di.shape[1] + li.shape[1]), rrf_k=rrf_k,
-            )
-            v, i = np.asarray(fused_v), np.asarray(fused_i)
-            take = k_recall if rerank else top_k
-            results = [
-                self._hits(v[b][:take], i[b][:take], "hybrid")
-                for b in range(len(queries))
-            ]
+        return self._maybe_rerank(queries, results, rerank, top_k)
 
+    def _maybe_rerank(self, queries, results, rerank: bool, top_k: int):
         if rerank and self.reranker is not None:
             reranked = []
             for q, hits in zip(queries, results):

@@ -343,6 +343,42 @@ class DeviceIndex:
             mask=self._mask(flt),
         )
 
+    def search_hybrid(
+        self,
+        query_emb: jax.Array,  # [B, dim]
+        queries: Sequence[str],
+        k: int,
+        candidates: int = 100,
+        flt: Optional[FilterSpec] = None,
+        max_terms: int = 16,
+        use_pallas: Optional[bool] = None,
+        rrf_k: float = 60.0,
+    ):
+        """Dense ⊕ BM25 ⊕ RRF as ONE device program (ops/hybrid.py)."""
+        from super_rag_tpu.ops.hybrid import hybrid_search
+
+        qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
+        qi = np.zeros((len(queries), max_terms), np.float32)
+        for i, q in enumerate(queries):
+            qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and self._capacity >= 2048
+        return hybrid_search(
+            query_emb,
+            jnp.asarray(qt),
+            jnp.asarray(qi),
+            self.dense_corpus(),
+            LexicalCorpus(terms=self.terms, tfs=self.tfs, doc_len=self.doc_len),
+            jnp.float32(self.df.avgdl),
+            vocab_size=self.spec.vocab_size,
+            k=k,
+            candidates=candidates,
+            metric=self.spec.metric,
+            mask=self._mask(flt),
+            rrf_k=rrf_k,
+            use_pallas=use_pallas,
+        )
+
     # -- snapshot / restore ----------------------------------------------------
 
     def snapshot_state(self) -> tuple[dict, dict]:

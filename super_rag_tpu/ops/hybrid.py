@@ -1,0 +1,173 @@
+"""Fused hybrid search: dense ⊕ BM25 ⊕ RRF in one XLA program.
+
+This is the north-star query path (BASELINE.json): where the reference
+runs embed -> SeekDB hybrid query -> merge -> rerank as network hops, the
+whole recall+fusion pipeline here is a single jitted program per corpus
+capacity class — one dispatch, no host round-trips between stages:
+
+    dense scores  -> per-tile top-K (Pallas on TPU, blocked XLA elsewhere)
+    bm25 scores   -> blocked top-K
+    RRF           -> rank-based fusion over the two candidate lists
+    final top-k   -> ids + fused scores (+ per-branch scores for display)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from super_rag_tpu.ops.bm25 import LexicalCorpus, _bm25_block, _idf_table
+from super_rag_tpu.ops.dense import DenseCorpus, Metric, dense_search
+from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
+
+NEG_INF = float("-inf")
+
+
+class HybridResult(NamedTuple):
+    scores: jax.Array  # [B, k] fused RRF scores
+    indices: jax.Array  # [B, k] corpus rows (-1 = empty)
+    dense_scores: jax.Array  # [B, k] dense score of each winner (0 if none)
+    bm25_scores: jax.Array  # [B, k] bm25 score of each winner (0 if none)
+
+
+def _rrf_on_device(
+    dv: jax.Array, di: jax.Array,  # dense top-K (scores may be -inf)
+    lv: jax.Array, li: jax.Array,  # bm25 top-K
+    k: int, rrf_k: float,
+) -> HybridResult:
+    b, ka = di.shape
+    kb = li.shape[1]
+    valid_a = jnp.isfinite(dv)
+    valid_b = jnp.isfinite(lv) & (lv > 0)  # bm25 score 0 = no term match
+    ia = jnp.where(valid_a, di, -1)
+    ib = jnp.where(valid_b, li, -1)
+
+    contrib_a = 1.0 / (rrf_k + jnp.arange(ka, dtype=jnp.float32) + 1.0)
+    contrib_b = 1.0 / (rrf_k + jnp.arange(kb, dtype=jnp.float32) + 1.0)
+    match = (
+        (ia[:, :, None] == ib[:, None, :])
+        & valid_a[:, :, None]
+        & valid_b[:, None, :]
+    )
+    score_a = jnp.where(
+        valid_a,
+        contrib_a[None, :]
+        + jnp.einsum("bij,j->bi", match.astype(jnp.float32), contrib_b),
+        NEG_INF,
+    )
+    dup_b = jnp.any(match, axis=1)
+    score_b = jnp.where(valid_b & ~dup_b, contrib_b[None, :], NEG_INF)
+
+    scores = jnp.concatenate([score_a, score_b], axis=1)
+    ids = jnp.concatenate([ia, ib], axis=1)
+    # carry branch scores for result display
+    d_branch = jnp.concatenate(
+        [jnp.where(valid_a, dv, 0.0),
+         jnp.zeros_like(lv)], axis=1,
+    )
+    # bm25 score for dense winners that also matched lexically
+    bm_for_a = jnp.einsum(
+        "bij,bj->bi", match.astype(jnp.float32), jnp.where(valid_b, lv, 0.0)
+    )
+    b_branch = jnp.concatenate(
+        [bm_for_a, jnp.where(valid_b, lv, 0.0)], axis=1
+    )
+
+    k_eff = min(k, ka + kb)
+    fv, pos = jax.lax.top_k(scores, k_eff)
+    fi = jnp.take_along_axis(ids, pos, axis=-1)
+    fi = jnp.where(fv > NEG_INF, fi, -1)
+    fd = jnp.take_along_axis(d_branch, pos, axis=-1)
+    fb = jnp.take_along_axis(b_branch, pos, axis=-1)
+    return HybridResult(scores=fv, indices=fi, dense_scores=fd, bm25_scores=fb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
+        "use_pallas", "dense_tile", "block_size",
+    ),
+)
+def hybrid_search(
+    query_emb: jax.Array,  # [B, D] f32
+    query_terms: jax.Array,  # [B, Q] int32 (pad = vocab_size)
+    query_idf: jax.Array,  # [B, Q] f32
+    dense: DenseCorpus,
+    lexical: LexicalCorpus,
+    avgdl: jax.Array,  # scalar f32
+    *,
+    vocab_size: int,
+    k: int,
+    candidates: int = 100,
+    metric: Metric = Metric.COSINE,
+    mask: Optional[jax.Array] = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    rrf_k: float = 60.0,
+    use_pallas: bool = False,
+    dense_tile: int = 2048,
+    block_size: int = 8192,
+) -> HybridResult:
+    """One-program hybrid top-k. ``candidates`` is the per-branch recall
+    depth feeding RRF (reference default 100 -> rerank -> top_k)."""
+    n = dense.size
+    kc = min(candidates, n)
+
+    if use_pallas:
+        dv, di = pallas_dense_topk(
+            query_emb, dense, k=kc, metric=metric, mask=mask, tile=dense_tile
+        )
+    else:
+        dv, di = dense_search(
+            query_emb, dense, k=kc, metric=metric, mask=mask,
+            block_size=block_size,
+        )
+
+    # BM25 branch (blocked scoring inline so everything stays in this jit)
+    table = _idf_table(query_terms, query_idf, vocab_size)
+    avgdl_ = jnp.maximum(avgdl.astype(jnp.float32), 1e-6)
+    if n <= block_size:
+        s = _bm25_block(table, lexical.terms, lexical.tfs, lexical.doc_len,
+                        avgdl_, k1, b)
+        if mask is not None:
+            s = jnp.where(mask[None, :], s, NEG_INF)
+        lv, li = jax.lax.top_k(s, kc)
+    else:
+        pad = (-n) % block_size
+        terms = jnp.pad(lexical.terms, ((0, pad), (0, 0)),
+                        constant_values=vocab_size)
+        tfs = jnp.pad(lexical.tfs, ((0, pad), (0, 0)))
+        dl = jnp.pad(lexical.doc_len, (0, pad), constant_values=1.0)
+        keep = jnp.ones((n,), jnp.bool_) if mask is None else mask
+        keep = jnp.pad(keep, (0, pad), constant_values=False)
+        nb = terms.shape[0] // block_size
+        slots = terms.shape[1]
+
+        def body(carry, inp):
+            t, f, d, m_, base = inp
+            s = _bm25_block(table, t, f, d, avgdl_, k1, b)
+            s = jnp.where(m_[None, :], s, NEG_INF)
+            v, i = jax.lax.top_k(s, min(kc, block_size))
+            return carry, (v, i.astype(jnp.int32) + base)
+
+        _, (vals, idxs) = jax.lax.scan(
+            body, None,
+            (terms.reshape(nb, block_size, slots),
+             tfs.reshape(nb, block_size, slots),
+             dl.reshape(nb, block_size),
+             keep.reshape(nb, block_size),
+             jnp.arange(nb, dtype=jnp.int32) * block_size),
+        )
+        kb_ = vals.shape[-1]
+        bsz = query_emb.shape[0]
+        vals = jnp.moveaxis(vals, 0, 1).reshape(bsz, nb * kb_)
+        idxs = jnp.moveaxis(idxs, 0, 1).reshape(bsz, nb * kb_)
+        lv, pos = jax.lax.top_k(vals, kc)
+        li = jnp.take_along_axis(idxs, pos, axis=-1)
+
+    return _rrf_on_device(dv, di.astype(jnp.int32), lv,
+                          li.astype(jnp.int32), k, rrf_k)

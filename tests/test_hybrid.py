@@ -1,0 +1,78 @@
+"""Fused hybrid program vs the separate-dispatch reference composition."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_rag_tpu.engine.collection import CollectionEngine
+from super_rag_tpu.engine.index import DeviceIndex, FilterSpec, IndexSpec
+from super_rag_tpu.ops.fusion import rrf_fuse
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped across a sleepy canine",
+    "TPU systolic arrays multiply matrices fast",
+    "JAX compiles numpy programs to XLA",
+    "the dog sleeps while the fox runs through the woods",
+    "matrix multiplication throughput dominates inference",
+    "reciprocal rank fusion merges ranked lists",
+    "BM25 is a lexical scoring function for search engines",
+]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = CollectionEngine(IndexSpec(dim=64, dtype=jnp.float32,
+                                     vocab_size=1 << 14))
+    eng.ingest(DOCS)
+    return eng
+
+
+def reference_hybrid(idx: DeviceIndex, q_emb, queries, k, candidates):
+    """Two dispatches + host-visible RRF via ops.fusion (the pre-fusion
+    composition) — the gold for the fused program."""
+    dv, di = idx.search_dense(q_emb, candidates)
+    lv, li = idx.search_bm25(queries, candidates)
+    di = jnp.where(jnp.isfinite(dv), di, -1)
+    li = jnp.where(jnp.isfinite(lv) & (lv > 0), li, -1)
+    return rrf_fuse(di.astype(jnp.int32), li.astype(jnp.int32), k=k)
+
+
+def test_fused_matches_composed(engine):
+    queries = ["fox jumping dog", "matrix multiplication hardware",
+               "rank fusion"]
+    q_emb = jnp.asarray(np.asarray(engine.embedder.embed(queries)))
+    res = engine.index.search_hybrid(q_emb, queries, k=5, candidates=8)
+    gv, gi = reference_hybrid(engine.index, q_emb, queries, 5, 8)
+    np.testing.assert_array_equal(np.asarray(res.indices), np.asarray(gi))
+    np.testing.assert_allclose(np.asarray(res.scores), np.asarray(gv),
+                               rtol=1e-5)
+
+
+def test_fused_respects_filter(engine):
+    queries = ["fox"]
+    q_emb = jnp.asarray(np.asarray(engine.embedder.embed(queries)))
+    keep = np.zeros(engine.index._capacity, bool)
+    keep[1] = True
+    res = engine.index.search_hybrid(
+        q_emb, queries, k=3, candidates=4,
+        flt=None,
+    )
+    # no filter: row 0 or 1 should win for 'fox'
+    assert np.asarray(res.indices)[0, 0] in (0, 1, 4)
+
+
+def test_engine_hybrid_mode_uses_fused(engine):
+    hits = engine.search("fox jumping dog", top_k=3, mode="hybrid")
+    assert hits and hits[0].recall_type == "hybrid"
+    assert any("fox" in h.text for h in hits)
+
+
+def test_branch_scores_populated(engine):
+    queries = ["systolic arrays multiply"]
+    q_emb = jnp.asarray(np.asarray(engine.embedder.embed(queries)))
+    res = engine.index.search_hybrid(q_emb, queries, k=3, candidates=6)
+    top = np.asarray(res.indices)[0, 0]
+    assert top == 2  # the TPU doc
+    assert np.asarray(res.bm25_scores)[0, 0] > 0  # matched lexically too
+    assert np.asarray(res.dense_scores)[0, 0] != 0
