@@ -26,11 +26,11 @@ import numpy as np
 
 
 def timed(run, sync, k_lo: int = 8, k_hi: int = 24) -> float:
+    """Marginal seconds per call."""
     import jax
 
     if jax.default_backend() == "cpu":  # keep the CPU sanity path quick
         k_lo, k_hi = 1, 3
-    """Marginal seconds per call."""
 
     def total(depth: int) -> float:
         t0 = time.perf_counter()
@@ -105,6 +105,7 @@ def main():
             vocab_size=vocab, k=k, candidates=cand,
             use_pallas=on_tpu, dense_tile=tile,
             block_size=262_144 if on_tpu else 8_192,
+            bm25_block_size=4_096,
         )
 
     def sync(out):
@@ -120,8 +121,7 @@ def main():
     from super_rag_tpu.ops.bm25 import bm25_search
 
     lv, li = bm25_search(q_terms_j[:sample], q_idf_j[:sample], lexical,
-                         avgdl, vocab_size=vocab, k=cand,
-                         block_size=262_144 if on_tpu else 8_192)
+                         avgdl, vocab_size=vocab, k=cand, block_size=8_192)
     di = jnp.where(jnp.isfinite(dv), di, -1)
     li = jnp.where(jnp.isfinite(lv) & (lv > 0), li, -1)
     _, gold_i = rrf_fuse(di.astype(jnp.int32), li.astype(jnp.int32), k=k)

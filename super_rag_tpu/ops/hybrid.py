@@ -89,7 +89,7 @@ def _rrf_on_device(
     jax.jit,
     static_argnames=(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
-        "use_pallas", "dense_tile", "block_size",
+        "use_pallas", "dense_tile", "block_size", "bm25_block_size",
     ),
 )
 def hybrid_search(
@@ -111,6 +111,7 @@ def hybrid_search(
     use_pallas: bool = False,
     dense_tile: int = 2048,
     block_size: int = 8192,
+    bm25_block_size: int = 4096,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k)."""
@@ -127,7 +128,11 @@ def hybrid_search(
             block_size=block_size,
         )
 
-    # BM25 branch (blocked scoring inline so everything stays in this jit)
+    # BM25 branch (blocked scoring inline so everything stays in this jit).
+    # NOTE: its block size is intentionally small — the idf gather
+    # materializes [B, block, slots] f32 before the reduce, so block
+    # bounds peak HBM (4096 * 256 * 64 * 4 = 268 MB; 262144 would be 17 GB).
+    block_size = bm25_block_size
     table = _idf_table(query_terms, query_idf, vocab_size)
     avgdl_ = jnp.maximum(avgdl.astype(jnp.float32), 1e-6)
     if n <= block_size:

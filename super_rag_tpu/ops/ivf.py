@@ -1,0 +1,299 @@
+"""IVF (inverted-file) index: on-device k-means + nprobe search.
+
+The flat kernels (ops/dense.py, ops/pallas_topk.py) read the whole corpus
+per query — HBM-bandwidth-bound at large N.  IVF bounds bytes-touched per
+query to nprobe/nlist of the corpus (BASELINE.md config #5: the
+recall@10 >= 0.95-at-equal-memory target lives here).
+
+TPU-shaped layout — variable-length postings are hostile to XLA, so
+clusters are FIXED-CAPACITY tiles:
+
+    centroids [nlist, D] f32
+    values    [nlist, C, D] int8/bf16   (C = capacity per cluster)
+    scales    [nlist, C] f32            (int8 rows)
+    row_ids   [nlist, C] int32          (-1 = empty slot)
+
+Rows that overflow a full cluster go to a flat overflow segment that is
+always scanned exactly (bounded by construction to a small fraction).
+k-means runs on device: assignment is a blocked matmul argmax, the
+centroid update is a blocked one-hot matmul — both MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from super_rag_tpu.ops.dense import DenseCorpus, Metric, dense_search
+from super_rag_tpu.ops.quant import quantize_int8
+
+NEG_INF = float("-inf")
+
+
+class IVFIndex(NamedTuple):
+    centroids: jax.Array  # [nlist, D] f32 (unit-norm for cosine)
+    values: jax.Array  # [nlist, C, D] storage dtype
+    scales: Optional[jax.Array]  # [nlist, C] f32 for int8
+    row_ids: jax.Array  # [nlist, C] int32, -1 empty
+    overflow: Optional[DenseCorpus]  # flat remainder, always scanned
+    overflow_rows: Optional[jax.Array]  # [M] int32 global ids
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.values.shape[1]
+
+
+# -- k-means --------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _assign(x: jax.Array, centroids: jax.Array, block: int = 65536) -> jax.Array:
+    """Nearest-centroid assignment by dot product (unit-norm data)."""
+    n = x.shape[0]
+    pad = (-n) % block
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    nb = xp.shape[0] // block
+
+    def body(_, xb):
+        s = jax.lax.dot_general(
+            xb, centroids,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return None, jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    _, a = jax.lax.scan(body, None, xp.reshape(nb, block, x.shape[1]))
+    return a.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "block"))
+def _update(x: jax.Array, assign: jax.Array, nlist: int,
+            block: int = 65536) -> tuple[jax.Array, jax.Array]:
+    """Centroid sums + counts via blocked one-hot matmuls (MXU)."""
+    n, d = x.shape
+    pad = (-n) % block
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    ap = jnp.pad(assign, (0, pad), constant_values=nlist)  # pad bucket
+    nb = xp.shape[0] // block
+
+    def body(carry, inp):
+        sums, counts = carry
+        xb, ab = inp
+        onehot = jax.nn.one_hot(ab, nlist, dtype=jnp.float32)  # [blk, nlist]
+        sums = sums + jax.lax.dot_general(
+            onehot, xb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((nlist, d), jnp.float32), jnp.zeros((nlist,), jnp.float32)),
+        (xp.reshape(nb, block, d), ap.reshape(nb, block)),
+    )
+    return sums, counts
+
+
+def kmeans(
+    x: jax.Array, nlist: int, iters: int = 10, seed: int = 0,
+    metric: Metric = Metric.COSINE,
+) -> jax.Array:
+    """Lloyd's k-means on device; returns [nlist, D] centroids.
+
+    Cosine metric uses spherical k-means (centroids re-normalized each
+    iteration).  Empty clusters are re-seeded from random points.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    if metric == Metric.COSINE:
+        nrm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.where(nrm > 0, nrm, 1.0)
+    rng = np.random.default_rng(seed)
+    centroids = x[jnp.asarray(rng.choice(n, size=nlist, replace=False))]
+    for it in range(iters):
+        a = _assign(x, centroids)
+        sums, counts = _update(x, a, nlist)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        # reseed empties
+        empty = counts < 0.5
+        reseed = x[jnp.asarray(rng.choice(n, size=nlist, replace=False))]
+        new = jnp.where(empty[:, None], reseed, new)
+        if metric == Metric.COSINE:
+            nrm = jnp.linalg.norm(new, axis=-1, keepdims=True)
+            new = new / jnp.where(nrm > 0, nrm, 1.0)
+        centroids = new
+    return centroids
+
+
+# -- build ------------------------------------------------------------------------
+
+
+def build_ivf(
+    embeddings: jax.Array,  # [N, D] f32 (raw; normalized here for cosine)
+    nlist: int,
+    capacity_factor: float = 1.5,
+    dtype=jnp.int8,
+    metric: Metric = Metric.COSINE,
+    kmeans_iters: int = 10,
+    seed: int = 0,
+    sample: Optional[int] = 200_000,
+) -> IVFIndex:
+    x = jnp.asarray(embeddings, jnp.float32)
+    n, d = x.shape
+    if metric == Metric.COSINE:
+        nrm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.where(nrm > 0, nrm, 1.0)
+
+    train = x
+    if sample is not None and n > sample:
+        rng = np.random.default_rng(seed)
+        train = x[jnp.asarray(rng.choice(n, size=sample, replace=False))]
+    centroids = kmeans(train, nlist, iters=kmeans_iters, seed=seed,
+                       metric=metric)
+    assign = np.asarray(_assign(x, centroids))
+
+    capacity = max(8, int(np.ceil(n / nlist * capacity_factor)))
+    x_np = np.asarray(x)
+    values = np.zeros((nlist, capacity, d), np.float32)
+    row_ids = np.full((nlist, capacity), -1, np.int32)
+    fill = np.zeros(nlist, np.int64)
+    overflow_rows = []
+    order = np.argsort(assign, kind="stable")
+    for r in order:
+        c = assign[r]
+        if fill[c] < capacity:
+            values[c, fill[c]] = x_np[r]
+            row_ids[c, fill[c]] = r
+            fill[c] += 1
+        else:
+            overflow_rows.append(r)
+
+    scales = None
+    if dtype == jnp.int8:
+        q, s = quantize_int8(jnp.asarray(values.reshape(-1, d)))
+        vals = q.reshape(nlist, capacity, d)
+        scales = s.reshape(nlist, capacity)
+    else:
+        vals = jnp.asarray(values, dtype)
+
+    overflow = None
+    overflow_ids = None
+    if overflow_rows:
+        of = x_np[np.asarray(overflow_rows)]
+        if dtype == jnp.int8:
+            oq, os_ = quantize_int8(jnp.asarray(of))
+            overflow = DenseCorpus(values=oq, scales=os_)
+        else:
+            overflow = DenseCorpus(values=jnp.asarray(of, dtype))
+        overflow_ids = jnp.asarray(np.asarray(overflow_rows, np.int32))
+
+    return IVFIndex(
+        centroids=centroids,
+        values=vals,
+        scales=jnp.asarray(scales) if scales is not None else None,
+        row_ids=jnp.asarray(row_ids),
+        overflow=overflow,
+        overflow_rows=overflow_ids,
+    )
+
+
+# -- search -----------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "query_block", "has_mask"),
+)
+def _ivf_search_core(
+    queries: jax.Array,  # [B, D] f32 unit-norm
+    centroids: jax.Array,
+    values: jax.Array,
+    scales: Optional[jax.Array],
+    row_ids: jax.Array,
+    mask: Optional[jax.Array],  # [N] bool over global rows
+    k: int,
+    nprobe: int,
+    query_block: int,
+    has_mask: bool,
+):
+    b, d = queries.shape
+    nlist, cap, _ = values.shape
+    pad = (-b) % query_block
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    nqb = qp.shape[0] // query_block
+
+    def per_block(_, qb):  # qb: [QB, D]
+        cs = qb @ centroids.T  # [QB, nlist]
+        _, probes = jax.lax.top_k(cs, nprobe)  # [QB, nprobe]
+        # gather cluster tiles: [QB, nprobe, C, D]
+        v = jnp.take(values, probes, axis=0)
+        ids = jnp.take(row_ids, probes, axis=0)  # [QB, nprobe, C]
+        vf = v.astype(jnp.bfloat16) if v.dtype == jnp.int8 else v
+        s = jnp.einsum(
+            "qd,qpcd->qpc", qb.astype(vf.dtype), vf,
+            preferred_element_type=jnp.float32,
+        )
+        if scales is not None:
+            s = s * jnp.take(scales, probes, axis=0)
+        valid = ids >= 0
+        if has_mask:
+            valid = valid & jnp.take(mask, jnp.maximum(ids, 0))
+        s = jnp.where(valid, s, NEG_INF)
+        s = s.reshape(query_block, nprobe * cap)
+        ids = ids.reshape(query_block, nprobe * cap)
+        kk = min(k, nprobe * cap)
+        v_top, pos = jax.lax.top_k(s, kk)
+        i_top = jnp.take_along_axis(ids, pos, axis=-1)
+        return None, (v_top, i_top)
+
+    _, (vals_, ids_) = jax.lax.scan(
+        per_block, None, qp.reshape(nqb, query_block, d)
+    )
+    kk = vals_.shape[-1]
+    vals_ = vals_.reshape(nqb * query_block, kk)[:b]
+    ids_ = ids_.reshape(nqb * query_block, kk)[:b]
+    return vals_, ids_
+
+
+def ivf_search(
+    queries: jax.Array,
+    index: IVFIndex,
+    k: int,
+    nprobe: int = 16,
+    mask: Optional[jax.Array] = None,
+    metric: Metric = Metric.COSINE,
+    query_block: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """Approximate top-k; returns (scores [B,k], global row ids [B,k])."""
+    q = jnp.asarray(queries, jnp.float32)
+    if metric == Metric.COSINE:
+        nrm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / jnp.where(nrm > 0, nrm, 1.0)
+    nprobe = min(nprobe, index.nlist)
+    v, i = _ivf_search_core(
+        q, index.centroids, index.values, index.scales, index.row_ids,
+        mask, k=k, nprobe=nprobe, query_block=min(query_block, q.shape[0]),
+        has_mask=mask is not None,
+    )
+    if index.overflow is not None:
+        ov, oi_local = dense_search(
+            q, index.overflow, k=min(k, index.overflow.size),
+            metric=Metric.DOT,  # rows already unit-norm
+            mask=(jnp.take(mask, index.overflow_rows)
+                  if mask is not None else None),
+        )
+        oi = jnp.take(index.overflow_rows, oi_local)
+        v = jnp.concatenate([v, ov], axis=1)
+        i = jnp.concatenate([i, oi], axis=1)
+        v, pos = jax.lax.top_k(v, k)
+        i = jnp.take_along_axis(i, pos, axis=-1)
+    return v, i

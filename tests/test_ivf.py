@@ -1,0 +1,119 @@
+"""IVF: k-means quality, recall vs exact, masks, overflow handling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_rag_tpu.ops.dense import Metric, build_corpus, dense_search
+from super_rag_tpu.ops.ivf import build_ivf, ivf_search, kmeans
+
+
+@pytest.fixture(scope="module")
+def clustered_data(rng):
+    # 40 well-separated gaussian clusters in 64-d
+    centers = rng.standard_normal((40, 64)).astype(np.float32) * 5
+    points = (
+        centers[np.arange(8000) % 40]
+        + rng.standard_normal((8000, 64)).astype(np.float32) * 0.3
+    )
+    return points
+
+
+def recall_at_k(approx_ids, exact_ids, k):
+    return np.mean([
+        len(set(a[:k].tolist()) & set(e[:k].tolist())) / k
+        for a, e in zip(np.asarray(approx_ids), np.asarray(exact_ids))
+    ])
+
+
+def test_kmeans_converges(clustered_data):
+    c = kmeans(jnp.asarray(clustered_data), nlist=40, iters=8, seed=1)
+    assert c.shape == (40, 64)
+    # most points should sit close to some centroid (random-init Lloyd's
+    # merges a few of the 40 true clusters; recall tests below measure
+    # the property that actually matters)
+    x = clustered_data / np.linalg.norm(clustered_data, axis=1, keepdims=True)
+    sims = x @ np.asarray(c).T
+    assert np.mean(sims.max(axis=1)) > 0.85
+    assert np.median(sims.max(axis=1)) > 0.95
+
+
+def test_ivf_recall_f32(clustered_data, rng):
+    index = build_ivf(jnp.asarray(clustered_data), nlist=64,
+                      dtype=jnp.float32, kmeans_iters=6, seed=0)
+    q = jnp.asarray(
+        clustered_data[rng.choice(len(clustered_data), 32)]
+        + rng.standard_normal((32, 64)).astype(np.float32) * 0.1
+    )
+    exact = build_corpus(jnp.asarray(clustered_data), dtype=jnp.float32)
+    _, gi = dense_search(q, exact, k=10)
+    _, ai = ivf_search(q, index, k=10, nprobe=8)
+    r = recall_at_k(ai, gi, 10)
+    assert r >= 0.95, f"IVF recall@10 = {r}"
+
+
+def test_ivf_int8_matches_flat_int8(rng):
+    """Isolate the IVF approximation from quantization loss: int8 IVF vs
+    int8 flat search must agree (same arithmetic, partitioned layout).
+    (Tightly-clustered synthetic data has within-cluster score gaps below
+    int8 resolution, so exact-fp32 gold is the wrong yardstick there.)"""
+    x = rng.standard_normal((6000, 64)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
+    index = build_ivf(jnp.asarray(x), nlist=32, dtype=jnp.int8,
+                      kmeans_iters=5, seed=0)
+    flat = build_corpus(jnp.asarray(x), dtype=jnp.int8)
+    _, gi = dense_search(q, flat, k=10)
+    # nprobe = nlist: the partitioned layout must reproduce flat search
+    # exactly; lower nprobe on unstructured gaussian data is a recall
+    # tradeoff by design (the clustered f32 test covers that curve)
+    _, ai = ivf_search(q, index, k=10, nprobe=32)
+    r = recall_at_k(ai, gi, 10)
+    assert r == 1.0, f"int8 IVF(nprobe=nlist) vs int8 flat recall@10 = {r}"
+
+
+def test_ivf_nprobe_tradeoff(clustered_data, rng):
+    index = build_ivf(jnp.asarray(clustered_data), nlist=64,
+                      dtype=jnp.float32, kmeans_iters=6)
+    q = jnp.asarray(clustered_data[rng.choice(len(clustered_data), 16)])
+    exact = build_corpus(jnp.asarray(clustered_data), dtype=jnp.float32)
+    _, gi = dense_search(q, exact, k=10)
+    recalls = []
+    for nprobe in (1, 4, 16):
+        _, ai = ivf_search(q, index, k=10, nprobe=nprobe)
+        recalls.append(recall_at_k(ai, gi, 10))
+    assert recalls[0] <= recalls[1] <= recalls[2] + 1e-9
+    assert recalls[2] >= 0.95
+
+
+def test_ivf_mask(clustered_data, rng):
+    n = len(clustered_data)
+    index = build_ivf(jnp.asarray(clustered_data), nlist=32,
+                      dtype=jnp.float32, kmeans_iters=4)
+    keep = np.zeros(n, bool)
+    keep[: n // 10] = True
+    q = jnp.asarray(clustered_data[:4])
+    _, ids = ivf_search(q, index, k=5, nprobe=32, mask=jnp.asarray(keep))
+    ids = np.asarray(ids)
+    assert np.all((ids < n // 10) | (ids < 0))
+
+
+def test_overflow_rows_still_findable(rng):
+    # tiny capacity forces overflow; overflow rows must remain searchable
+    x = rng.standard_normal((500, 32)).astype(np.float32)
+    index = build_ivf(jnp.asarray(x), nlist=4, capacity_factor=0.5,
+                      dtype=jnp.float32, kmeans_iters=3)
+    assert index.overflow is not None and index.overflow.size > 0
+    # query AT an overflow row: must come back as the top hit
+    row = int(np.asarray(index.overflow_rows)[0])
+    _, ids = ivf_search(jnp.asarray(x[row : row + 1]), index, k=3, nprobe=4)
+    assert row in np.asarray(ids)[0].tolist()
+
+
+def test_all_rows_present_exactly_once(clustered_data):
+    index = build_ivf(jnp.asarray(clustered_data), nlist=16,
+                      dtype=jnp.float32, kmeans_iters=2)
+    ids = np.asarray(index.row_ids).reshape(-1)
+    ids = ids[ids >= 0].tolist()
+    if index.overflow_rows is not None:
+        ids += np.asarray(index.overflow_rows).tolist()
+    assert sorted(ids) == list(range(len(clustered_data)))
