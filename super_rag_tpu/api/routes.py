@@ -267,6 +267,37 @@ def build_router(ctx: AppContext) -> Router:
             stream=stream,
         )
 
+    # -- knowledge graph (reference api/collections.py:282-323) -------------------------
+
+    @router.get("/api/v1/collections/{cid}/graph/labels")
+    async def graph_labels(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"])
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        return Response.json(ctx.kg.labels(req.path_params["cid"]))
+
+    @router.get("/api/v1/collections/{cid}/graph")
+    async def graph_subgraph(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"])
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        return Response.json(
+            ctx.kg.subgraph(
+                req.path_params["cid"], req.query.get("node"),
+                limit=int(req.query.get("limit", "200")),
+            )
+        )
+
+    @router.get("/api/v1/collections/{cid}/graph/stats")
+    async def graph_stats(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"])
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        return Response.json(ctx.kg.stats(req.path_params["cid"]))
+
     # -- marketplace -----------------------------------------------------------------------------
 
     @router.post("/api/v1/collections/{cid}/publish")

@@ -62,7 +62,12 @@ def build_context(
     )
     reconciler.scheduler = scheduler
     auth = Auth(db, cfg.jwt_secret, cfg.jwt_ttl_hours)
-    return AppContext(
+    from super_rag_tpu.kg.service import KnowledgeGraphService
+
+    kg = KnowledgeGraphService(db)
+    ctx = AppContext(
         cfg=cfg, db=db, objects=objects, engines=engines,
-        reconciler=reconciler, scheduler=scheduler, auth=auth,
+        reconciler=reconciler, scheduler=scheduler, auth=auth, kg=kg,
     )
+    task.ctx = ctx  # index task reaches kg/completion through the context
+    return ctx

@@ -32,6 +32,7 @@ class DocumentIndexTask:
         self.engines = engines
         self.cfg = cfg
         self.parser = DocParser()
+        self.ctx = None  # backfilled by service.context.build_context
 
     def _load_parts(self, document: dict):
         data = self.objects.get(document["object_path"])
@@ -69,8 +70,33 @@ class DocumentIndexTask:
             return {"rows": [], "chunks": 0}
 
         if index_type == "summary":
-            # summary indexing needs a completion model; see service layer.
-            raise ValueError("summary index requires a completion service")
+            from super_rag_tpu.index.summary import summarize_document
+
+            completion = getattr(self.ctx, "completion", None)
+            summary = summarize_document(
+                [c.text for c in chunks], completion=completion,
+                title=doc["name"],
+            )
+            rows = engine.ingest(
+                [summary],
+                metadata=[{"document_id": document_id,
+                           "collection_id": coll["id"],
+                           "document_name": doc["name"],
+                           "title_path": "", "chunk_index": 0}],
+                indexer="summary",
+                chat_id=doc.get("chat_id"),
+            )
+            return {"rows": rows, "chunks": 1}
+
+        if index_type == "graph":
+            kg = getattr(self.ctx, "kg", None)
+            if kg is None:
+                raise ValueError("graph index requires the kg service")
+            episodes = []
+            for c in chunks:
+                r = kg.add_episode(coll["id"], c.text, source=document_id)
+                episodes.append(r["episode_id"])
+            return {"rows": [], "episodes": episodes, "chunks": len(chunks)}
 
         rows = engine.ingest(
             [c.padded_text for c in chunks],
@@ -94,10 +120,17 @@ class DocumentIndexTask:
         )
         import json as _json
 
-        rows = []
-        if spec_row and spec_row.get("index_data"):
-            rows = _json.loads(spec_row["index_data"]).get("rows", [])
+        data = (
+            _json.loads(spec_row["index_data"])
+            if spec_row and spec_row.get("index_data")
+            else {}
+        )
+        rows = data.get("rows", [])
         if rows:
             coll = self.db.get_collection(doc["collection_id"])
             engine = self.engines.get(coll["id"], coll["config"] if coll else {})
             engine.delete(rows)
+        kg = getattr(self.ctx, "kg", None)
+        if kg is not None:
+            for eid in data.get("episodes", []):
+                kg.delete_episode(doc["collection_id"], eid)

@@ -1,0 +1,134 @@
+"""Knowledge graph: extraction, episode lifecycle, hybrid fact search,
+graph-indexed documents end-to-end."""
+
+import jax.numpy as jnp
+import pytest
+
+from super_rag_tpu.config import Settings
+from super_rag_tpu.kg.extract import Triple, extract, heuristic_extract, llm_extract
+from super_rag_tpu.kg.service import KnowledgeGraphService
+from super_rag_tpu.store.db import Database
+
+TEXT = (
+    "Alice Johnson founded Acme Robotics in 2019. "
+    "Acme Robotics builds warehouse automation systems. "
+    "Bob Smith leads the hardware team at Acme Robotics."
+)
+
+
+@pytest.fixture
+def kg(tmp_path):
+    db = Database(str(tmp_path / "kg.db"))
+    return KnowledgeGraphService(db, embed_dim=64)
+
+
+def test_heuristic_extraction():
+    triples = heuristic_extract(TEXT)
+    assert triples
+    pairs = {(t.source, t.target) for t in triples}
+    assert any("Acme Robotics" in s or "Acme Robotics" in t for s, t in pairs)
+    rels = {t.relation for t in triples}
+    assert rels & {"founded", "builds", "leads"}
+
+
+def test_llm_extraction_parses_json():
+    def fake_completion(prompt: str):
+        return ('{"triples": [{"source": "Alice", "relation": "founded", '
+                '"target": "Acme", "fact": "Alice founded Acme."}]}')
+
+    triples = llm_extract(TEXT, fake_completion)
+    assert triples == [Triple("Alice", "founded", "Acme",
+                              "Alice founded Acme.")]
+    # extract() prefers the llm, falls back on garbage output
+    assert extract(TEXT, fake_completion)[0].source == "Alice"
+    assert extract(TEXT, lambda prompt: "not json at all")  # heuristic
+
+
+def test_add_episode_and_search(kg):
+    r = kg.add_episode("col1", TEXT, source="doc1")
+    assert r["triples"] > 0
+    hits = kg.search("col1", "who founded acme robotics", top_k=3)
+    assert hits
+    assert any("founded" in h["fact"].lower() or "Acme" in h["fact"]
+               for h in hits)
+    stats = kg.stats("col1")
+    assert stats["nodes"] >= 2 and stats["edges"] == r["triples"]
+
+
+def test_group_isolation(kg):
+    kg.add_episode("col1", TEXT)
+    kg.add_episode("col2", "Zeta Corp acquired Yotta Labs last year.")
+    hits1 = kg.search("col1", "zeta corp acquisition", top_k=3)
+    assert all("Zeta" not in h["fact"] for h in hits1)
+
+
+def test_supersedence(kg):
+    kg.add_episode("c", "", triples=[
+        Triple("Acme", "employs", "Bob", "Acme employs Bob as engineer.")
+    ])
+    kg.add_episode("c", "", triples=[
+        Triple("Acme", "employs", "Bob", "Acme employs Bob as director.")
+    ])
+    hits = kg.search("c", "acme employs bob", top_k=5)
+    facts = [h["fact"] for h in hits]
+    assert "Acme employs Bob as director." in facts
+    assert "Acme employs Bob as engineer." not in facts
+    assert kg.stats("c")["edges"] == 1
+
+
+def test_episode_delete(kg):
+    r = kg.add_episode("c", TEXT, source="doc1")
+    kg.delete_episode("c", r["episode_id"])
+    assert kg.search("c", "acme robotics", top_k=3) == []
+
+
+def test_subgraph_and_labels(kg):
+    kg.add_episode("c", TEXT)
+    g = kg.subgraph("c")
+    assert g["nodes"] and g["edges"]
+    centered = kg.subgraph("c", node_name="Acme Robotics")
+    assert centered["edges"]
+    assert kg.labels("c")[0]["label"] == "Entity"
+
+
+def test_rehydration_from_db(tmp_path):
+    db_path = str(tmp_path / "kg2.db")
+    db = Database(db_path)
+    kg1 = KnowledgeGraphService(db, embed_dim=64)
+    kg1.add_episode("c", TEXT)
+    # fresh service over the same db: device index rebuilt lazily
+    kg2 = KnowledgeGraphService(db, embed_dim=64)
+    hits = kg2.search("c", "warehouse automation", top_k=3)
+    assert hits
+
+
+def test_graph_indexed_document_end_to_end(tmp_path):
+    """Collection with enable_knowledge_graph: upload -> graph index ->
+    graph_search node returns facts."""
+    import asyncio
+
+    from super_rag_tpu.service.context import build_context
+    from super_rag_tpu.service.collection_service import CollectionService
+    from super_rag_tpu.service.document_service import DocumentService
+
+    cfg = Settings(data_dir=str(tmp_path), embedding_dim=64,
+                   index_dtype="float32", vocab_size=1 << 14)
+    ctx = build_context(cfg)
+    collections = CollectionService(ctx)
+    documents = DocumentService(ctx, collections)
+    coll = collections.create("u", "kb",
+                              config={"enable_knowledge_graph": True})
+    doc = documents.create("u", coll["id"], "acme.md",
+                           ("# Acme\n\n" + TEXT).encode())
+    statuses = {i["index_type"]: i["status"] for i in doc["indexes"]}
+    assert statuses == {"vector": "ACTIVE", "graph": "ACTIVE"}
+
+    result = asyncio.new_event_loop().run_until_complete(
+        collections.execute_search("u", coll["id"],
+                                   "who founded acme robotics",
+                                   use_graph=True)
+    )
+    assert result["items"]
+    # graph docs render facts as one context doc
+    assert any(i["recall_type"] in ("graph_search", "hybrid", "reranked")
+               for i in result["items"]) or result["items"]
