@@ -497,6 +497,141 @@ def build_router(ctx: AppContext) -> Router:
             raise HttpError(404, "audit record not found")
         return Response.json(row)
 
+    # -- agents (bots) -------------------------------------------------------------------------------------
+
+    from super_rag_tpu.agent.session_manager import AgentSessionManager
+
+    agent_sessions = AgentSessionManager(ctx)
+
+    @router.post("/api/v1/agents")
+    async def create_agent(req: Request) -> Response:
+        user = me(req)
+        b = req.json()
+        if not b.get("title"):
+            raise HttpError(422, "title required")
+        return Response.json(
+            ctx.db.create_agent(user["username"], b["title"],
+                                b.get("description", ""), b.get("config")),
+            status=201,
+        )
+
+    @router.get("/api/v1/agents")
+    async def list_agents(req: Request) -> Response:
+        user = me(req)
+        return Response.json(ctx.db.list_agents(user["username"]))
+
+    @router.get("/api/v1/agents/{aid}")
+    async def get_agent(req: Request) -> Response:
+        user = me(req)
+        a = ctx.db.get_agent(req.path_params["aid"])
+        if a is None or a["user"] != user["username"]:
+            raise HttpError(404, "agent not found")
+        return Response.json(a)
+
+    @router.put("/api/v1/agents/{aid}")
+    async def update_agent(req: Request) -> Response:
+        user = me(req)
+        a = ctx.db.get_agent(req.path_params["aid"])
+        if a is None or a["user"] != user["username"]:
+            raise HttpError(404, "agent not found")
+        b = req.json()
+        allowed = {k: v for k, v in b.items()
+                   if k in ("title", "description", "config")}
+        if allowed:
+            ctx.db.update_agent(a["id"], **allowed)
+        return Response.json(ctx.db.get_agent(a["id"]))
+
+    @router.delete("/api/v1/agents/{aid}")
+    async def delete_agent(req: Request) -> Response:
+        user = me(req)
+        a = ctx.db.get_agent(req.path_params["aid"])
+        if a is None or a["user"] != user["username"]:
+            raise HttpError(404, "agent not found")
+        ctx.db.delete_agent(a["id"])
+        return Response.no_content()
+
+    def _agent_collections(agent: dict) -> list[str]:
+        return list(agent.get("config", {}).get("collection_ids", []))
+
+    @router.websocket("/api/v1/agents/{aid}/chats/{chat_id}/connect")
+    async def agent_chat_ws(req: Request, ws: WebSocket) -> None:
+        """Agent tool-loop chat over WebSocket (reference api/chat.py:75)."""
+        user = auth.resolve(req)
+        if user is None:
+            await ws.send_json({"event": "error", "data": "unauthorized"})
+            return
+        agent = ctx.db.get_agent(req.path_params["aid"])
+        if agent is None or agent["user"] != user["username"]:
+            await ws.send_json({"event": "error", "data": "agent not found"})
+            return
+        chat_id = req.path_params["chat_id"]
+        session = agent_sessions.get(user["username"], chat_id,
+                                     _agent_collections(agent))
+        while True:
+            msg = await ws.receive_json()
+            if msg is None:
+                return
+            text = msg.get("message", msg.get("query", ""))
+            if not text:
+                await ws.send_json({"event": "error", "data": "empty message"})
+                continue
+            ctx.db.add_chat_message(chat_id, "user",
+                                    [{"type": "text", "text": text}])
+            final = ""
+            async for event in session.run(text):
+                await ws.send_json(event)
+                if event["event"] == "done":
+                    final = event["data"].get("text", "")
+            if final:
+                ctx.db.add_chat_message(chat_id, "assistant",
+                                        [{"type": "text", "text": final}])
+
+    @router.post("/api/v1/agents/{aid}/chats/{chat_id}/ag-ui")
+    async def agent_ag_ui(req: Request) -> Response:
+        """AG-UI protocol SSE endpoint (reference api/chat.py:150)."""
+        from super_rag_tpu.agent.ag_ui import to_ag_ui
+
+        user = me(req)
+        agent = ctx.db.get_agent(req.path_params["aid"])
+        if agent is None or agent["user"] != user["username"]:
+            raise HttpError(404, "agent not found")
+        b = req.json()
+        text = b.get("message", "")
+        if not text:
+            raise HttpError(422, "message required")
+        session = agent_sessions.get(
+            user["username"], req.path_params["chat_id"],
+            _agent_collections(agent),
+        )
+        return Response.sse(to_ag_ui(session.run(text)))
+
+    # -- web search ---------------------------------------------------------------------------------------
+
+    @router.post("/api/v1/web/search")
+    async def web_search(req: Request) -> Response:
+        me(req)
+        from super_rag_tpu.websearch.service import WebSearchService
+
+        b = req.json()
+        if not b.get("query"):
+            raise HttpError(422, "query required")
+        svc = req.state.get("web") or WebSearchService()
+        results = svc.search(b["query"], max_results=b.get("max_results", 5))
+        return Response.json({"results": results,
+                              "offline": len(results) == 0})
+
+    @router.post("/api/v1/web/read")
+    async def web_read(req: Request) -> Response:
+        me(req)
+        from super_rag_tpu.websearch.service import WebSearchService
+
+        b = req.json()
+        urls = b.get("urls") or ([b["url"]] if b.get("url") else [])
+        if not urls:
+            raise HttpError(422, "urls required")
+        svc = req.state.get("web") or WebSearchService()
+        return Response.json({"pages": svc.read(urls)})
+
     # -- chats ------------------------------------------------------------------------------------------------
 
     @router.post("/api/v1/chats")

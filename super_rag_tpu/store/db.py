@@ -114,6 +114,11 @@ CREATE TABLE IF NOT EXISTS audit_log (
   resource_type TEXT DEFAULT '', resource_id TEXT DEFAULT '',
   created REAL NOT NULL
 );
+CREATE TABLE IF NOT EXISTS agent (
+  id TEXT PRIMARY KEY, user TEXT NOT NULL, title TEXT NOT NULL,
+  description TEXT DEFAULT '', config TEXT DEFAULT '{}',
+  created REAL NOT NULL, updated REAL NOT NULL
+);
 CREATE TABLE IF NOT EXISTS marketplace (
   id TEXT PRIMARY KEY, collection_id TEXT UNIQUE NOT NULL,
   status TEXT DEFAULT 'PUBLISHED', published_at REAL NOT NULL
@@ -641,6 +646,44 @@ class Database:
             (provider, user),
         )
         return row["api_key"] if row else None
+
+    # -- agents (bots) ---------------------------------------------------------------------
+
+    def create_agent(self, user: str, title: str, description: str = "",
+                     config: dict | None = None) -> dict:
+        aid = new_id("agt")
+        t = _now()
+        self.execute(
+            "INSERT INTO agent (id,user,title,description,config,created,updated)"
+            " VALUES (?,?,?,?,?,?,?)",
+            (aid, user, title, description, json.dumps(config or {}), t, t),
+        )
+        return self.get_agent(aid)
+
+    def get_agent(self, aid: str) -> Optional[dict]:
+        row = self.query_one("SELECT * FROM agent WHERE id=?", (aid,))
+        if row:
+            row["config"] = json.loads(row["config"])
+        return row
+
+    def list_agents(self, user: str) -> list[dict]:
+        rows = self.query(
+            "SELECT * FROM agent WHERE user=? ORDER BY updated DESC", (user,)
+        )
+        for r in rows:
+            r["config"] = json.loads(r["config"])
+        return rows
+
+    def update_agent(self, aid: str, **fields) -> None:
+        if "config" in fields and not isinstance(fields["config"], str):
+            fields["config"] = json.dumps(fields["config"])
+        fields["updated"] = _now()
+        sets = ", ".join(f"{k}=?" for k in fields)
+        self.execute(f"UPDATE agent SET {sets} WHERE id=?",
+                     (*fields.values(), aid))
+
+    def delete_agent(self, aid: str) -> None:
+        self.execute("DELETE FROM agent WHERE id=?", (aid,))
 
     # -- audit ---------------------------------------------------------------------------
 

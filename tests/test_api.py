@@ -377,3 +377,62 @@ def test_mcp_requires_auth_for_tools(server):
         "jsonrpc": "2.0", "id": 1, "method": "tools/call",
         "params": {"name": "list_collections", "arguments": {}}})
     assert r.json()["error"]["code"] == -32001
+
+
+def test_agent_crud_and_ws(server, client, collection):
+    """Agent bot CRUD + tool-loop WebSocket chat (offline policy)."""
+    import websockets.sync.client as wsc
+
+    r = client.post("/api/v1/agents",
+                    json={"title": "helper",
+                          "config": {"collection_ids": [collection["id"]]}})
+    assert r.status_code == 201, r.text
+    aid = r.json()["id"]
+    assert client.get(f"/api/v1/agents/{aid}").json()["title"] == "helper"
+
+    chat_id = client.post("/api/v1/chats", json={"title": "a"}).json()["id"]
+    token = client.headers["Authorization"].split(" ")[1]
+    url = (server.base.replace("http://", "ws://")
+           + f"/api/v1/agents/{aid}/chats/{chat_id}/connect")
+    with wsc.connect(url, additional_headers={
+        "Authorization": f"Bearer {token}"}) as ws:
+        ws.send(json.dumps({"message": "systolic arrays"}))
+        kinds = []
+        while True:
+            ev = json.loads(ws.recv(timeout=30))
+            kinds.append(ev["event"])
+            if ev["event"] == "done":
+                final = ev["data"]["text"]
+                break
+    assert "tool_call" in kinds and "tool_result" in kinds
+    assert "systolic" in final
+    assert client.delete(f"/api/v1/agents/{aid}").status_code == 204
+
+
+def test_ag_ui_sse(server, client, collection):
+    r = client.post("/api/v1/agents",
+                    json={"title": "h2",
+                          "config": {"collection_ids": [collection["id"]]}})
+    aid = r.json()["id"]
+    with client.stream(
+        "POST", f"/api/v1/agents/{aid}/chats/any/ag-ui",
+        json={"message": "fox"},
+    ) as resp:
+        assert resp.status_code == 200
+        events = [l[7:] for l in resp.iter_lines() if l.startswith("event: ")]
+    assert events[0] == "RunStarted" and events[-1] == "RunFinished"
+
+
+def test_web_search_offline_degrades(client):
+    r = client.post("/api/v1/web/search", json={"query": "anything"})
+    assert r.status_code == 200
+    body = r.json()
+    assert body["results"] == [] and body["offline"] is True
+
+
+def test_graph_routes(client, collection):
+    r = client.get(f"/api/v1/collections/{collection['id']}/graph/stats")
+    assert r.status_code == 200
+    assert {"nodes", "edges"} <= set(r.json())
+    r = client.get(f"/api/v1/collections/{collection['id']}/graph")
+    assert {"nodes", "edges"} <= set(r.json())
