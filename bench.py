@@ -55,6 +55,7 @@ def main():
     enable_compilation_cache()
 
     from super_rag_tpu.ops.bm25 import LexicalCorpus
+    from super_rag_tpu.ops.bm25_inverted import build_inverted
     from super_rag_tpu.ops.dense import build_corpus, dense_search
     from super_rag_tpu.ops.fusion import rrf_fuse
     from super_rag_tpu.ops.hybrid import hybrid_search
@@ -87,13 +88,22 @@ def main():
         doc_len=jnp.asarray(doc_len),
     )
     avgdl = jnp.float32(float(doc_len.mean()))
+    inverted = build_inverted(terms, tfs, doc_len, vocab,
+                              postings_per_term=128 if on_tpu else 32,
+                              avgdl=float(doc_len.mean()))
 
     queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
-    # query terms drawn from corpus rows so lexical matches exist
+    # query terms drawn from corpus rows so lexical matches exist; terms
+    # are DEDUPED per query (the analyzer's query_entry contract — the
+    # inverted path sums postings per occurrence, so duplicates would
+    # double-count)
     q_rows = rng.integers(0, n, batch)
-    q_terms = terms[q_rows][:, :qterms_n].copy()
-    q_terms[q_terms == vocab] = 0
-    q_idf = np.full((batch, qterms_n), 3.0, np.float32)
+    q_terms = np.full((batch, qterms_n), vocab, np.int32)
+    for bi, row in enumerate(q_rows):
+        uniq = [t for t in dict.fromkeys(terms[row].tolist())
+                if t != vocab][:qterms_n]
+        q_terms[bi, : len(uniq)] = uniq
+    q_idf = np.where(q_terms != vocab, 3.0, 0.0).astype(np.float32)
     q_terms_j = jnp.asarray(q_terms)
     q_idf_j = jnp.asarray(q_idf)
 
@@ -102,6 +112,7 @@ def main():
     def run():
         return hybrid_search(
             queries, q_terms_j, q_idf_j, dense_int8, lexical, avgdl,
+            inverted=inverted,
             vocab_size=vocab, k=k, candidates=cand,
             use_pallas=on_tpu, dense_tile=tile,
             block_size=262_144 if on_tpu else 8_192,
@@ -139,7 +150,7 @@ def main():
     gate_ok = recall >= 0.95
     print(json.dumps({
         "metric": (
-            f"hybrid (dense int8 + BM25 + RRF, one XLA program) top-{k} "
+            f"hybrid (dense int8 Pallas + inverted BM25 + RRF, one XLA program) top-{k} "
             f"QPS/chip, {n}x{d} corpus, batch {batch}, {backend}"
         ),
         "value": round(qps, 1),

@@ -117,6 +117,11 @@ class DeviceIndex:
         self.size = 0  # write cursor
         self._capacity = 0
         self.row_meta: list[Optional[dict]] = []
+        # inverted lexical snapshot: covers rows [0, _inverted_upto); the
+        # fresh tail is scored doc-major until the next compaction
+        self._inverted = None
+        self._inverted_upto = 0
+        self.auto_compact_rows = 8192
         self._alloc(spec.min_capacity)
 
     # -- storage management ------------------------------------------------
@@ -319,6 +324,42 @@ class DeviceIndex:
             mask=mask,
         )
 
+    def compact_lexical(self, postings_per_term: int = 256) -> None:
+        """(Re)build the inverted lexical snapshot from the live rows.
+
+        Called automatically once the un-inverted tail exceeds
+        ``auto_compact_rows``; callable explicitly after bulk ingest.
+        """
+        from super_rag_tpu.ops.bm25_inverted import build_inverted
+
+        n = self.size
+        if n == 0:
+            return
+        self._inverted = build_inverted(
+            np.asarray(self.terms[:n]),
+            np.asarray(self.tfs[:n].astype(jnp.float32)),
+            np.asarray(self.doc_len[:n]),
+            self.spec.vocab_size,
+            postings_per_term=postings_per_term,
+            avgdl=self.df.avgdl,
+        )
+        self._inverted_upto = n
+
+    def _maybe_autocompact(self) -> None:
+        tail = self.size - self._inverted_upto
+        if self._inverted is None:
+            if self.size >= self.auto_compact_rows:
+                self.compact_lexical()
+        elif tail >= self.auto_compact_rows:
+            self.compact_lexical()
+
+    def _query_arrays(self, queries: Sequence[str], max_terms: int):
+        qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
+        qi = np.zeros((len(queries), max_terms), np.float32)
+        for i, q in enumerate(queries):
+            qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
+        return jnp.asarray(qt), jnp.asarray(qi)
+
     def search_bm25(
         self,
         queries: Sequence[str],
@@ -326,21 +367,39 @@ class DeviceIndex:
         flt: Optional[FilterSpec] = None,
         max_terms: int = 16,
     ) -> tuple[jax.Array, jax.Array]:
-        qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
-        qi = np.zeros((len(queries), max_terms), np.float32)
-        for i, q in enumerate(queries):
-            qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
+        self._maybe_autocompact()
+        qt, qi = self._query_arrays(queries, max_terms)
+        mask = self._mask(flt)
+        if self._inverted is not None and self._inverted_upto == self.size:
+            from super_rag_tpu.ops.bm25_inverted import inverted_bm25_search
+
+            return inverted_bm25_search(qt, qi, self._inverted, k=k,
+                                        mask=mask, has_mask=True)
         corpus = LexicalCorpus(
             terms=self.terms, tfs=self.tfs, doc_len=self.doc_len
         )
-        return bm25_search(
-            jnp.asarray(qt),
-            jnp.asarray(qi),
-            corpus,
-            jnp.float32(self.df.avgdl),
-            vocab_size=self.spec.vocab_size,
-            k=k,
-            mask=self._mask(flt),
+        if self._inverted is None or self._inverted_upto == 0:
+            return bm25_search(
+                qt, qi, corpus, jnp.float32(self.df.avgdl),
+                vocab_size=self.spec.vocab_size, k=k, mask=mask,
+            )
+        # inverted prefix + doc-major fresh tail, merged.  The tail scan
+        # masks out the inverted-covered prefix so each row scores once.
+        from super_rag_tpu.ops.bm25_inverted import inverted_bm25_search
+        from super_rag_tpu.ops.topk import merge_topk
+
+        iv, ii = inverted_bm25_search(qt, qi, self._inverted, k=k,
+                                      mask=mask, has_mask=True)
+        row_ids = jnp.arange(self._capacity, dtype=jnp.int32)
+        tail_mask = mask & (row_ids >= self._inverted_upto)
+        tv, ti = bm25_search(
+            qt, qi, corpus, jnp.float32(self.df.avgdl),
+            vocab_size=self.spec.vocab_size, k=k, mask=tail_mask,
+        )
+        return merge_topk(
+            jnp.concatenate([iv, tv], axis=1),
+            jnp.concatenate([ii, ti], axis=1),
+            k,
         )
 
     def search_hybrid(
@@ -354,22 +413,27 @@ class DeviceIndex:
         use_pallas: Optional[bool] = None,
         rrf_k: float = 60.0,
     ):
-        """Dense ⊕ BM25 ⊕ RRF as ONE device program (ops/hybrid.py)."""
+        """Dense ⊕ BM25 ⊕ RRF as ONE device program (ops/hybrid.py); uses
+        the inverted lexical snapshot when it covers every row."""
         from super_rag_tpu.ops.hybrid import hybrid_search
 
-        qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
-        qi = np.zeros((len(queries), max_terms), np.float32)
-        for i, q in enumerate(queries):
-            qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
+        self._maybe_autocompact()
+        qt, qi = self._query_arrays(queries, max_terms)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and self._capacity >= 2048
+        inverted = (
+            self._inverted
+            if self._inverted is not None and self._inverted_upto == self.size
+            else None
+        )
         return hybrid_search(
             query_emb,
-            jnp.asarray(qt),
-            jnp.asarray(qi),
+            qt,
+            qi,
             self.dense_corpus(),
             LexicalCorpus(terms=self.terms, tfs=self.tfs, doc_len=self.doc_len),
             jnp.float32(self.df.avgdl),
+            inverted=inverted,
             vocab_size=self.spec.vocab_size,
             k=k,
             candidates=candidates,

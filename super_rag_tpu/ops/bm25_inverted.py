@@ -1,0 +1,163 @@
+"""Inverted BM25: impact-ordered postings + sort-based aggregation.
+
+The doc-major scorer (ops/bm25.py) reads every document's term slots per
+query — an O(B * N * L) random gather that measured ~1 s/batch at 1M docs
+on v5e.  This module is the device-resident *inverted index* the north
+star names (SURVEY.md 2.9: 'term-at-a-time scoring as masked segment
+sums'), shaped for the TPU:
+
+  postings_ids     [V+1, P] int32   doc rows per term bucket, sorted by
+  postings_impact  [V+1, P] bf16    descending impact sat(tf, dl); -1 pad
+
+Query (all inside one jit):
+  1. gather the Q posting rows per query — contiguous, tiny (B*Q*P);
+  2. weight impacts by per-term idf;
+  3. per query, sort the (doc_id, weight) pairs by doc_id and reduce
+     equal-id runs with a cumsum/cummax segment-sum — no scatter;
+  4. run totals at run ends -> top-k.
+
+Per-term postings are truncated to the top-P impacts (impact-ordered
+pruning): rare, discriminative terms keep everything; only the low-impact
+tail of very frequent terms is dropped, which top-k scoring almost never
+needs.  P is the recall/memory knob.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = float("-inf")
+
+
+class InvertedIndex(NamedTuple):
+    postings_ids: jax.Array  # [V+1, P] int32 (-1 = empty)
+    postings_impact: jax.Array  # [V+1, P] bf16 (idf NOT included)
+    num_docs: int
+
+    @property
+    def vocab_size(self) -> int:
+        return self.postings_ids.shape[0] - 1
+
+    @property
+    def postings_per_term(self) -> int:
+        return self.postings_ids.shape[1]
+
+
+def build_inverted(
+    terms: np.ndarray,  # [N, L] int32, pad = vocab_size
+    tfs: np.ndarray,  # [N, L] float
+    doc_len: np.ndarray,  # [N] float
+    vocab_size: int,
+    postings_per_term: int = 256,
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: Optional[float] = None,
+) -> InvertedIndex:
+    """Host-side build (vectorized numpy): flatten (term, impact, doc)
+    triples, sort by (term asc, impact desc), keep the top-P run prefix
+    per term."""
+    terms = np.asarray(terms, np.int64)
+    tfs = np.asarray(tfs, np.float32)
+    doc_len = np.asarray(doc_len, np.float32)
+    n, slots = terms.shape
+    if avgdl is None:
+        avgdl = float(doc_len.mean()) if n else 1.0
+
+    norm = k1 * (1.0 - b + b * doc_len[:, None] / max(avgdl, 1e-6))
+    impact = tfs * (k1 + 1.0) / (tfs + norm)  # [N, L]; 0 where tf=0
+
+    flat_terms = terms.reshape(-1)
+    flat_impact = impact.reshape(-1).astype(np.float32)
+    flat_docs = np.repeat(np.arange(n, dtype=np.int64), slots)
+    keep = flat_terms < vocab_size
+    flat_terms, flat_impact, flat_docs = (
+        flat_terms[keep], flat_impact[keep], flat_docs[keep]
+    )
+
+    # sort by (term, -impact); lexsort's last key is primary
+    order = np.lexsort((-flat_impact, flat_terms))
+    flat_terms = flat_terms[order]
+    flat_impact = flat_impact[order]
+    flat_docs = flat_docs[order]
+
+    # rank within each term run; keep rank < P
+    is_start = np.empty(len(flat_terms), bool)
+    if len(flat_terms):
+        is_start[0] = True
+        is_start[1:] = flat_terms[1:] != flat_terms[:-1]
+    idx = np.arange(len(flat_terms), dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+    rank = idx - run_start
+    keep = rank < postings_per_term
+    t_k, i_k, d_k, r_k = (
+        flat_terms[keep], flat_impact[keep], flat_docs[keep], rank[keep]
+    )
+
+    ids = np.full((vocab_size + 1, postings_per_term), -1, np.int32)
+    imp = np.zeros((vocab_size + 1, postings_per_term), np.float32)
+    ids[t_k, r_k] = d_k.astype(np.int32)
+    imp[t_k, r_k] = i_k
+    return InvertedIndex(
+        postings_ids=jnp.asarray(ids),
+        postings_impact=jnp.asarray(imp, jnp.bfloat16),
+        num_docs=n,
+    )
+
+
+def _segment_sum_runs(ids: jax.Array, w: jax.Array):
+    """Per-row: sort (id, w) by id, sum equal-id runs, return run totals at
+    run ends (other positions -inf) plus the sorted ids."""
+    # sort by id; jax.lax.sort applied to (keys, payload) per trailing dim
+    sorted_ids, sorted_w = jax.lax.sort((ids, w), dimension=-1, num_keys=1)
+    csum = jnp.cumsum(sorted_w, axis=-1)
+    prev = jnp.pad(sorted_ids[..., :-1], ((0, 0), (1, 0)), constant_values=-2)
+    is_start = sorted_ids != prev
+    # cumsum value just before each run start, propagated across the run
+    base_at_start = jnp.where(is_start, csum - sorted_w, NEG_INF)
+    run_base = jax.lax.cummax(base_at_start, axis=1)
+    run_total = csum - run_base
+    nxt = jnp.pad(sorted_ids[..., 1:], ((0, 0), (0, 1)), constant_values=-3)
+    is_end = sorted_ids != nxt
+    totals = jnp.where(is_end & (sorted_ids >= 0), run_total, NEG_INF)
+    return sorted_ids, totals
+
+
+@functools.partial(jax.jit, static_argnames=("k", "has_mask"))
+def inverted_bm25_search(
+    query_terms: jax.Array,  # [B, Q] int32, pad = vocab_size
+    query_idf: jax.Array,  # [B, Q] f32
+    index: InvertedIndex,
+    k: int,
+    mask: Optional[jax.Array] = None,  # [N] bool keep-mask
+    has_mask: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k BM25 via the inverted index; same contract as bm25_search."""
+    if has_mask is None:
+        has_mask = mask is not None
+    bsz, q = query_terms.shape
+    p = index.postings_per_term
+
+    ids = jnp.take(index.postings_ids, query_terms, axis=0)  # [B, Q, P]
+    imp = jnp.take(index.postings_impact, query_terms, axis=0).astype(
+        jnp.float32
+    )
+    w = imp * query_idf[..., None]  # [B, Q, P]
+    if has_mask:
+        valid = jnp.take(mask, jnp.maximum(ids, 0)) & (ids >= 0)
+        ids = jnp.where(valid, ids, -1)
+        w = jnp.where(valid, w, 0.0)
+    ids = ids.reshape(bsz, q * p)
+    w = w.reshape(bsz, q * p)
+
+    sorted_ids, totals = _segment_sum_runs(ids, w)
+    k_eff = min(k, q * p)
+    v, pos = jax.lax.top_k(totals, k_eff)
+    i = jnp.take_along_axis(sorted_ids, pos, axis=-1)
+    i = jnp.where(jnp.isfinite(v) & (v > 0), i, -1)
+    v = jnp.where(i >= 0, v, NEG_INF)
+    return v, i

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from super_rag_tpu.ops.bm25 import LexicalCorpus, _bm25_block, _idf_table
+from super_rag_tpu.ops.bm25_inverted import InvertedIndex, inverted_bm25_search
 from super_rag_tpu.ops.dense import DenseCorpus, Metric, dense_search
 from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
 
@@ -97,8 +98,9 @@ def hybrid_search(
     query_terms: jax.Array,  # [B, Q] int32 (pad = vocab_size)
     query_idf: jax.Array,  # [B, Q] f32
     dense: DenseCorpus,
-    lexical: LexicalCorpus,
+    lexical: Optional[LexicalCorpus],
     avgdl: jax.Array,  # scalar f32
+    inverted: Optional[InvertedIndex] = None,
     *,
     vocab_size: int,
     k: int,
@@ -128,7 +130,19 @@ def hybrid_search(
             block_size=block_size,
         )
 
-    # BM25 branch (blocked scoring inline so everything stays in this jit).
+    # BM25 branch.  Preferred path: the inverted index (ops/bm25_inverted
+    # — contiguous posting-row gathers + sort-based segment sums; ~1000x
+    # less memory traffic than doc-major scanning at 1M docs).
+    if inverted is not None:
+        lv, li = inverted_bm25_search(
+            query_terms, query_idf, inverted, k=kc, mask=mask,
+            has_mask=mask is not None,
+        )
+        return _rrf_on_device(dv, di.astype(jnp.int32), lv,
+                              li.astype(jnp.int32), k, rrf_k)
+
+    # Fallback: doc-major blocked scoring (exact, update-free; used for
+    # small corpora and the un-compacted fresh tail).
     # NOTE: its block size is intentionally small — the idf gather
     # materializes [B, block, slots] f32 before the reduce, so block
     # bounds peak HBM (4096 * 256 * 64 * 4 = 268 MB; 262144 would be 17 GB).

@@ -76,3 +76,23 @@ def test_branch_scores_populated(engine):
     assert top == 2  # the TPU doc
     assert np.asarray(res.bm25_scores)[0, 0] > 0  # matched lexically too
     assert np.asarray(res.dense_scores)[0, 0] != 0
+
+
+def test_autocompacted_inverted_matches_doc_major(rng):
+    """After compaction the hybrid path flips to the inverted index and
+    must keep returning the same winners."""
+    import jax.numpy as jnp_
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp_.float32,
+                                     vocab_size=1 << 14))
+    eng.index.auto_compact_rows = 4  # force compaction quickly
+    eng.ingest(DOCS)
+    before = eng.search("fox jumping dog", top_k=3, mode="hybrid")
+    eng.index.compact_lexical()
+    assert eng.index._inverted_upto == eng.index.size
+    after = eng.search("fox jumping dog", top_k=3, mode="hybrid")
+    assert [h.row for h in before] == [h.row for h in after]
+    # fresh-tail path: insert after compaction, result still findable
+    eng.index.auto_compact_rows = 10_000
+    eng.ingest(["a brand new doc about quokkas"])
+    hits = eng.search("quokkas", top_k=2, mode="fulltext")
+    assert hits and "quokkas" in hits[0].text
