@@ -95,8 +95,18 @@ class Analyzer:
         return terms, tfs, len(ids)
 
     def batch_doc_entries(
-        self, texts: Sequence[str], slots: int
+        self, texts: Sequence[str], slots: int, prefer_native: bool = True
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if prefer_native and len(texts) >= 8:
+            # native C++ analyzer (native/analyzer.cpp) — bit-identical
+            # buckets at ~20x the throughput; ingest-path hot loop
+            from super_rag_tpu.tokenize import native
+
+            out = native.batch_doc_entries(
+                texts, slots, self.vocab_size, self.use_stopwords
+            )
+            if out is not None:
+                return out
         terms = np.full((len(texts), slots), self.pad_id, np.int32)
         tfs = np.zeros((len(texts), slots), np.float32)
         lens = np.zeros(len(texts), np.float32)
