@@ -59,19 +59,31 @@ class EngineManager:
             if eng is not None:
                 return eng
             config = config or {}
+            embedder = self._embedder_factory(config)
             path = self._snapshot_path(collection_id)
             if snapshot_exists(path):
                 index = load_index(path)
                 eng = CollectionEngine(
                     index.spec,
-                    embedder=self._embedder_factory(config),
+                    embedder=embedder,
                     reranker=self._reranker_factory(config),
                 )
                 eng.index = index
             else:
+                spec = self._spec(config)
+                # the embedder's true output dimension wins over config
+                # defaults (remote models are dimension-probed)
+                emb_dim = getattr(embedder, "dim", None)
+                if emb_dim is not None and emb_dim != spec.dim:
+                    spec = IndexSpec(
+                        dim=emb_dim, metric=spec.metric, dtype=spec.dtype,
+                        bm25_slots=spec.bm25_slots,
+                        vocab_size=spec.vocab_size,
+                        min_capacity=spec.min_capacity,
+                    )
                 eng = CollectionEngine(
-                    self._spec(config),
-                    embedder=self._embedder_factory(config),
+                    spec,
+                    embedder=embedder,
                     reranker=self._reranker_factory(config),
                 )
             self._engines[collection_id] = eng

@@ -52,7 +52,45 @@ def build_context(
     cfg = cfg or default_settings
     db = Database(cfg.resolved_db_path())
     objects = LocalObjectStore(cfg.objects_root())
-    engines = EngineManager(cfg)
+
+    # model resolution: collection config -> provider/model from DB; the
+    # on-TPU hash embedder serves when nothing is configured or the
+    # provider is unreachable (reference base_embedding.py resolution,
+    # with graceful offline degradation)
+    from super_rag_tpu.llm.resolver import ModelResolver, RemoteEmbedder
+    from super_rag_tpu.models.hash_embedder import HashEmbedder
+
+    resolver = ModelResolver(db)
+
+    def embedder_factory(config: dict):
+        client = resolver.embedding_client(config)
+        if client is not None:
+            try:
+                resolver.probe_embedding_dim(client)
+                return RemoteEmbedder(client)
+            except Exception:  # noqa: BLE001 — provider unreachable
+                pass
+        dim = int(config.get("embedding", {}).get("dim", cfg.embedding_dim))
+        return HashEmbedder(dim=dim)
+
+    def reranker_factory(config: dict):
+        client = resolver.rerank_client(config)
+        if client is None:
+            return None
+
+        def rerank(query: str, texts):
+            import numpy as np
+
+            results = client.rerank(query, list(texts))
+            scores = np.zeros(len(texts), np.float32)
+            for r in results:
+                scores[r["index"]] = r["relevance_score"]
+            return scores
+
+        return rerank
+
+    engines = EngineManager(cfg, embedder_factory=embedder_factory,
+                            reranker_factory=reranker_factory)
     task = DocumentIndexTask(db, objects, engines, cfg)
     reconciler = DocumentIndexReconciler(db)
     scheduler: TaskScheduler = (
@@ -64,10 +102,17 @@ def build_context(
     auth = Auth(db, cfg.jwt_secret, cfg.jwt_ttl_hours)
     from super_rag_tpu.kg.service import KnowledgeGraphService
 
-    kg = KnowledgeGraphService(db)
+    completion = None
+    completion_client = resolver.completion_client({})
+    if completion_client is not None:
+        completion = lambda **kw: completion_client.complete(**kw)  # noqa: E731
+
+    kg = KnowledgeGraphService(db, completion=completion)
     ctx = AppContext(
         cfg=cfg, db=db, objects=objects, engines=engines,
         reconciler=reconciler, scheduler=scheduler, auth=auth, kg=kg,
+        completion=completion,
     )
+    ctx.resolver = resolver  # type: ignore[attr-defined]
     task.ctx = ctx  # index task reaches kg/completion through the context
     return ctx
