@@ -1,0 +1,24 @@
+.PHONY: test test-fast demo run bench native clean
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
+
+demo:
+	python demo/demo.py
+
+run:
+	python -m super_rag_tpu.app
+
+bench:
+	python bench.py
+
+native:
+	g++ -O3 -std=c++17 -shared -fPIC super_rag_tpu/native/analyzer.cpp \
+	  -o super_rag_tpu/native/build/libanalyzer.so
+
+clean:
+	rm -rf super_rag_tpu/native/build .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -76,9 +76,13 @@ def main():
     dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
     dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
 
-    # synthetic BM25 corpus: zipf-ish term draws, realistic tf distribution
-    terms = rng.integers(0, vocab, (n, slots)).astype(np.int32)
-    tfs = rng.integers(1, 5, (n, slots)).astype(np.float32)
+    # synthetic BM25 corpus with a ZIPFIAN term distribution (natural
+    # language is zipf-distributed; a uniform draw would give every term
+    # ~N*L/V near-equal-impact postings, the worst case for impact-ordered
+    # pruning and unlike any real corpus)
+    zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
+    terms = ((zipf_raw - 1) % vocab).astype(np.int32)
+    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
     pad_mask = rng.random((n, slots)) < 0.2  # some empty slots
     terms[pad_mask] = vocab
     tfs[pad_mask] = 0.0
@@ -89,8 +93,16 @@ def main():
     )
     avgdl = jnp.float32(float(doc_len.mean()))
     inverted = build_inverted(terms, tfs, doc_len, vocab,
-                              postings_per_term=128 if on_tpu else 32,
+                              postings_per_term=max(256, n // 500),
                               avgdl=float(doc_len.mean()))
+    # document frequency -> true BM25 idf per bucket
+    df = np.zeros(vocab + 1, np.int64)
+    for row in range(0, n, 100_000):
+        chunk = terms[row : row + 100_000]
+        uniq_rows = [np.unique(r[r < vocab]) for r in chunk]
+        flat = np.concatenate(uniq_rows) if uniq_rows else np.zeros(0, np.int64)
+        np.add.at(df, flat, 1)
+    idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
 
     queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
     # query terms drawn from corpus rows so lexical matches exist; terms
@@ -99,11 +111,15 @@ def main():
     # double-count)
     q_rows = rng.integers(0, n, batch)
     q_terms = np.full((batch, qterms_n), vocab, np.int32)
+    df_cap = max(64, n // 50)  # discriminative terms only — the analyzer
+    # strips stopwords, so real queries never score on near-ubiquitous
+    # terms whose massive tied-posting lists make set-recall ill-defined
     for bi, row in enumerate(q_rows):
         uniq = [t for t in dict.fromkeys(terms[row].tolist())
-                if t != vocab][:qterms_n]
+                if t != vocab and df[t] <= df_cap][:qterms_n]
         q_terms[bi, : len(uniq)] = uniq
-    q_idf = np.where(q_terms != vocab, 3.0, 0.0).astype(np.float32)
+    q_idf = np.where(q_terms != vocab, idf_table[np.minimum(q_terms, vocab)],
+                     0.0).astype(np.float32)
     q_terms_j = jnp.asarray(q_terms)
     q_idf_j = jnp.asarray(q_idf)
 

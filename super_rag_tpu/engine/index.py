@@ -122,6 +122,11 @@ class DeviceIndex:
         self._inverted = None
         self._inverted_upto = 0
         self.auto_compact_rows = 8192
+        # IVF dense snapshot (opt-in via compact_dense): bounds bytes
+        # touched per query to ~nprobe/nlist of the corpus
+        self._ivf = None
+        self._ivf_upto = 0
+        self._ivf_nprobe = 16
         self._alloc(spec.min_capacity)
 
     # -- storage management ------------------------------------------------
@@ -304,14 +309,61 @@ class DeviceIndex:
             values=self.emb, scales=self.scales, norms_sq=self.norms_sq
         )
 
+    def compact_dense(self, nlist: Optional[int] = None, nprobe: int = 16,
+                      kmeans_iters: int = 8) -> None:
+        """Build/refresh the IVF snapshot over the live rows (opt-in; the
+        flat Pallas path is exact and already fast at 1M rows — IVF is
+        the >=10M-rows-per-chip tier, BASELINE.md config #5)."""
+        from super_rag_tpu.ops.ivf import build_ivf
+
+        n = self.size
+        if n == 0:
+            return
+        if nlist is None:
+            nlist = max(16, int(np.sqrt(n)))
+        emb = self.emb[:n]
+        if self.scales is not None:
+            emb = emb.astype(jnp.float32) * self.scales[:n, None]
+        self._ivf = build_ivf(
+            emb.astype(jnp.float32), nlist=nlist,
+            dtype=self.spec.dtype if self.spec.dtype != jnp.bfloat16 else jnp.bfloat16,
+            metric=self.spec.metric, kmeans_iters=kmeans_iters,
+        )
+        self._ivf_upto = n
+        self._ivf_nprobe = nprobe
+
     def search_dense(
         self,
         query_emb: jax.Array,  # [B, dim]
         k: int,
         flt: Optional[FilterSpec] = None,
         use_pallas: Optional[bool] = None,
+        nprobe: Optional[int] = None,
     ) -> tuple[jax.Array, jax.Array]:
         mask = self._mask(flt)
+        if self._ivf is not None and self._ivf_upto > 0:
+            from super_rag_tpu.ops.ivf import ivf_search
+            from super_rag_tpu.ops.topk import merge_topk
+
+            iv, ii = ivf_search(
+                query_emb, self._ivf, k=k,
+                nprobe=nprobe or self._ivf_nprobe, mask=mask,
+                metric=self.spec.metric,
+            )
+            if self._ivf_upto == self.size:
+                return iv, ii
+            # fresh tail scored flat, prefix masked out
+            row_ids = jnp.arange(self._capacity, dtype=jnp.int32)
+            tail_mask = mask & (row_ids >= self._ivf_upto)
+            tv, ti = dense_search(
+                query_emb, self.dense_corpus(), k=k,
+                metric=self.spec.metric, mask=tail_mask,
+            )
+            return merge_topk(
+                jnp.concatenate([iv, tv], axis=1),
+                jnp.concatenate([ii, ti], axis=1),
+                k,
+            )
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and self._capacity >= 1024
         if use_pallas:

@@ -117,3 +117,25 @@ def test_all_rows_present_exactly_once(clustered_data):
     if index.overflow_rows is not None:
         ids += np.asarray(index.overflow_rows).tolist()
     assert sorted(ids) == list(range(len(clustered_data)))
+
+
+def test_engine_ivf_compaction(rng):
+    """DeviceIndex with IVF compaction: same winners as flat; fresh tail
+    inserted after compaction stays findable."""
+    import jax.numpy as jnp_
+    from super_rag_tpu.engine.collection import CollectionEngine
+    from super_rag_tpu.engine.index import IndexSpec
+
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp_.float32,
+                                     vocab_size=1 << 14))
+    docs = [f"document number {i} about topic{i % 20}" for i in range(300)]
+    eng.ingest(docs)
+    q = "document about topic7"
+    flat = eng.search(q, top_k=5, mode="dense")
+    eng.index.compact_dense(nlist=16, nprobe=16, kmeans_iters=4)
+    ivf = eng.search(q, top_k=5, mode="dense")
+    assert {h.row for h in flat} == {h.row for h in ivf}
+    # fresh tail after compaction
+    eng.ingest(["a capybara swims in the river"])
+    hits = eng.search("capybara river", top_k=2, mode="dense")
+    assert any("capybara" in h.text for h in hits)
