@@ -1,0 +1,176 @@
+"""Mutable row-sharded hybrid index over a device mesh.
+
+The multi-chip tier of the engine (BASELINE.md config #5: 10M chunks over
+a v5e-8 mesh with streaming ingestion and ICI top-k merge).  Same
+mutability model as the single-chip DeviceIndex — capacity classes, write
+cursor, validity bitmap — but every row-aligned array carries a
+NamedSharding over the corpus mesh axis, inserts write through a donated
+sharded dynamic_update_slice, and queries run the SPMD program in
+parallel/sharded_hybrid.py (per-chip kernels + all_gather merge).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from super_rag_tpu.engine.index import IndexSpec, WRITE_BLOCK
+from super_rag_tpu.ops.dense import Metric
+from super_rag_tpu.ops.quant import quantize_int8
+from super_rag_tpu.parallel.mesh import CORPUS_AXIS, row_sharding
+from super_rag_tpu.parallel.sharded_hybrid import sharded_hybrid_search
+from super_rag_tpu.tokenize.analyzer import Analyzer, DocFrequency
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("spec_tuple",))
+def _write_sharded(dst: jax.Array, src: jax.Array, start: jax.Array,
+                   spec_tuple=None) -> jax.Array:
+    idx = (start,) + (jnp.int32(0),) * (dst.ndim - 1)
+    out = jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), idx)
+    return out
+
+
+class ShardedDeviceIndex:
+    """Row-sharded mutable hybrid index (dense + BM25) over a mesh."""
+
+    def __init__(self, spec: IndexSpec, mesh: Mesh,
+                 analyzer: Optional[Analyzer] = None):
+        assert spec.metric == Metric.COSINE, "sharded tier: cosine only"
+        self.spec = spec
+        self.mesh = mesh
+        self.n_dev = mesh.devices.size
+        self.analyzer = analyzer or Analyzer(vocab_size=spec.vocab_size)
+        self.df = DocFrequency()
+        self.size = 0
+        self._capacity = 0
+        self.row_meta: list[Optional[dict]] = []
+        self._alloc(self._round_cap(spec.min_capacity))
+
+    def _round_cap(self, n: int) -> int:
+        unit = self.n_dev * WRITE_BLOCK
+        return -(-n // unit) * unit
+
+    def _sharded_zeros(self, shape, dtype, fill=0):
+        arr = jnp.full(shape, fill, dtype)
+        return jax.device_put(arr, row_sharding(self.mesh, arr.ndim))
+
+    def _grow(self, name: str, shape, dtype, fill=0):
+        old = getattr(self, name, None)
+        if old is None or self._capacity == 0:
+            setattr(self, name, self._sharded_zeros(shape, dtype, fill))
+            return
+        extra_shape = (shape[0] - old.shape[0], *shape[1:])
+        extra = jnp.full(extra_shape, fill, dtype)
+        new = jnp.concatenate([old, extra], axis=0)
+        setattr(self, name,
+                jax.device_put(new, row_sharding(self.mesh, new.ndim)))
+
+    def _alloc(self, capacity: int) -> None:
+        spec = self.spec
+        self._grow("emb", (capacity, spec.dim), spec.dtype)
+        if spec.dtype == jnp.int8:
+            self._grow("scales", (capacity,), jnp.float32)
+        else:
+            self.scales = None
+        self._grow("terms", (capacity, spec.bm25_slots), jnp.int32,
+                   fill=spec.vocab_size)
+        self._grow("tfs", (capacity, spec.bm25_slots), jnp.bfloat16)
+        self._grow("doc_len", (capacity,), jnp.float32, 1)
+        self._grow("valid", (capacity,), jnp.bool_)
+        self._capacity = capacity
+
+    def _ensure_capacity(self, extra: int) -> None:
+        need = self.size + extra
+        if need > self._capacity:
+            cap = self._capacity
+            while cap < need:
+                cap *= 2
+            self._alloc(self._round_cap(cap))
+
+    # -- mutation ----------------------------------------------------------
+
+    def add(self, embeddings, texts: Sequence[str],
+            metadata: Optional[Sequence[dict]] = None) -> list[int]:
+        m = len(texts)
+        metadata = metadata or [{} for _ in range(m)]
+        self._ensure_capacity(m + WRITE_BLOCK)
+
+        x = np.asarray(embeddings, np.float32)
+        nrm = np.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / np.where(nrm > 0, nrm, 1.0)
+        if self.spec.dtype == jnp.int8:
+            qv, qs = quantize_int8(jnp.asarray(x))
+            emb_block, scale_block = np.asarray(qv), np.asarray(qs)
+        else:
+            emb_block, scale_block = x, None
+
+        terms, tfs, lens = self.analyzer.batch_doc_entries(
+            list(texts), self.spec.bm25_slots
+        )
+        for r in range(m):
+            row_terms = terms[r][terms[r] != self.analyzer.pad_id]
+            self.df.add_doc(row_terms.tolist(), int(lens[r]))
+
+        start = self.size
+        pad_m = -(-m // WRITE_BLOCK) * WRITE_BLOCK
+
+        def padded(a, fill=0):
+            out = np.full((pad_m, *a.shape[1:]), fill, a.dtype)
+            out[:m] = a
+            return jnp.asarray(out)
+
+        s = jnp.int32(start)
+        self.emb = _write_sharded(self.emb, padded(emb_block), s)
+        if self.scales is not None:
+            self.scales = _write_sharded(self.scales, padded(scale_block), s)
+        self.terms = _write_sharded(
+            self.terms, padded(terms, fill=self.spec.vocab_size), s
+        )
+        self.tfs = _write_sharded(self.tfs, padded(tfs.astype(np.float32)), s)
+        self.doc_len = _write_sharded(
+            self.doc_len, padded(np.maximum(lens, 1.0)), s
+        )
+        vmask = np.zeros(pad_m, bool)
+        vmask[:m] = True
+        self.valid = _write_sharded(self.valid, jnp.asarray(vmask), s)
+
+        self.row_meta.extend(
+            {"text": t, **md} for t, md in zip(texts, metadata)
+        )
+        self.size = start + m
+        return list(range(start, start + m))
+
+    def delete(self, rows: Sequence[int]) -> None:
+        if not rows:
+            return
+        for r in rows:
+            if r < len(self.row_meta) and self.row_meta[r] is not None:
+                self.row_meta[r] = None
+        mask = np.ones(self._capacity, bool)
+        mask[list(rows)] = False
+        self.valid = jax.device_put(
+            self.valid & jnp.asarray(mask), row_sharding(self.mesh, 1)
+        )
+
+    # -- query -------------------------------------------------------------
+
+    def search_hybrid(self, query_emb, queries: Sequence[str], k: int,
+                      candidates: int = 100, max_terms: int = 16):
+        qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
+        qi = np.zeros((len(queries), max_terms), np.float32)
+        for i, q in enumerate(queries):
+            qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
+        return sharded_hybrid_search(
+            jnp.asarray(np.asarray(query_emb)),
+            jnp.asarray(qt), jnp.asarray(qi),
+            self.emb, self.scales, self.terms, self.tfs, self.doc_len,
+            self.valid, jnp.float32(self.df.avgdl),
+            mesh=self.mesh, vocab_size=self.spec.vocab_size, k=k,
+            candidates=candidates, metric=self.spec.metric,
+            has_scales=self.scales is not None,
+        )
