@@ -185,8 +185,24 @@ def build_router(ctx: AppContext) -> Router:
         created = []
         ctype = req.headers.get("content-type", "")
         if ctype.startswith("multipart/form-data"):
+            from super_rag_tpu.utils.uncompress import (
+                iter_archive,
+                supported_archive,
+            )
+
             for part in req.multipart():
-                if part["filename"]:
+                if not part["filename"]:
+                    continue
+                if supported_archive(part["filename"]):
+                    # archive upload expands into one document per member
+                    # (reference utils/uncompress.py behavior)
+                    for member, data in iter_archive(part["filename"],
+                                                     part["data"]):
+                        created.append(
+                            documents.create(user["username"], cid,
+                                             member, data)
+                        )
+                else:
                     created.append(
                         documents.create(
                             user["username"], cid, part["filename"], part["data"]

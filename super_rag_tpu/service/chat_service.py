@@ -69,6 +69,9 @@ class ChatService:
         chat = self.get(user, chat_id)
         self.ctx.db.add_chat_message(chat_id, "user", [{"type": "text",
                                                         "text": text}])
+        if not chat.get("title"):
+            self.ctx.db.update_chat(chat_id,
+                                    title=await self._make_title(text))
         yield {"event": "start", "data": {"chat_id": chat_id}}
 
         cids = collection_ids or [
@@ -109,6 +112,25 @@ class ChatService:
              {"type": "references", "references": references}],
         )
         yield {"event": "done", "data": {"message_id": msg["id"]}}
+
+    async def _make_title(self, first_message: str) -> str:
+        """Title from the first message (reference chat_title_service:
+        LLM-generated with truncation fallback)."""
+        completion = self.ctx.completion
+        if completion is not None:
+            try:
+                result = completion(
+                    prompt="Give a 3-6 word title for a conversation that "
+                           f"starts with: {first_message[:400]}\nTitle:"
+                )
+                if hasattr(result, "__await__"):
+                    result = await result
+                title = str(result).strip().strip('"')[:80]
+                if title:
+                    return title
+            except Exception:  # noqa: BLE001 — fall back to truncation
+                pass
+        return first_message.strip()[:50] or "New chat"
 
     async def _generate(self, query: str, docs: list[dict],
                         history: list[dict]) -> str:

@@ -155,6 +155,9 @@ class Database:
                 self._conn.execute("PRAGMA journal_mode=WAL")
             self._conn.execute("PRAGMA foreign_keys=ON")
             self._conn.executescript(_SCHEMA)
+        from super_rag_tpu.store.migrations import run_migrations
+
+        run_migrations(self)
 
     # -- low level -----------------------------------------------------------
 

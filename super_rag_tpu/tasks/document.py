@@ -88,6 +88,30 @@ class DocumentIndexTask:
             )
             return {"rows": rows, "chunks": 1}
 
+        if index_type == "vision":
+            from super_rag_tpu.index.vision import vision_rows
+
+            rows_data = vision_rows(
+                parts,
+                vision_completion=getattr(self.ctx, "completion", None),
+                doc_name=doc["name"],
+            )
+            if not rows_data:
+                return {"rows": [], "chunks": 0}
+            rows = engine.ingest(
+                [r["text"] for r in rows_data],
+                metadata=[
+                    {"document_id": document_id, "collection_id": coll["id"],
+                     "document_name": doc["name"],
+                     "asset_id": r["asset_id"], "title_path": "",
+                     "chunk_index": j}
+                    for j, r in enumerate(rows_data)
+                ],
+                indexer="vision",
+                chat_id=doc.get("chat_id"),
+            )
+            return {"rows": rows, "chunks": len(rows)}
+
         if index_type == "graph":
             kg = getattr(self.ctx, "kg", None)
             if kg is None:
