@@ -96,12 +96,12 @@ def main():
                               postings_per_term=max(256, n // 500),
                               avgdl=float(doc_len.mean()))
     # document frequency -> true BM25 idf per bucket
-    df = np.zeros(vocab + 1, np.int64)
-    for row in range(0, n, 100_000):
-        chunk = terms[row : row + 100_000]
-        uniq_rows = [np.unique(r[r < vocab]) for r in chunk]
-        flat = np.concatenate(uniq_rows) if uniq_rows else np.zeros(0, np.int64)
-        np.add.at(df, flat, 1)
+    # vectorized per-row unique: sort slots, drop adjacent duplicates
+    sorted_terms = np.sort(terms, axis=1)
+    first = np.ones_like(sorted_terms, bool)
+    first[:, 1:] = sorted_terms[:, 1:] != sorted_terms[:, :-1]
+    uniq_flat = sorted_terms[first]
+    df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
     idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
 
     queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))

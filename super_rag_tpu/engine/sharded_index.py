@@ -27,12 +27,10 @@ from super_rag_tpu.parallel.sharded_hybrid import sharded_hybrid_search
 from super_rag_tpu.tokenize.analyzer import Analyzer, DocFrequency
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("spec_tuple",))
-def _write_sharded(dst: jax.Array, src: jax.Array, start: jax.Array,
-                   spec_tuple=None) -> jax.Array:
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_sharded(dst: jax.Array, src: jax.Array, start: jax.Array) -> jax.Array:
     idx = (start,) + (jnp.int32(0),) * (dst.ndim - 1)
-    out = jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), idx)
-    return out
+    return jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), idx)
 
 
 class ShardedDeviceIndex:
