@@ -57,3 +57,19 @@ def test_mask_and_ragged_padding(rng):
     assert np.all((pi >= 50) & (pi < 150))
     gv, gi = dense_search(jnp.asarray(q), corpus, k=5, mask=jnp.asarray(mask))
     _sets_match(pi, gi)
+
+
+def test_int8_queries_recall(rng):
+    """Full int8 x int8 path keeps recall vs the f32-query int8 path."""
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    c = rng.standard_normal((2000, 128)).astype(np.float32)
+    corpus = build_corpus(jnp.asarray(c), dtype=jnp.int8)
+    _, gi = pallas_dense_topk(jnp.asarray(q), corpus, k=10, tile=512,
+                              interpret=True)
+    _, qi = pallas_dense_topk(jnp.asarray(q), corpus, k=10, tile=512,
+                              interpret=True, int8_queries=True)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(qi), np.asarray(gi))
+    ])
+    assert recall >= 0.9, f"int8-query recall {recall}"
