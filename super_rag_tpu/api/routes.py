@@ -122,11 +122,18 @@ def build_router(ctx: AppContext) -> Router:
 
     @router.post("/api/v1/collections")
     async def create_collection(req: Request) -> Response:
+        from pydantic import ValidationError
+
+        from super_rag_tpu.schema.view_models import CollectionCreate
+
         user = me(req)
-        body = req.json()
+        try:
+            body = CollectionCreate(**req.json())
+        except ValidationError as e:
+            raise HttpError(422, e.errors()[0]["msg"]) from e
         coll = collections.create(
-            user["username"], body.get("title", ""),
-            body.get("description", ""), body.get("config"),
+            user["username"], body.title, body.description,
+            body.config.model_dump(exclude_none=True),
         )
         return Response.json(coll, status=201)
 
@@ -160,19 +167,26 @@ def build_router(ctx: AppContext) -> Router:
 
     @router.post("/api/v1/collections/{cid}/searches")
     async def create_search(req: Request) -> Response:
+        from pydantic import ValidationError
+
+        from super_rag_tpu.schema.view_models import SearchRequest
+
         user = me(req)
-        body = req.json()
-        query = body.get("query", "")
-        if not query:
-            raise HttpError(422, "query required")
+        try:
+            body = SearchRequest(**req.json())
+        except ValidationError as e:
+            first = e.errors()[0]
+            raise HttpError(
+                422, f"{'.'.join(str(x) for x in first['loc'])}: {first['msg']}"
+            ) from e
         result = await collections.execute_search(
-            user["username"], req.path_params["cid"], query,
-            top_k=body.get("top_k"),
-            similarity_threshold=body.get("similarity_threshold"),
-            use_fulltext=body.get("use_fulltext", True),
-            use_graph=body.get("use_graph", False),
-            use_rerank=body.get("use_rerank", True),
-            chat_id=body.get("chat_id"),
+            user["username"], req.path_params["cid"], body.query,
+            top_k=body.top_k,
+            similarity_threshold=body.similarity_threshold,
+            use_fulltext=body.use_fulltext,
+            use_graph=body.use_graph,
+            use_rerank=body.use_rerank,
+            chat_id=body.chat_id,
         )
         return Response.json(result, status=201)
 

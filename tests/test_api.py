@@ -436,3 +436,32 @@ def test_graph_routes(client, collection):
     assert {"nodes", "edges"} <= set(r.json())
     r = client.get(f"/api/v1/collections/{collection['id']}/graph")
     assert {"nodes", "edges"} <= set(r.json())
+
+
+def test_schema_validation(client, collection):
+    # bad vocab_size (not power of two)
+    r = client.post("/api/v1/collections",
+                    json={"title": "x", "config": {"vocab_size": 1000}})
+    assert r.status_code == 422
+    # top_k out of range
+    r = client.post(f"/api/v1/collections/{collection['id']}/searches",
+                    json={"query": "q", "top_k": 5000})
+    assert r.status_code == 422
+    assert "top_k" in r.json()["error"]["message"]
+
+
+def test_archive_upload(client, collection):
+    import io, zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("one.md", "# One\n\nalpaca vicuna llama.")
+        z.writestr("two.md", "# Two\n\nnarwhal beluga orca.")
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        files={"file": ("bundle.zip", buf.getvalue(), "application/zip")},
+    )
+    assert r.status_code == 201, r.text
+    assert len(r.json()) == 2
+    r = client.post(f"/api/v1/collections/{collection['id']}/searches",
+                    json={"query": "narwhal beluga", "top_k": 1})
+    assert "narwhal" in r.json()["items"][0]["text"]
