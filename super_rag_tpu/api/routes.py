@@ -242,6 +242,50 @@ def build_router(ctx: AppContext) -> Router:
                 )
         return Response.json(created, status=201)
 
+    # 2-phase upload: stage bytes, then confirm into the collection
+    # (reference api/collections.py:250-269 upload+confirm)
+    @router.post("/api/v1/collections/{cid}/documents/upload")
+    async def stage_upload(req: Request) -> Response:
+        user = me(req)
+        cid = req.path_params["cid"]
+        collections.get(user["username"], cid, allow_shared=False)
+        staged = []
+        for part in req.multipart():
+            if not part["filename"]:
+                continue
+            import uuid as _uuid
+
+            upload_id = _uuid.uuid4().hex
+            ctx.objects.put(f"_staged/{cid}/{upload_id}/{part['filename']}",
+                            part["data"])
+            staged.append({"upload_id": upload_id,
+                           "name": part["filename"],
+                           "size": len(part["data"])})
+        if not staged:
+            raise HttpError(422, "no files in upload")
+        return Response.json(staged, status=201)
+
+    @router.post("/api/v1/collections/{cid}/documents/confirm")
+    async def confirm_upload(req: Request) -> Response:
+        user = me(req)
+        cid = req.path_params["cid"]
+        body = req.json()
+        items = body if isinstance(body, list) else [body]
+        created = []
+        for item in items:
+            upload_id = item.get("upload_id", "")
+            name = item.get("name", "")
+            path = f"_staged/{cid}/{upload_id}/{name}"
+            if not upload_id or not ctx.objects.exists(path):
+                raise HttpError(404, f"staged upload {upload_id} not found")
+            data = ctx.objects.get(path)
+            created.append(
+                documents.create(user["username"], cid, name, data,
+                                 metadata=item.get("metadata"))
+            )
+            ctx.objects.delete(path)
+        return Response.json(created, status=201)
+
     @router.get("/api/v1/collections/{cid}/documents")
     async def list_documents(req: Request) -> Response:
         user = me(req)
@@ -506,6 +550,41 @@ def build_router(ctx: AppContext) -> Router:
         me(req)
         tag = req.query.get("tag")
         return Response.json(ctx.db.list_models(tag=tag))
+
+    # -- embeddings serving (OpenAI-compatible; the on-TPU encoder exposed
+    # as a provider other systems can point at) ---------------------------------
+
+    @router.post("/v1/embeddings")
+    async def serve_embeddings(req: Request) -> Response:
+        user = auth.resolve(req)
+        if user is None:
+            raise HttpError(401, "authentication required")
+        b = req.json()
+        texts = b.get("input", [])
+        if isinstance(texts, str):
+            texts = [texts]
+        if not texts or len(texts) > 2048:
+            raise HttpError(422, "input must be 1..2048 texts")
+        cid = b.get("model", "")  # model name = collection id (its embedder)
+        config = {}
+        if cid:
+            coll = ctx.db.get_collection(cid)
+            if coll is not None:
+                config = coll["config"]
+        import numpy as _np
+
+        embedder = ctx.engines._embedder_factory(config)
+        vecs = _np.asarray(embedder.embed(list(texts)))
+        return Response.json({
+            "object": "list",
+            "model": cid or "hash-embedder",
+            "data": [
+                {"object": "embedding", "index": i, "embedding": v.tolist()}
+                for i, v in enumerate(vecs)
+            ],
+            "usage": {"prompt_tokens": sum(len(t.split()) for t in texts),
+                      "total_tokens": sum(len(t.split()) for t in texts)},
+        })
 
     # -- audit ------------------------------------------------------------------------------------------------
 

@@ -127,7 +127,9 @@ def _segment_sum_runs(ids: jax.Array, w: jax.Array):
     return sorted_ids, totals
 
 
-@functools.partial(jax.jit, static_argnames=("k", "has_mask"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "has_mask", "postings_per_query_term")
+)
 def inverted_bm25_search(
     query_terms: jax.Array,  # [B, Q] int32, pad = vocab_size
     query_idf: jax.Array,  # [B, Q] f32
@@ -135,15 +137,24 @@ def inverted_bm25_search(
     k: int,
     mask: Optional[jax.Array] = None,  # [N] bool keep-mask
     has_mask: Optional[bool] = None,
+    postings_per_query_term: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Top-k BM25 via the inverted index; same contract as bm25_search."""
+    """Top-k BM25 via the inverted index; same contract as bm25_search.
+
+    ``postings_per_query_term`` optionally caps how many postings each
+    query term contributes at QUERY time (rows are impact-sorted, so the
+    cap keeps the highest-impact prefix) — it bounds the aggregation sort
+    width to B x (Q * cap) independent of the index's build-time P.
+    """
     if has_mask is None:
         has_mask = mask is not None
     bsz, q = query_terms.shape
     p = index.postings_per_term
+    if postings_per_query_term is not None:
+        p = min(p, postings_per_query_term)
 
-    ids = jnp.take(index.postings_ids, query_terms, axis=0)  # [B, Q, P]
-    imp = jnp.take(index.postings_impact, query_terms, axis=0).astype(
+    ids = jnp.take(index.postings_ids[:, :p], query_terms, axis=0)  # [B,Q,P]
+    imp = jnp.take(index.postings_impact[:, :p], query_terms, axis=0).astype(
         jnp.float32
     )
     w = imp * query_idf[..., None]  # [B, Q, P]

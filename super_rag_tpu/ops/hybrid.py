@@ -91,6 +91,7 @@ def _rrf_on_device(
     static_argnames=(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
+        "postings_per_query_term", "int8_queries",
     ),
 )
 def hybrid_search(
@@ -114,6 +115,8 @@ def hybrid_search(
     dense_tile: int = 2048,
     block_size: int = 8192,
     bm25_block_size: int = 4096,
+    postings_per_query_term: Optional[int] = None,
+    int8_queries: bool = False,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k)."""
@@ -122,7 +125,8 @@ def hybrid_search(
 
     if use_pallas:
         dv, di = pallas_dense_topk(
-            query_emb, dense, k=kc, metric=metric, mask=mask, tile=dense_tile
+            query_emb, dense, k=kc, metric=metric, mask=mask, tile=dense_tile,
+            int8_queries=int8_queries,
         )
     else:
         dv, di = dense_search(
@@ -137,6 +141,7 @@ def hybrid_search(
         lv, li = inverted_bm25_search(
             query_terms, query_idf, inverted, k=kc, mask=mask,
             has_mask=mask is not None,
+            postings_per_query_term=postings_per_query_term,
         )
         return _rrf_on_device(dv, di.astype(jnp.int32), lv,
                               li.astype(jnp.int32), k, rrf_k)
