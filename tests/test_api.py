@@ -465,3 +465,37 @@ def test_archive_upload(client, collection):
     r = client.post(f"/api/v1/collections/{collection['id']}/searches",
                     json={"query": "narwhal beluga", "top_k": 1})
     assert "narwhal" in r.json()["items"][0]["text"]
+
+
+def test_two_phase_upload(client, collection):
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents/upload",
+        files={"file": ("staged.md", b"# Staged\n\nplatypus echidna.",
+                        "text/markdown")},
+    )
+    assert r.status_code == 201, r.text
+    staged = r.json()[0]
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents/confirm",
+        json=[{"upload_id": staged["upload_id"], "name": staged["name"]}],
+    )
+    assert r.status_code == 201, r.text
+    r = client.post(f"/api/v1/collections/{collection['id']}/searches",
+                    json={"query": "platypus echidna", "top_k": 1})
+    assert "platypus" in r.json()["items"][0]["text"]
+    # confirming again fails: staged object consumed
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents/confirm",
+        json=[{"upload_id": staged["upload_id"], "name": staged["name"]}],
+    )
+    assert r.status_code == 404
+
+
+def test_embeddings_endpoint(client):
+    r = client.post("/v1/embeddings", json={"input": ["hello", "world"]})
+    assert r.status_code == 200
+    data = r.json()["data"]
+    assert len(data) == 2 and len(data[0]["embedding"]) > 0
+    assert data[1]["index"] == 1
+    r = client.post("/v1/embeddings", json={"input": []})
+    assert r.status_code == 422
