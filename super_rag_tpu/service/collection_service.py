@@ -96,32 +96,34 @@ class CollectionService:
         """Programmatic DAG: start -> recall branches -> merge -> rerank
         (reference collection_service.py:264-331)."""
         recall_k = max(top_k, candidates if use_rerank else top_k)
-        nodes = [
-            NodeInstance("start", "start"),
-            NodeInstance(
-                "vector_search", "vector_search",
-                input_values={
-                    "top_k": recall_k,
-                    "similarity_threshold": similarity_threshold,
-                    "collection_ids": collection_ids,
-                },
-            ),
-        ]
-        edges = [Edge("start", "vector_search", target_handle="query")]
-        merge_inputs: dict = {
-            "vector_docs": "{{ nodes.vector_search.output.docs }}",
-            "strategy": "rrf",
-        }
+        nodes = [NodeInstance("start", "start")]
+        edges = []
         if use_fulltext:
+            # ONE fused device program (hybrid_search node) — dense ⊕
+            # BM25 ⊕ RRF with no host hops between stages
+            recall_node = "hybrid_search"
             nodes.append(
                 NodeInstance(
-                    "fulltext_search", "fulltext_search",
-                    input_values={"top_k": recall_k,
+                    "hybrid_search", "hybrid_search",
+                    input_values={"top_k": recall_k, "candidates": recall_k,
                                   "collection_ids": collection_ids},
                 )
             )
-            edges.append(Edge("start", "fulltext_search", target_handle="query"))
-            merge_inputs["fulltext_docs"] = "{{ nodes.fulltext_search.output.docs }}"
+        else:
+            recall_node = "vector_search"
+            nodes.append(
+                NodeInstance(
+                    "vector_search", "vector_search",
+                    input_values={
+                        "top_k": recall_k,
+                        "similarity_threshold": similarity_threshold,
+                        "collection_ids": collection_ids,
+                    },
+                )
+            )
+        edges.append(Edge("start", recall_node, target_handle="query"))
+
+        rerank_source = recall_node
         if use_graph:
             nodes.append(
                 NodeInstance(
@@ -131,19 +133,29 @@ class CollectionService:
                 )
             )
             edges.append(Edge("start", "graph_search", target_handle="query"))
-            merge_inputs["graph_docs"] = "{{ nodes.graph_search.output.docs }}"
-        nodes.append(NodeInstance("merge", "merge", input_values=merge_inputs))
-        for br in ("vector_search", "fulltext_search", "graph_search"):
-            if any(n.id == br for n in nodes):
-                edges.append(Edge(br, "merge", target_handle="docs"))
+            nodes.append(
+                NodeInstance(
+                    "merge", "merge",
+                    input_values={
+                        "docs": f"{{{{ nodes.{recall_node}.output.docs }}}}",
+                        "graph_docs": "{{ nodes.graph_search.output.docs }}",
+                    },
+                )
+            )
+            edges.append(Edge(recall_node, "merge", target_handle="docs"))
+            edges.append(Edge("graph_search", "merge",
+                              target_handle="graph_docs"))
+            rerank_source = "merge"
         nodes.append(
             NodeInstance(
                 "rerank", "rerank",
-                input_values={"docs": "{{ nodes.merge.output.docs }}",
-                              "top_k": top_k},
+                input_values={
+                    "docs": f"{{{{ nodes.{rerank_source}.output.docs }}}}",
+                    "top_k": top_k,
+                },
             )
         )
-        edges.append(Edge("merge", "rerank", target_handle="docs"))
+        edges.append(Edge(rerank_source, "rerank", target_handle="docs"))
         return NodeflowInstance(name="search", nodes=nodes, edges=edges)
 
     async def execute_search(
