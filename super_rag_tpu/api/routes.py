@@ -771,6 +771,37 @@ def build_router(ctx: AppContext) -> Router:
         chats.delete(user["username"], req.path_params["chat_id"])
         return Response.no_content()
 
+    @router.post("/api/v1/chats/{chat_id}/documents")
+    async def upload_chat_file(req: Request) -> Response:
+        """Chat-scoped upload (reference api/chat.py:358)."""
+        user = me(req)
+        created = []
+        for part in req.multipart():
+            if part["filename"]:
+                created.append(
+                    chats.upload_chat_file(
+                        user["username"], req.path_params["chat_id"],
+                        part["filename"], part["data"],
+                    )
+                )
+        if not created:
+            raise HttpError(422, "no files in upload")
+        return Response.json(created, status=201)
+
+    @router.post("/api/v1/chats/{chat_id}/files/search")
+    async def search_chat_files(req: Request) -> Response:
+        """Chat-file search (reference api/chat.py:311)."""
+        user = me(req)
+        b = req.json()
+        if not b.get("query"):
+            raise HttpError(422, "query required")
+        return Response.json(
+            await chats.search_chat_files(
+                user["username"], req.path_params["chat_id"], b["query"],
+                top_k=b.get("top_k", 5),
+            )
+        )
+
     @router.post("/api/v1/chats/{chat_id}/messages/{mid}/feedback")
     async def message_feedback(req: Request) -> Response:
         user = me(req)

@@ -113,6 +113,43 @@ class ChatService:
         )
         yield {"event": "done", "data": {"message_id": msg["id"]}}
 
+    # -- chat-scoped documents (reference chat_collection_service +
+    # chat_document_service: a per-user chat collection holds files
+    # uploaded into chats, searchable only within that chat) -------------
+
+    def _chat_collection(self, user: str) -> dict:
+        title = f"__chat_files__{user}"
+        row = self.ctx.db.query_one(
+            "SELECT * FROM collection WHERE user=? AND title=?"
+            " AND status != 'DELETED'",
+            (user, title),
+        )
+        if row is not None:
+            import json as _json
+
+            row["config"] = _json.loads(row["config"]) if isinstance(
+                row["config"], str) else row["config"]
+            return row
+        return self.collections.create(user, title,
+                                       description="chat file uploads")
+
+    def upload_chat_file(self, user: str, chat_id: str, name: str,
+                         data: bytes) -> dict:
+        self.get(user, chat_id)
+        coll = self._chat_collection(user)
+        from super_rag_tpu.service.document_service import DocumentService
+
+        docs = DocumentService(self.ctx, self.collections)
+        return docs.create(user, coll["id"], name, data, chat_id=chat_id)
+
+    async def search_chat_files(self, user: str, chat_id: str, query: str,
+                                top_k: int = 5) -> dict:
+        self.get(user, chat_id)
+        coll = self._chat_collection(user)
+        return await self.collections.execute_search(
+            user, coll["id"], query, top_k=top_k, chat_id=chat_id,
+        )
+
     async def _make_title(self, first_message: str) -> str:
         """Title from the first message (reference chat_title_service:
         LLM-generated with truncation fallback)."""

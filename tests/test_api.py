@@ -499,3 +499,23 @@ def test_embeddings_endpoint(client):
     assert data[1]["index"] == 1
     r = client.post("/v1/embeddings", json={"input": []})
     assert r.status_code == 422
+
+
+def test_chat_file_upload_and_search(client):
+    chat_id = client.post("/api/v1/chats", json={"title": "files"}).json()["id"]
+    r = client.post(
+        f"/api/v1/chats/{chat_id}/documents",
+        files={"file": ("notes.md", b"# N\n\nquetzal resplendent bird.",
+                        "text/markdown")},
+    )
+    assert r.status_code == 201, r.text
+    r = client.post(f"/api/v1/chats/{chat_id}/files/search",
+                    json={"query": "quetzal bird"})
+    assert r.status_code == 200, r.text
+    assert "quetzal" in r.json()["items"][0]["text"]
+    # another chat must NOT see this file
+    other = client.post("/api/v1/chats", json={"title": "other"}).json()["id"]
+    r = client.post(f"/api/v1/chats/{other}/files/search",
+                    json={"query": "quetzal bird"})
+    items = r.json()["items"]
+    assert not items or "quetzal" not in items[0]["text"]
