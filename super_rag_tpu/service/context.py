@@ -9,6 +9,8 @@ test) and handed to services/routes.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -63,6 +65,26 @@ def build_context(
     resolver = ModelResolver(db)
 
     def embedder_factory(config: dict):
+        spec = config.get("embedding", {}) or {}
+        if spec.get("provider") == "onboard":
+            # the on-TPU flax encoder (BASELINE north star); model =
+            # checkpoint path from scripts/train_encoder.py, or empty for
+            # a fresh random-init encoder
+            from super_rag_tpu.models.encoder_service import EncoderService
+
+            ckpt = spec.get("model", "")
+            try:
+                if ckpt and os.path.exists(ckpt + ".npz"):
+                    return EncoderService.from_checkpoint(ckpt)
+                if ckpt and os.path.isdir(ckpt):
+                    return EncoderService.from_hf_checkpoint(ckpt)
+                return EncoderService()
+            except Exception:  # noqa: BLE001 — fall through to hash
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "onboard encoder load failed; using hash embedder"
+                )
         client = resolver.embedding_client(config)
         if client is not None:
             try:
@@ -70,7 +92,7 @@ def build_context(
                 return RemoteEmbedder(client)
             except Exception:  # noqa: BLE001 — provider unreachable
                 pass
-        dim = int(config.get("embedding", {}).get("dim", cfg.embedding_dim))
+        dim = int(spec.get("dim", cfg.embedding_dim))
         return HashEmbedder(dim=dim)
 
     def reranker_factory(config: dict):
