@@ -44,10 +44,23 @@ class App:
         await self.server.start(host or self.cfg.host,
                                 port if port is not None else self.cfg.port)
         self.ctx.reconciler.start_periodic(self.cfg.reconcile_interval_s)
+        self._snapshot_task = asyncio.create_task(self._periodic_snapshots())
         logger.info("super_rag_tpu listening on %s:%s",
                     self.cfg.host, self.server.port)
 
+    async def _periodic_snapshots(self, interval_s: float = 900.0) -> None:
+        """Flush device indexes to disk so a crash never rebuilds HBM
+        state from scratch (snapshots also happen on clean stop)."""
+        while True:
+            await asyncio.sleep(interval_s)
+            try:
+                await asyncio.to_thread(self.ctx.engines.snapshot_all)
+            except Exception:  # noqa: BLE001
+                logger.exception("periodic snapshot failed")
+
     async def stop(self) -> None:
+        if getattr(self, "_snapshot_task", None) is not None:
+            self._snapshot_task.cancel()
         self.ctx.reconciler.stop()
         self.ctx.scheduler.wait_idle(timeout=30)
         self.ctx.scheduler.shutdown()
