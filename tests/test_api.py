@@ -519,3 +519,11 @@ def test_chat_file_upload_and_search(client):
                     json={"query": "quetzal bird"})
     items = r.json()["items"]
     assert not items or "quetzal" not in items[0]["text"]
+
+
+def test_metrics_endpoint(client):
+    r = client.get("/metrics")
+    assert r.status_code == 200
+    body = r.text
+    assert "super_rag_http_requests_total" in body
+    assert "super_rag_documents_total" in body
