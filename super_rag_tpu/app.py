@@ -37,6 +37,9 @@ class App:
             register_mcp_routes(self.router, self.ctx)
         except ImportError:
             pass
+        from super_rag_tpu.api.webui import register_webui_routes
+
+        register_webui_routes(self.router)
         self.server = HttpServer(self.router)
 
     async def start(self, host: Optional[str] = None,

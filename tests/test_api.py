@@ -527,3 +527,9 @@ def test_metrics_endpoint(client):
     body = r.text
     assert "super_rag_http_requests_total" in body
     assert "super_rag_documents_total" in body
+
+
+def test_web_ui_served(server):
+    r = httpx.get(server.base + "/")
+    assert r.status_code == 200
+    assert "super-rag-tpu" in r.text and "hybrid search" in r.text
