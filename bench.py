@@ -133,8 +133,9 @@ def main():
             use_pallas=on_tpu, dense_tile=tile,
             block_size=262_144 if on_tpu else 8_192,
             bm25_block_size=4_096,
-            postings_per_query_term=512,
+            postings_per_query_term=256,
             int8_queries=on_tpu,
+            per_tile_k=8 if on_tpu else None,
         )
 
     def sync(out):

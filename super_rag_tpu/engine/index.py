@@ -23,6 +23,7 @@ Row metadata (chunk text, ids) stays host-side, keyed by row number.
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
@@ -106,6 +107,18 @@ def _filter_mask(
     return m
 
 
+
+
+def _locked(fn):
+    """Serialize index mutations and queries (see _mutex note)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutex:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
 class DeviceIndex:
     """One collection's hybrid index on one chip (sharding: parallel/)."""
 
@@ -127,6 +140,13 @@ class DeviceIndex:
         self._ivf = None
         self._ivf_upto = 0
         self._ivf_nprobe = 16
+        # guards mutations vs queries: inserts DONATE device buffers
+        # (in-place dynamic_update_slice), which invalidates any array
+        # reference a concurrently-dispatching query captured — a real
+        # race with the background ThreadScheduler (RuntimeError 'Array
+        # has been deleted'). Queries and mutations serialize here; the
+        # device executes one program at a time anyway.
+        self._mutex = threading.RLock()
         self._alloc(spec.min_capacity)
 
     # -- storage management ------------------------------------------------
@@ -181,6 +201,7 @@ class DeviceIndex:
 
     # -- mutation ------------------------------------------------------------
 
+    @_locked
     def add(
         self,
         embeddings: np.ndarray | jax.Array,  # [M, dim] float
@@ -259,6 +280,7 @@ class DeviceIndex:
         self.size = start + m
         return rows
 
+    @_locked
     def delete(self, rows: Sequence[int]) -> None:
         if not rows:
             return
@@ -309,6 +331,7 @@ class DeviceIndex:
             values=self.emb, scales=self.scales, norms_sq=self.norms_sq
         )
 
+    @_locked
     def compact_dense(self, nlist: Optional[int] = None, nprobe: int = 16,
                       kmeans_iters: int = 8) -> None:
         """Build/refresh the IVF snapshot over the live rows (opt-in; the
@@ -332,6 +355,7 @@ class DeviceIndex:
         self._ivf_upto = n
         self._ivf_nprobe = nprobe
 
+    @_locked
     def search_dense(
         self,
         query_emb: jax.Array,  # [B, dim]
@@ -376,6 +400,7 @@ class DeviceIndex:
             mask=mask,
         )
 
+    @_locked
     def compact_lexical(self, postings_per_term: int = 256) -> None:
         """(Re)build the inverted lexical snapshot from the live rows.
 
@@ -412,6 +437,7 @@ class DeviceIndex:
             qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
         return jnp.asarray(qt), jnp.asarray(qi)
 
+    @_locked
     def search_bm25(
         self,
         queries: Sequence[str],
@@ -454,6 +480,7 @@ class DeviceIndex:
             k,
         )
 
+    @_locked
     def search_hybrid(
         self,
         query_emb: jax.Array,  # [B, dim]
@@ -497,6 +524,7 @@ class DeviceIndex:
 
     # -- snapshot / restore ----------------------------------------------------
 
+    @_locked
     def snapshot_state(self) -> tuple[dict, dict]:
         """(arrays, host_state) — see engine/snapshot.py for file IO."""
         arrays = {

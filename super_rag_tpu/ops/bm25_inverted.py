@@ -153,8 +153,10 @@ def inverted_bm25_search(
     if postings_per_query_term is not None:
         p = min(p, postings_per_query_term)
 
-    ids = jnp.take(index.postings_ids[:, :p], query_terms, axis=0)  # [B,Q,P]
-    imp = jnp.take(index.postings_impact[:, :p], query_terms, axis=0).astype(
+    # gather the B*Q posting rows FIRST, then slice to the query-time cap
+    # (slicing the whole [V, P] table first would copy it every call)
+    ids = jnp.take(index.postings_ids, query_terms, axis=0)[..., :p]
+    imp = jnp.take(index.postings_impact, query_terms, axis=0)[..., :p].astype(
         jnp.float32
     )
     w = imp * query_idf[..., None]  # [B, Q, P]

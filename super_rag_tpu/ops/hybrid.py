@@ -91,7 +91,7 @@ def _rrf_on_device(
     static_argnames=(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
-        "postings_per_query_term", "int8_queries",
+        "postings_per_query_term", "int8_queries", "per_tile_k",
     ),
 )
 def hybrid_search(
@@ -117,6 +117,7 @@ def hybrid_search(
     bm25_block_size: int = 4096,
     postings_per_query_term: Optional[int] = None,
     int8_queries: bool = False,
+    per_tile_k: Optional[int] = None,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k)."""
@@ -126,7 +127,7 @@ def hybrid_search(
     if use_pallas:
         dv, di = pallas_dense_topk(
             query_emb, dense, k=kc, metric=metric, mask=mask, tile=dense_tile,
-            int8_queries=int8_queries,
+            int8_queries=int8_queries, per_tile_k=per_tile_k,
         )
     else:
         dv, di = dense_search(

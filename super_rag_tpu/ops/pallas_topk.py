@@ -100,7 +100,8 @@ def _make_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile", "interpret", "int8_queries"),
+    static_argnames=("k", "metric", "tile", "interpret", "int8_queries",
+                     "per_tile_k"),
 )
 def pallas_dense_topk(
     queries: jax.Array,
@@ -111,6 +112,7 @@ def pallas_dense_topk(
     tile: int = 1024,
     interpret: bool = False,
     int8_queries: bool = False,
+    per_tile_k: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused top-k search; same contract as ops.dense.dense_search.
 
@@ -128,6 +130,14 @@ def pallas_dense_topk(
 
     n = corpus.size
     k_eff = min(k, n)
+    # The in-kernel extraction costs k rounds of (max, argmax, suppress)
+    # per tile; for deep candidate lists (k ~ 100) cap the per-tile
+    # extraction and recover the global top-k from the tile-local
+    # candidates.  Exactness holds unless one tile holds more than
+    # ``kt`` of the global top-k (rows are insertion-ordered, so winners
+    # spread across tiles; the benches measure recall to keep this
+    # honest).  per_tile_k=None keeps the exact per-tile k.
+    kt = min(k_eff, per_tile_k) if per_tile_k is not None else k_eff
     pad = (-n) % tile
     values = jnp.pad(corpus.values, ((0, pad), (0, 0)))
     has_scales = corpus.scales is not None
@@ -175,7 +185,7 @@ def pallas_dense_topk(
         in_specs.append(row_spec)
 
     kernel = _make_kernel(
-        k_eff, tile, has_scales, has_norms, needs_mask,
+        kt, tile, has_scales, has_norms, needs_mask,
         int8_queries=int8_queries,
     )
     bytes_per = jnp.dtype(values.dtype).itemsize
@@ -184,12 +194,12 @@ def pallas_dense_topk(
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, b, k_eff), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, k_eff), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, kt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, kt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, b, k_eff), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, b, k_eff), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, b, kt), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, b, kt), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             # default scoped-vmem cap is 16MB; large tiles need more
@@ -203,9 +213,9 @@ def pallas_dense_topk(
         interpret=interpret,
     )(*inputs)
 
-    # Merge tile-local candidates: [num_tiles, B, k] -> [B, k].
-    cv = jnp.moveaxis(vals, 0, 1).reshape(b, num_tiles * k_eff)
-    ci = jnp.moveaxis(idxs, 0, 1).reshape(b, num_tiles * k_eff)
+    # Merge tile-local candidates: [num_tiles, B, kt] -> [B, k].
+    cv = jnp.moveaxis(vals, 0, 1).reshape(b, num_tiles * kt)
+    ci = jnp.moveaxis(idxs, 0, 1).reshape(b, num_tiles * kt)
     fv, pos = jax.lax.top_k(cv, k_eff)
     fi = jnp.take_along_axis(ci, pos, axis=-1)
     return fv, fi

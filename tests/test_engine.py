@@ -137,3 +137,43 @@ def test_snapshot_restore(tmp_path, engine):
 def test_empty_engine_search():
     eng = CollectionEngine(IndexSpec(dim=16, dtype=jnp.float32, vocab_size=1 << 14))
     assert eng.search("anything", top_k=3) == []
+
+
+def test_concurrent_insert_and_search_race():
+    """Background inserts donate device buffers; concurrent searches must
+    never observe a deleted array (the index serializes internally)."""
+    import threading
+
+    eng = CollectionEngine(IndexSpec(dim=16, dtype=jnp.float32,
+                                     min_capacity=512, vocab_size=1 << 14))
+    eng.ingest([f"seed doc {i} fox" for i in range(20)])
+    errors = []
+    stop = threading.Event()
+
+    def inserter():
+        i = 0
+        while not stop.is_set() and i < 30:
+            try:
+                eng.ingest([f"new doc {i} badger"])
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+            i += 1
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                eng.search("fox badger", top_k=3, mode="hybrid")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=inserter)] + [
+        threading.Thread(target=searcher) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    threads[0].join(30)
+    stop.set()
+    for t in threads[1:]:
+        t.join(10)
+    assert not errors, errors[:2]

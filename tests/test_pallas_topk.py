@@ -73,3 +73,19 @@ def test_int8_queries_recall(rng):
         for a, b in zip(np.asarray(qi), np.asarray(gi))
     ])
     assert recall >= 0.9, f"int8-query recall {recall}"
+
+
+def test_per_tile_k_cap(rng):
+    """Capped per-tile extraction still recovers the global top-k on
+    insertion-ordered data."""
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    c = rng.standard_normal((2048, 64)).astype(np.float32)
+    corpus = build_corpus(jnp.asarray(c), dtype=jnp.float32)
+    gv, gi = dense_search(jnp.asarray(q), corpus, k=50)
+    pv, pi = pallas_dense_topk(jnp.asarray(q), corpus, k=50, tile=256,
+                               interpret=True, per_tile_k=16)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 50
+        for a, b in zip(np.asarray(pi), np.asarray(gi))
+    ])
+    assert recall >= 0.95, recall
