@@ -520,6 +520,12 @@ class DeviceIndex:
             mask=self._mask(flt),
             rrf_k=rrf_k,
             use_pallas=use_pallas,
+            # deep candidate lists: cap the in-kernel extraction (profiled
+            # 6x batch-latency win at candidates=100) and the postings
+            # contribution per query term
+            per_tile_k=8 if (use_pallas and candidates >= 32) else None,
+            postings_per_query_term=256,
+            int8_queries=use_pallas and self.spec.dtype == jnp.int8,
         )
 
     # -- snapshot / restore ----------------------------------------------------
