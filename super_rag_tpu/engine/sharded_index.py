@@ -155,6 +155,43 @@ class ShardedDeviceIndex:
             self.valid & jnp.asarray(mask), row_sharding(self.mesh, 1)
         )
 
+    # -- lexical compaction (per-shard inverted postings) --------------------
+
+    def compact_lexical(self, postings_per_term: int = 256) -> None:
+        """Build per-shard inverted postings [n_dev, V+1, P] (local doc
+        ids within each shard), placed sharded over the corpus axis so
+        the SPMD query reads only its own shard's tables."""
+        from super_rag_tpu.ops.bm25_inverted import build_inverted
+
+        if self.size == 0:
+            return
+        shard_rows = self._capacity // self.n_dev
+        terms_np = np.asarray(self.terms)
+        tfs_np = np.asarray(self.tfs.astype(jnp.float32))
+        dl_np = np.asarray(self.doc_len)
+        avgdl = self.df.avgdl
+        ids_blocks, imp_blocks = [], []
+        for dev in range(self.n_dev):
+            lo = dev * shard_rows
+            hi = min((dev + 1) * shard_rows, self._capacity)
+            inv = build_inverted(
+                terms_np[lo:hi], tfs_np[lo:hi], dl_np[lo:hi],
+                self.spec.vocab_size, postings_per_term=postings_per_term,
+                avgdl=avgdl,
+            )
+            ids_blocks.append(np.asarray(inv.postings_ids))
+            imp_blocks.append(
+                np.asarray(inv.postings_impact.astype(jnp.float32))
+            )
+        sharding = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None))
+        self._inv_ids = jax.device_put(
+            jnp.asarray(np.stack(ids_blocks)), sharding
+        )
+        self._inv_impact = jax.device_put(
+            jnp.asarray(np.stack(imp_blocks), jnp.bfloat16), sharding
+        )
+        self._inverted_upto = self.size
+
     # -- query -------------------------------------------------------------
 
     def search_hybrid(self, query_emb, queries: Sequence[str], k: int,
@@ -163,12 +200,22 @@ class ShardedDeviceIndex:
         qi = np.zeros((len(queries), max_terms), np.float32)
         for i, q in enumerate(queries):
             qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
+        # the per-shard inverted snapshot is used only when it covers every
+        # row (inserts after compaction fall back to doc-major scanning)
+        inv_ok = (
+            getattr(self, "_inv_ids", None) is not None
+            and getattr(self, "_inverted_upto", 0) == self.size
+        )
+        dummy = jnp.zeros((), jnp.float32)
         return sharded_hybrid_search(
             jnp.asarray(np.asarray(query_emb)),
             jnp.asarray(qt), jnp.asarray(qi),
             self.emb, self.scales, self.terms, self.tfs, self.doc_len,
             self.valid, jnp.float32(self.df.avgdl),
+            self._inv_ids if inv_ok else dummy,
+            self._inv_impact if inv_ok else dummy,
             mesh=self.mesh, vocab_size=self.spec.vocab_size, k=k,
             candidates=candidates, metric=self.spec.metric,
             has_scales=self.scales is not None,
+            has_inverted=inv_ok,
         )

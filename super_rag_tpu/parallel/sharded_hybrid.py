@@ -28,7 +28,8 @@ from super_rag_tpu.parallel.mesh import CORPUS_AXIS
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "vocab_size", "k", "candidates", "metric",
-                     "block_size", "has_scales"),
+                     "block_size", "has_scales", "has_inverted",
+                     "postings_per_query_term"),
 )
 def sharded_hybrid_search(
     query_emb: jax.Array,  # [B, D] replicated
@@ -41,6 +42,8 @@ def sharded_hybrid_search(
     doc_len: jax.Array,  # [N] row-sharded
     valid: jax.Array,  # [N] bool row-sharded
     avgdl: jax.Array,  # scalar
+    inv_ids: Optional[jax.Array] = None,  # [n_dev, V+1, P] shard postings
+    inv_impact: Optional[jax.Array] = None,  # [n_dev, V+1, P]
     *,
     mesh: Mesh,
     vocab_size: int,
@@ -49,6 +52,8 @@ def sharded_hybrid_search(
     metric: Metric = Metric.COSINE,
     block_size: int = 4096,
     has_scales: bool = False,
+    has_inverted: bool = False,
+    postings_per_query_term: Optional[int] = 256,
 ) -> HybridResult:
     n_dev = mesh.devices.size
     shard_rows = values.shape[0] // n_dev
@@ -64,18 +69,36 @@ def sharded_hybrid_search(
         row,  # doc_len
         row,  # valid
         P(),  # avgdl
+        P(CORPUS_AXIS, None, None) if has_inverted else P(),  # inv ids
+        P(CORPUS_AXIS, None, None) if has_inverted else P(),  # inv impact
     )
 
-    def local(qe, qt, qi, v, s, t, f, dl, keep, ad):
+    def local(qe, qt, qi, v, s, t, f, dl, keep, ad, iids, iimp):
         shard_id = jax.lax.axis_index(CORPUS_AXIS)
         base = shard_id * shard_rows
         corpus = DenseCorpus(values=v, scales=s if has_scales else None)
         dv, di = dense_search(qe, corpus, k=kc, metric=metric, mask=keep,
                               block_size=block_size)
-        lv, li = bm25_search(
-            qt, qi, LexicalCorpus(terms=t, tfs=f, doc_len=dl), ad,
-            vocab_size=vocab_size, k=kc, mask=keep, block_size=block_size,
-        )
+        if has_inverted:
+            # per-shard inverted postings (local doc ids); the validity
+            # mask is the shard's slice
+            from super_rag_tpu.ops.bm25_inverted import (
+                InvertedIndex,
+                inverted_bm25_search,
+            )
+
+            inv = InvertedIndex(postings_ids=iids[0],
+                                postings_impact=iimp[0],
+                                num_docs=shard_rows)
+            lv, li = inverted_bm25_search(
+                qt, qi, inv, k=kc, mask=keep, has_mask=True,
+                postings_per_query_term=postings_per_query_term,
+            )
+        else:
+            lv, li = bm25_search(
+                qt, qi, LexicalCorpus(terms=t, tfs=f, doc_len=dl), ad,
+                vocab_size=vocab_size, k=kc, mask=keep, block_size=block_size,
+            )
         di = (di + base).astype(jnp.int32)
         li = (li + base).astype(jnp.int32)
         # candidates ride ICI; [n_dev, B, kc] each
@@ -105,5 +128,7 @@ def sharded_hybrid_search(
     s_, i_, d_, b_ = fn(
         query_emb, query_terms, query_idf, values,
         scales if has_scales else dummy, terms, tfs, doc_len, valid, avgdl,
+        inv_ids if has_inverted else dummy,
+        inv_impact if has_inverted else dummy,
     )
     return HybridResult(scores=s_, indices=i_, dense_scores=d_, bm25_scores=b_)

@@ -91,3 +91,19 @@ def test_sharded_int8(eight_devices):
     q = np.asarray(emb.embed(["int8 sharded doc 42"]))
     res = idx.search_hybrid(q, ["int8 sharded doc 42"], k=1)
     assert np.asarray(res.indices)[0, 0] == 42
+
+
+def test_sharded_inverted_compaction(pair):
+    """Per-shard inverted postings must reproduce the doc-major results."""
+    sharded, local, emb = pair
+    queries = ["fox jumping", "systolic matrices"]
+    q = np.asarray(emb.embed(queries))
+    before = sharded.search_hybrid(q, queries, k=5, candidates=20)
+    sharded.compact_lexical(postings_per_term=64)
+    after = sharded.search_hybrid(q, queries, k=5, candidates=20)
+    np.testing.assert_array_equal(np.asarray(before.indices),
+                                  np.asarray(after.indices))
+    np.testing.assert_allclose(np.asarray(before.scores),
+                               np.asarray(after.scores), rtol=2e-2, atol=1e-3)
+    # postings tables really live sharded
+    assert len(sharded._inv_ids.sharding.device_set) == 8
