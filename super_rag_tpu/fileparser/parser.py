@@ -17,14 +17,9 @@ from super_rag_tpu.fileparser.markdown import MarkdownParser, TextParser
 
 
 def _optional_parsers() -> list[BaseParser]:
-    out: list[BaseParser] = []
-    try:  # pragma: no cover - heavy optional dep
-        from super_rag_tpu.fileparser.pdf import PdfParser
+    from super_rag_tpu.fileparser.pdf import PdfParser
 
-        out.append(PdfParser())
-    except Exception:
-        pass
-    return out
+    return [PdfParser()]
 
 
 class DocParser:
