@@ -505,6 +505,11 @@ class DeviceIndex:
             if self._inverted is not None and self._inverted_upto == self.size
             else None
         )
+        ivf = (
+            self._ivf
+            if self._ivf is not None and self._ivf_upto == self.size
+            else None
+        )
         return hybrid_search(
             query_emb,
             qt,
@@ -520,6 +525,8 @@ class DeviceIndex:
             mask=self._mask(flt),
             rrf_k=rrf_k,
             use_pallas=use_pallas,
+            ivf=ivf,
+            nprobe=self._ivf_nprobe,
             # deep candidate lists: cap the in-kernel extraction (profiled
             # 6x batch-latency win at candidates=100) and the postings
             # contribution per query term

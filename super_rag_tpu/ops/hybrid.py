@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from super_rag_tpu.ops.bm25 import LexicalCorpus, _bm25_block, _idf_table
 from super_rag_tpu.ops.bm25_inverted import InvertedIndex, inverted_bm25_search
 from super_rag_tpu.ops.dense import DenseCorpus, Metric, dense_search
+from super_rag_tpu.ops.ivf import IVFIndex, ivf_search
 from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
 
 NEG_INF = float("-inf")
@@ -91,7 +92,7 @@ def _rrf_on_device(
     static_argnames=(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
-        "postings_per_query_term", "int8_queries", "per_tile_k",
+        "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
     ),
 )
 def hybrid_search(
@@ -102,6 +103,7 @@ def hybrid_search(
     lexical: Optional[LexicalCorpus],
     avgdl: jax.Array,  # scalar f32
     inverted: Optional[InvertedIndex] = None,
+    ivf: Optional[IVFIndex] = None,
     *,
     vocab_size: int,
     k: int,
@@ -118,13 +120,21 @@ def hybrid_search(
     postings_per_query_term: Optional[int] = None,
     int8_queries: bool = False,
     per_tile_k: Optional[int] = None,
+    nprobe: int = 32,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
-    depth feeding RRF (reference default 100 -> rerank -> top_k)."""
+    depth feeding RRF (reference default 100 -> rerank -> top_k).
+
+    Dense branch tiers: IVF (``ivf`` given — bytes/query ~ nprobe/nlist,
+    the latency tier) > fused Pallas flat (``use_pallas``) > blocked XLA.
+    """
     n = dense.size
     kc = min(candidates, n)
 
-    if use_pallas:
+    if ivf is not None:
+        dv, di = ivf_search(query_emb, ivf, k=kc, nprobe=nprobe,
+                            mask=mask, metric=metric)
+    elif use_pallas:
         dv, di = pallas_dense_topk(
             query_emb, dense, k=kc, metric=metric, mask=mask, tile=dense_tile,
             int8_queries=int8_queries, per_tile_k=per_tile_k,

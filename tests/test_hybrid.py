@@ -96,3 +96,19 @@ def test_autocompacted_inverted_matches_doc_major(rng):
     eng.ingest(["a brand new doc about quokkas"])
     hits = eng.search("quokkas", top_k=2, mode="fulltext")
     assert hits and "quokkas" in hits[0].text
+
+
+def test_hybrid_with_ivf_tier(rng):
+    """IVF-backed hybrid matches flat hybrid at nprobe=nlist."""
+    import jax.numpy as jnp_
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp_.float32,
+                                     vocab_size=1 << 14))
+    docs = [f"doc {i} about topic{i % 10}" for i in range(400)]
+    eng.ingest(docs)
+    flat = eng.search("doc about topic3", top_k=5, mode="hybrid")
+    # compact only the dense tier: at nprobe=nlist the IVF branch is
+    # exact, so the fused result must be identical (lexical compaction
+    # would reorder bm25 ties via bf16 impact rounding — separate test)
+    eng.index.compact_dense(nlist=8, nprobe=8, kmeans_iters=3)
+    ivf = eng.search("doc about topic3", top_k=5, mode="hybrid")
+    assert {h.row for h in flat} == {h.row for h in ivf}
