@@ -47,6 +47,11 @@ class App:
         await self.server.start(host or self.cfg.host,
                                 port if port is not None else self.cfg.port)
         self.ctx.reconciler.start_periodic(self.cfg.reconcile_interval_s)
+        # startup recovery: ACTIVE indexes whose device rows were lost
+        # (deleted snapshots, crash before flush) are requeued and rebuilt
+        await asyncio.to_thread(
+            self.ctx.reconciler.verify_engine_state, self.ctx.engines
+        )
         self._snapshot_task = asyncio.create_task(self._periodic_snapshots())
         logger.info("super_rag_tpu listening on %s:%s",
                     self.cfg.host, self.server.port)

@@ -540,8 +540,13 @@ class DeviceIndex:
     @_locked
     def snapshot_state(self) -> tuple[dict, dict]:
         """(arrays, host_state) — see engine/snapshot.py for file IO."""
+        emb = self.emb[: self.size]
+        if emb.dtype == jnp.bfloat16:
+            # npz cannot represent ml_dtypes.bfloat16 (round-trips as a
+            # raw void dtype); store f32 and re-cast on restore
+            emb = emb.astype(jnp.float32)
         arrays = {
-            "emb": np.asarray(self.emb[: self.size]),
+            "emb": np.asarray(emb),
             "terms": np.asarray(self.terms[: self.size]),
             "tfs": np.asarray(self.tfs[: self.size].astype(jnp.float32)),
             "doc_len": np.asarray(self.doc_len[: self.size]),

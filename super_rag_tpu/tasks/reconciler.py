@@ -115,6 +115,60 @@ class DocumentIndexReconciler:
         ).rowcount
         return n
 
+    def verify_engine_state(self, engines, db=None) -> int:
+        """Detect lost device state and re-drive (level-triggered recovery).
+
+        An index row can claim ACTIVE while the engine holds none of its
+        rows — e.g. snapshots were deleted or the process restarted before
+        a flush.  The desired state (DocumentIndex.version) outlives the
+        device, so reconciliation just needs observed_version reset; the
+        next pass rebuilds.  Returns the number of indexes requeued.
+        """
+        db = db or self.db
+        import json as _json
+
+        requeued = 0
+        by_coll: dict[str, list[dict]] = {}
+        rows = db.query(
+            "SELECT di.*, d.collection_id FROM document_index di"
+            " JOIN document d ON d.id = di.document_id"
+            " WHERE di.status='ACTIVE'"
+        )
+        for r in rows:
+            by_coll.setdefault(r["collection_id"], []).append(r)
+        for cid, idx_rows in by_coll.items():
+            coll = db.get_collection(cid)
+            if coll is None or coll["status"] == "DELETED":
+                continue
+            engine = engines.get(cid, coll["config"])
+            for r in idx_rows:
+                data = _json.loads(r["index_data"] or "{}")
+                claimed = data.get("rows", [])
+                if not claimed and not data.get("episodes"):
+                    continue
+                alive = any(
+                    row < len(engine.index.row_meta)
+                    and engine.index.row_meta[row] is not None
+                    and engine.index.row_meta[row].get("document_id")
+                    == r["document_id"]
+                    for row in claimed
+                )
+                if claimed and not alive:
+                    db.execute(
+                        "UPDATE document_index SET status='PENDING',"
+                        " observed_version=0, version=version+1, updated=?"
+                        " WHERE id=?",
+                        (time.time(), r["id"]),
+                    )
+                    requeued += 1
+        if requeued:
+            logger.warning(
+                "engine state lost for %d indexes; requeued for rebuild",
+                requeued,
+            )
+            self.reconcile_all()
+        return requeued
+
     def start_periodic(self, interval_s: float) -> None:
         def tick():
             try:

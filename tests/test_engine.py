@@ -177,3 +177,19 @@ def test_concurrent_insert_and_search_race():
     for t in threads[1:]:
         t.join(10)
     assert not errors, errors[:2]
+
+
+def test_snapshot_restore_bf16(tmp_path):
+    """bf16 storage must survive the npz round trip (ml_dtypes.bfloat16
+    saves as a raw void dtype unless converted)."""
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp.bfloat16,
+                                     vocab_size=1 << 14))
+    eng.ingest(["bf16 snapshot doc about pelicans"])
+    path = str(tmp_path / "bf16snap")
+    save_index(eng.index, path)
+    restored = load_index(path)
+    assert restored.emb.dtype == jnp.bfloat16
+    eng2 = CollectionEngine(restored.spec)
+    eng2.index = restored
+    hits = eng2.search("pelicans", top_k=1, mode="hybrid")
+    assert hits and "pelicans" in hits[0].text

@@ -199,3 +199,29 @@ def test_snapshot_roundtrip_via_manager(stack):
     eng = fresh.get(coll["id"], coll["config"])
     hits = eng.search("alpha bravo", top_k=1, mode="hybrid")
     assert hits
+
+
+def test_recovery_after_lost_snapshots(stack):
+    """ACTIVE indexes with lost device rows requeue and rebuild."""
+    cfg, db, objects, engines, rec = stack
+    coll = db.create_collection("kb", "alice")
+    doc = _create_doc(db, objects, coll)
+    rec.reconcile_all()
+    assert db.get_document_indexes(doc["id"])[0]["status"] == "ACTIVE"
+
+    # simulate a restart with no snapshots: fresh engine manager
+    from super_rag_tpu.engine.manager import EngineManager
+    fresh = EngineManager(cfg)
+    assert fresh.get(coll["id"], coll["config"]).index.size == 0
+
+    # in a real restart the whole context is fresh; point the index task
+    # at the new manager before verification (it rebuilds inline)
+    rec.scheduler.task.engines = fresh
+    requeued = rec.verify_engine_state(fresh)
+    assert requeued == 1
+    idx = db.get_document_indexes(doc["id"])[0]
+    assert idx["status"] == "ACTIVE" and idx["observed_version"] == idx["version"]
+    eng = fresh.get(coll["id"], coll["config"])
+    assert eng.search("alpha bravo", top_k=1, mode="hybrid")
+    # verify is idempotent once healthy
+    assert rec.verify_engine_state(fresh) == 0
