@@ -528,6 +528,23 @@ def build_router(ctx: AppContext) -> Router:
             )
         )
 
+    @router.post("/api/v1/workflows/run/stream")
+    async def run_workflow_stream(req: Request) -> Response:
+        """SSE stream of node events + final result (reference
+        flow_service SSE)."""
+        user = me(req)
+        body = req.json()
+
+        async def events():
+            async for ev in workflows.run_definition_streaming(
+                user["username"],
+                body.get("definition", body.get("workflow", {})),
+                body.get("inputs", {}),
+            ):
+                yield {"event": ev.get("event", "EVENT"), "data": ev}
+
+        return Response.sse(events())
+
     # -- nodeflow catalog ---------------------------------------------------------------------------------
 
     @router.get("/api/v1/nodeflow/node-types")

@@ -96,6 +96,61 @@ class WorkflowService:
             version=wf["version"],
         )
 
+    async def run_definition_streaming(self, user: str, definition: dict,
+                                       inputs: dict, workflow_id: str = "",
+                                       version: int = 1):
+        """Async generator of engine events + a final result event
+        (reference flow_service.py:84 SSE streaming)."""
+        import asyncio
+
+        queue: asyncio.Queue = asyncio.Queue()
+        flow, defaults = self.parser.parse(definition)
+        run = self.ctx.db.create_workflow_run(workflow_id, user, inputs, version)
+        recorder = WorkflowRunRecorder(self.ctx, run["id"])
+
+        def on_event(event: dict) -> None:
+            recorder(event)
+            queue.put_nowait(event)
+
+        engine = NodeflowEngine(on_event=on_event)
+        globals_ = {**defaults, **(inputs or {})}
+        sysin = SystemInput(query=str(globals_.get("query", "")), user=user,
+                            chat_id=globals_.get("chat_id"))
+
+        async def execute():
+            try:
+                ctx = await engine.execute_nodeflow(
+                    flow, sysin, globals_=globals_,
+                    services=self.ctx.services_for_nodeflow(),
+                )
+                outputs = {
+                    nid: (o.model_dump() if hasattr(o, "model_dump") else o)
+                    for nid, o in ctx.outputs.items()
+                }
+                self.ctx.db.finish_workflow_run(
+                    run["id"], WorkflowRunStatus.SUCCESS.value, outputs
+                )
+                queue.put_nowait({"event": "RESULT",
+                                  "run_id": run["id"],
+                                  "status": "SUCCESS", "outputs": outputs})
+            except Exception as e:  # noqa: BLE001
+                self.ctx.db.finish_workflow_run(
+                    run["id"], WorkflowRunStatus.FAILED.value, {}, error=str(e)
+                )
+                queue.put_nowait({"event": "RESULT", "run_id": run["id"],
+                                  "status": "FAILED", "error": str(e)})
+            queue.put_nowait(None)
+
+        task = asyncio.create_task(execute())
+        try:
+            while True:
+                ev = await queue.get()
+                if ev is None:
+                    break
+                yield ev
+        finally:
+            await task
+
     async def run_definition(self, user: str, definition: dict, inputs: dict,
                              workflow_id: str = "", version: int = 1) -> dict:
         """One-shot execution (reference api/flow.py:16 + flow_service)."""

@@ -533,3 +533,27 @@ def test_web_ui_served(server):
     r = httpx.get(server.base + "/")
     assert r.status_code == 200
     assert "super-rag-tpu" in r.text and "hybrid search" in r.text
+
+
+def test_workflow_sse_stream(client, collection):
+    defn = {
+        "name": "stream-wf",
+        "graph": {
+            "nodes": [
+                {"id": "start", "type": "start", "data": {}},
+                {"id": "hs", "type": "hybrid_search",
+                 "data": {"input_values": {"top_k": 2,
+                                            "collection_ids": [collection["id"]]}}},
+            ],
+            "edges": [{"source": "start", "target": "hs",
+                       "targetHandle": "query"}],
+        },
+    }
+    with client.stream("POST", "/api/v1/workflows/run/stream",
+                       json={"definition": defn,
+                             "inputs": {"query": "systolic arrays"}}) as r:
+        assert r.status_code == 200
+        events = [l[7:] for l in r.iter_lines() if l.startswith("event: ")]
+    assert events[0] == "FLOW_START"
+    assert "NODE_END" in events
+    assert events[-1] == "RESULT"
