@@ -1,0 +1,134 @@
+"""IVF latency-tier benchmark: clustered 1M corpus, small-batch hybrid.
+
+The flat kernel streams the whole corpus per batch (batch-32 latency
+~8.6 ms at 1M x 768); the IVF tier bounds bytes/query to ~nprobe/nlist.
+This script measures the fused IVF-hybrid latency and its recall against
+exact flat search on a CLUSTERED corpus (real embeddings cluster; uniform
+gaussian is the known-degenerate case for IVF).
+
+Run on TPU: python scripts/bench_ivf.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from super_rag_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from super_rag_tpu.ops.bm25 import LexicalCorpus
+    from super_rag_tpu.ops.bm25_inverted import build_inverted
+    from super_rag_tpu.ops.dense import build_corpus, dense_search
+    from super_rag_tpu.ops.hybrid import hybrid_search
+    from super_rag_tpu.ops.ivf import build_ivf, ivf_search
+
+    on_tpu = jax.default_backend() != "cpu"
+    n = 1_000_000 if on_tpu else 20_000
+    d = 768 if on_tpu else 64
+    n_centers = 1024 if on_tpu else 64
+    nlist = 8192 if on_tpu else 128
+    nprobe = 32
+    batch, k, cand = 32, 10, 100
+    slots, vocab = 64 if on_tpu else 16, 1 << 17 if on_tpu else 1 << 14
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 3.0
+    assign = rng.integers(0, n_centers, n)
+    emb = (centers[assign]
+           + rng.standard_normal((n, d)).astype(np.float32) * 1.0)
+
+    t0 = time.perf_counter()
+    ivf = build_ivf(jnp.asarray(emb), nlist=nlist, dtype=jnp.int8,
+                    kmeans_iters=6, capacity_factor=1.5)
+    build_s = time.perf_counter() - t0
+
+    flat_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
+
+    zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
+    terms = ((zipf_raw - 1) % vocab).astype(np.int32)
+    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
+    pad = rng.random((n, slots)) < 0.2
+    terms[pad] = vocab
+    tfs[pad] = 0
+    dl = tfs.sum(1) * 2 + 1
+    lexical = LexicalCorpus(jnp.asarray(terms), jnp.asarray(tfs, jnp.bfloat16),
+                            jnp.asarray(dl))
+    inverted = build_inverted(terms, tfs, dl, vocab, postings_per_term=256,
+                              avgdl=float(dl.mean()))
+    avgdl = jnp.float32(dl.mean())
+
+    # queries near cluster centers (in-distribution)
+    q_assign = rng.integers(0, n_centers, batch)
+    queries = jnp.asarray(
+        centers[q_assign]
+        + rng.standard_normal((batch, d)).astype(np.float32) * 1.0
+    )
+    q_terms = np.full((batch, 16), vocab, np.int32)
+    for bi in range(batch):
+        row = rng.integers(0, n)
+        uniq = [t for t in dict.fromkeys(terms[row].tolist()) if t != vocab][:16]
+        q_terms[bi, : len(uniq)] = uniq
+    q_terms_j = jnp.asarray(q_terms)
+    q_idf_j = jnp.where(q_terms_j != vocab, 3.0, 0.0).astype(jnp.float32)
+
+    dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
+
+    def run():
+        return hybrid_search(
+            queries, q_terms_j, q_idf_j, dense_int8, lexical, avgdl,
+            inverted=inverted, ivf=ivf, nprobe=nprobe,
+            vocab_size=vocab, k=k, candidates=cand,
+            postings_per_query_term=256,
+        )
+
+    def sync(out):
+        np.asarray(out.indices)
+
+    res = run()
+    sync(res)
+
+    # dense recall of the IVF branch vs exact flat
+    _, gi = dense_search(queries, flat_f32, k=k,
+                         block_size=262_144 if on_tpu else 8_192)
+    av, ai = ivf_search(queries, ivf, k=k, nprobe=nprobe)
+    gi, ai = np.asarray(gi), np.asarray(ai)
+    recall = float(np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / k for a, b in zip(ai, gi)
+    ]))
+
+    def timed(fn, lo=8, hi=24):
+        def total(depth):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(depth):
+                out = fn()
+            sync(out)
+            return time.perf_counter() - t0
+        total(2)
+        tlo = min(total(lo) for _ in range(2))
+        thi = min(total(hi) for _ in range(2))
+        return (thi - tlo) / (hi - lo)
+
+    per_call = timed(run)
+    print(json.dumps({
+        "metric": f"IVF hybrid latency tier (nlist={nlist}, nprobe={nprobe},"
+                  f" {n}x{d} int8, batch {batch})",
+        "batch_latency_ms": round(per_call * 1000, 3),
+        "qps": round(batch / per_call, 1),
+        "ivf_dense_recall_at_10_vs_exact": round(recall, 4),
+        "ivf_build_s": round(build_s, 1),
+        "meets_p50_5ms": per_call * 1000 < 5.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()
