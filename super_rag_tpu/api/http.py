@@ -214,12 +214,20 @@ class Router:
 
     def match(self, method: str, path: str):
         allowed = set()
+        best = None  # most-specific match: fewest path params wins, so
+        # literal segments ("/collections/shared-with-me") are never
+        # shadowed by parameterized siblings ("/collections/{cid}")
         for m, regex, handler, ws in self.routes:
             mo = regex.match(path)
             if mo:
                 if m == method.upper():
-                    return handler, mo.groupdict(), ws
-                allowed.add(m)
+                    cand = (len(mo.groupdict()), handler, mo.groupdict(), ws)
+                    if best is None or cand[0] < best[0]:
+                        best = cand
+                else:
+                    allowed.add(m)
+        if best is not None:
+            return best[1], best[2], best[3]
         if allowed:
             raise HttpError(405, f"method {method} not allowed")
         return None, {}, False

@@ -203,6 +203,46 @@ def build_router(ctx: AppContext) -> Router:
         collections.delete(user["username"], req.path_params["cid"])
         return Response.no_content()
 
+    # -- direct sharing (reference api/collections.py:62-120) -------------------
+
+    @router.post("/api/v1/collections/{cid}/shares")
+    async def share_collection(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        b = req.json()
+        target = b.get("username", "")
+        if not target or ctx.db.get_user(target) is None:
+            raise HttpError(422, f"unknown user {target!r}")
+        return Response.json(
+            ctx.db.share_collection(req.path_params["cid"], target,
+                                    user["username"]),
+            status=201,
+        )
+
+    @router.get("/api/v1/collections/{cid}/shares")
+    async def list_shares(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        return Response.json(
+            ctx.db.list_collection_shares(req.path_params["cid"])
+        )
+
+    @router.delete("/api/v1/collections/{cid}/shares/{target}")
+    async def unshare_collection(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        ctx.db.unshare_collection(req.path_params["cid"],
+                                  req.path_params["target"])
+        return Response.no_content()
+
+    @router.get("/api/v1/collections/shared-with-me")
+    async def shared_with_me(req: Request) -> Response:
+        user = me(req)
+        return Response.json(ctx.db.list_shared_collections(user["username"]))
+
     # -- search (the north-star route) ----------------------------------------------------
 
     @router.post("/api/v1/collections/{cid}/searches")
@@ -607,6 +647,27 @@ def build_router(ctx: AppContext) -> Router:
         me(req)
         tag = req.query.get("tag")
         return Response.json(ctx.db.list_models(tag=tag))
+
+    @router.get("/api/v1/llm/default_models")
+    async def default_models(req: Request) -> Response:
+        """Per-scenario defaults (reference default_model_service.py)."""
+        me(req)
+        from super_rag_tpu.llm import resolver as R
+
+        out = {}
+        for scenario, tag in (
+            ("collection_completion", R.TAG_COLLECTION_COMPLETION),
+            ("agent_completion", R.TAG_AGENT_COMPLETION),
+            ("embedding", R.TAG_EMBEDDING),
+            ("rerank", R.TAG_RERANK),
+            ("background", R.TAG_BACKGROUND),
+        ):
+            models = ctx.db.list_models(tag=tag)
+            out[scenario] = (
+                {"provider": models[0]["provider"], "model": models[0]["model"]}
+                if models else None
+            )
+        return Response.json(out)
 
     # -- embeddings serving (OpenAI-compatible; the on-TPU encoder exposed
     # as a provider other systems can point at) ---------------------------------

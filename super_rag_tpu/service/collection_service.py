@@ -54,6 +54,10 @@ class CollectionService:
         return coll
 
     def _is_shared_with(self, user: str, cid: str) -> bool:
+        # direct share grants access (reference api/collections.py:62-120)
+        if self.ctx.db.is_shared_with(cid, user):
+            return True
+        # marketplace: published + subscribed
         mkt = self.ctx.db.query_one(
             "SELECT * FROM marketplace WHERE collection_id=? AND status='PUBLISHED'",
             (cid,),

@@ -119,6 +119,11 @@ CREATE TABLE IF NOT EXISTS agent (
   description TEXT DEFAULT '', config TEXT DEFAULT '{}',
   created REAL NOT NULL, updated REAL NOT NULL
 );
+CREATE TABLE IF NOT EXISTS collection_share (
+  id TEXT PRIMARY KEY, collection_id TEXT NOT NULL, user TEXT NOT NULL,
+  granted_by TEXT NOT NULL, created REAL NOT NULL,
+  UNIQUE(collection_id, user)
+);
 CREATE TABLE IF NOT EXISTS marketplace (
   id TEXT PRIMARY KEY, collection_id TEXT UNIQUE NOT NULL,
   status TEXT DEFAULT 'PUBLISHED', published_at REAL NOT NULL
@@ -714,6 +719,49 @@ class Database:
 
     def get_audit(self, audit_id: int) -> Optional[dict]:
         return self.query_one("SELECT * FROM audit_log WHERE id=?", (audit_id,))
+
+    # -- direct collection sharing (reference api/collections.py:62-120) --------
+
+    def share_collection(self, collection_id: str, user: str,
+                         granted_by: str) -> dict:
+        sid = new_id("shr")
+        self.execute(
+            "INSERT OR IGNORE INTO collection_share"
+            " (id,collection_id,user,granted_by,created) VALUES (?,?,?,?,?)",
+            (sid, collection_id, user, granted_by, _now()),
+        )
+        return self.query_one(
+            "SELECT * FROM collection_share WHERE collection_id=? AND user=?",
+            (collection_id, user),
+        )
+
+    def unshare_collection(self, collection_id: str, user: str) -> None:
+        self.execute(
+            "DELETE FROM collection_share WHERE collection_id=? AND user=?",
+            (collection_id, user),
+        )
+
+    def list_collection_shares(self, collection_id: str) -> list[dict]:
+        return self.query(
+            "SELECT * FROM collection_share WHERE collection_id=?",
+            (collection_id,),
+        )
+
+    def is_shared_with(self, collection_id: str, user: str) -> bool:
+        return self.query_one(
+            "SELECT id FROM collection_share WHERE collection_id=? AND user=?",
+            (collection_id, user),
+        ) is not None
+
+    def list_shared_collections(self, user: str) -> list[dict]:
+        rows = self.query(
+            "SELECT c.* FROM collection_share s JOIN collection c"
+            " ON c.id=s.collection_id WHERE s.user=? AND c.status != 'DELETED'",
+            (user,),
+        )
+        for r in rows:
+            r["config"] = json.loads(r["config"])
+        return rows
 
     # -- marketplace -----------------------------------------------------------------------
 

@@ -557,3 +557,45 @@ def test_workflow_sse_stream(client, collection):
     assert events[0] == "FLOW_START"
     assert "NODE_END" in events
     assert events[-1] == "RESULT"
+
+
+def test_direct_sharing(server, client, collection):
+    # share with bob (registered in marketplace test; ensure exists)
+    httpx.post(server.base + "/api/v1/auth/register",
+               json={"username": "carol", "password": "pw123456"})
+    r = client.post(f"/api/v1/collections/{collection['id']}/shares",
+                    json={"username": "carol"})
+    assert r.status_code == 201, r.text
+    # unknown user rejected
+    assert client.post(f"/api/v1/collections/{collection['id']}/shares",
+                       json={"username": "nobody"}).status_code == 422
+    with httpx.Client(base_url=server.base, timeout=30) as carol:
+        tok = carol.post("/api/v1/auth/login",
+                         json={"username": "carol", "password": "pw123456"}
+                         ).json()["token"]
+        carol.headers["Authorization"] = f"Bearer {tok}"
+        r = carol.get("/api/v1/collections/shared-with-me")
+        assert any(c["id"] == collection["id"] for c in r.json())
+        r = carol.post(f"/api/v1/collections/{collection['id']}/searches",
+                       json={"query": "systolic arrays", "top_k": 1})
+        assert r.status_code == 201
+        # no mutation rights
+        assert carol.delete(
+            f"/api/v1/collections/{collection['id']}").status_code == 403
+    # revoke
+    client.delete(f"/api/v1/collections/{collection['id']}/shares/carol")
+    with httpx.Client(base_url=server.base, timeout=30) as carol:
+        tok = carol.post("/api/v1/auth/login",
+                         json={"username": "carol", "password": "pw123456"}
+                         ).json()["token"]
+        carol.headers["Authorization"] = f"Bearer {tok}"
+        r = carol.post(f"/api/v1/collections/{collection['id']}/searches",
+                       json={"query": "x", "top_k": 1})
+        assert r.status_code == 403
+
+
+def test_default_models_route(client):
+    r = client.get("/api/v1/llm/default_models")
+    assert r.status_code == 200
+    body = r.json()
+    assert "embedding" in body and "collection_completion" in body
