@@ -591,6 +591,27 @@ def build_router(ctx: AppContext) -> Router:
     async def node_types(req: Request) -> Response:
         return Response.json(node_type_catalog())
 
+    @router.get("/api/v1/nodeflow/packs")
+    async def nodeflow_packs(req: Request) -> Response:
+        """Installed/installable node packs (reference api/nodeflow.py:21)."""
+        from super_rag_tpu.nodeflow.registry import registry_summary
+
+        return Response.json(registry_summary())
+
+    @router.post("/api/v1/collections/{cid}/rebuild_indexes")
+    async def rebuild_collection_indexes(req: Request) -> Response:
+        """Re-drive every document's indexes (reference
+        api/collections.py:226-247)."""
+        user = me(req)
+        cid = req.path_params["cid"]
+        collections.get(user["username"], cid, allow_shared=False)
+        only_failed = req.query.get("only_failed", "") in ("1", "true")
+        n = 0
+        for doc in ctx.db.list_documents(cid):
+            n += ctx.db.rebuild_indexes(doc["id"], only_failed=only_failed)
+        ctx.reconciler.reconcile_all()
+        return Response.json({"rebuilt": n})
+
     # -- llm providers ------------------------------------------------------------------------------------
 
     @router.get("/api/v1/llm_providers")

@@ -599,3 +599,14 @@ def test_default_models_route(client):
     assert r.status_code == 200
     body = r.json()
     assert "embedding" in body and "collection_completion" in body
+
+
+def test_collection_rebuild_and_packs(client, collection):
+    r = client.post(f"/api/v1/collections/{collection['id']}/rebuild_indexes")
+    assert r.status_code == 200 and r.json()["rebuilt"] >= 1
+    # documents searchable again after rebuild
+    r = client.post(f"/api/v1/collections/{collection['id']}/searches",
+                    json={"query": "systolic arrays", "top_k": 1})
+    assert r.json()["items"]
+    r = client.get("/api/v1/nodeflow/packs")
+    assert "hybrid_search" in r.json()["registered_types"]
