@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import base64
 import time
-from typing import Optional
 
 from super_rag_tpu.api.auth import COOKIE_NAME
 from super_rag_tpu.api.http import HttpError, Request, Response, Router, WebSocket

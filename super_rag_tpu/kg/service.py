@@ -19,7 +19,6 @@ from __future__ import annotations
 import time
 from typing import Callable, Optional
 
-import numpy as np
 
 from super_rag_tpu.engine.collection import CollectionEngine
 from super_rag_tpu.engine.index import IndexSpec

@@ -15,7 +15,6 @@ import json
 from typing import Any, Optional
 
 from super_rag_tpu.api.http import HttpError, Request, Response, Router
-from super_rag_tpu.service.chat_service import ChatService
 from super_rag_tpu.service.collection_service import CollectionService
 from super_rag_tpu.service.context import AppContext
 

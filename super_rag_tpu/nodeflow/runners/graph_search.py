@@ -9,7 +9,6 @@ as every other recall node."""
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 from pydantic import BaseModel
 

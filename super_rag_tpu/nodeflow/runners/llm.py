@@ -10,7 +10,6 @@ the reference's LiteLLM indirection — remote LLMs stay off the hot path
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 from pydantic import BaseModel
 

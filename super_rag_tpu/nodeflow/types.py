@@ -7,7 +7,6 @@ vector_search/fulltext_search/merge/rerank/llm nodes.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pydantic import BaseModel
 

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from super_rag_tpu.ops.quant import quantize_int8
-from super_rag_tpu.ops.topk import blockwise_topk
 
 NEG_INF = float("-inf")
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from super_rag_tpu.api.auth import Auth

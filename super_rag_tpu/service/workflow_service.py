@@ -8,7 +8,6 @@ which persists workflow_run / node_run rows from engine events.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from super_rag_tpu.api.http import HttpError
 from super_rag_tpu.nodeflow.engine import (

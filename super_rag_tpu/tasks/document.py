@@ -12,7 +12,6 @@ are exact.
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 from super_rag_tpu.chunk.chunking import Rechunker
 from super_rag_tpu.config import Settings

@@ -16,7 +16,7 @@ import logging
 import queue
 import threading
 import uuid
-from typing import Callable, Optional
+from typing import Optional
 
 logger = logging.getLogger(__name__)
 

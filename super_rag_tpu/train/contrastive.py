@@ -20,7 +20,6 @@ Parallelism is expressed once, declaratively:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, NamedTuple, Optional, Sequence
 
