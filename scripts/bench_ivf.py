@@ -27,7 +27,7 @@ def main() -> None:
 
     from super_rag_tpu.ops.bm25 import LexicalCorpus
     from super_rag_tpu.ops.bm25_inverted import build_inverted
-    from super_rag_tpu.ops.dense import build_corpus, dense_search
+    from super_rag_tpu.ops.dense import DenseCorpus, build_corpus
     from super_rag_tpu.ops.hybrid import hybrid_search
     from super_rag_tpu.ops.ivf import build_ivf, ivf_search
 
@@ -50,8 +50,6 @@ def main() -> None:
     ivf = build_ivf(jnp.asarray(emb), nlist=nlist, dtype=jnp.int8,
                     kmeans_iters=6, capacity_factor=1.5)
     build_s = time.perf_counter() - t0
-
-    flat_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
 
     zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
     terms = ((zipf_raw - 1) % vocab).astype(np.int32)
@@ -80,6 +78,8 @@ def main() -> None:
     q_terms_j = jnp.asarray(q_terms)
     q_idf_j = jnp.where(q_terms_j != vocab, 3.0, 0.0).astype(jnp.float32)
 
+    # the dense corpus arg is unused when the IVF branch is active, but
+    # hybrid_search requires it for shape info; pass the int8 corpus
     dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
 
     def run():
@@ -96,11 +96,16 @@ def main() -> None:
     res = run()
     sync(res)
 
-    # dense recall of the IVF branch vs exact flat
-    _, gi = dense_search(queries, flat_f32, k=k,
-                         block_size=262_144 if on_tpu else 8_192)
+    # dense recall of the IVF branch vs exact fp32 gold (host numpy to
+    # keep HBM for the serving-shaped arrays; 1M x 768 x 32 queries is
+    # ~25 GFLOP on the host, a few seconds)
+    qn = np.asarray(queries, np.float32)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    scores = qn @ en.T
+    gi = np.argsort(-scores, axis=1)[:, :k]
     av, ai = ivf_search(queries, ivf, k=k, nprobe=nprobe)
-    gi, ai = np.asarray(gi), np.asarray(ai)
+    ai = np.asarray(ai)
     recall = float(np.mean([
         len(set(a.tolist()) & set(b.tolist())) / k for a, b in zip(ai, gi)
     ]))

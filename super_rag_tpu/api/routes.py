@@ -269,6 +269,24 @@ def build_router(ctx: AppContext) -> Router:
         )
         return Response.json(result, status=201)
 
+    @router.post("/api/v1/searches")
+    async def multi_search(req: Request) -> Response:
+        """Search several collections in one request (the reference
+        accepts collection_ids but searches only the first)."""
+        user = me(req)
+        b = req.json()
+        cids = b.get("collection_ids") or []
+        if not b.get("query") or not cids:
+            raise HttpError(422, "query and collection_ids required")
+        return Response.json(
+            await collections.execute_multi_search(
+                user["username"], cids, b["query"],
+                top_k=b.get("top_k"), use_rerank=b.get("use_rerank", True),
+                chat_id=b.get("chat_id"),
+            ),
+            status=201,
+        )
+
     # -- documents ----------------------------------------------------------------------------
 
     @router.post("/api/v1/collections/{cid}/documents")

@@ -162,6 +162,43 @@ class CollectionService:
         edges.append(Edge(rerank_source, "rerank", target_handle="docs"))
         return NodeflowInstance(name="search", nodes=nodes, edges=edges)
 
+    async def execute_multi_search(
+        self,
+        user: str,
+        collection_ids: list[str],
+        query: str,
+        top_k: Optional[int] = None,
+        use_rerank: bool = True,
+        chat_id: Optional[str] = None,
+    ) -> dict:
+        """Search several collections in one flow; the hybrid node fans
+        out per collection and merges by score (the reference's
+        SearchRequest accepts collection_ids but only searches the first
+        — runners/vector_search.py:64; we search them all)."""
+        accessible = [
+            self.get(user, cid)["id"] for cid in collection_ids
+        ]
+        top_k = top_k or self.ctx.cfg.default_top_k
+        flow = self.build_search_flow(
+            accessible, top_k, None, use_rerank=use_rerank,
+            candidates=self.ctx.cfg.rerank_candidates,
+        )
+        engine = NodeflowEngine()
+        ctx = await engine.execute_nodeflow(
+            flow, SystemInput(query=query, user=user, chat_id=chat_id),
+            services=self.ctx.services_for_nodeflow(),
+        )
+        docs = ctx.outputs["rerank"].docs
+        return {
+            "query": query,
+            "collection_ids": accessible,
+            "items": [
+                {"rank": i + 1, "score": d.score, "text": d.text,
+                 "recall_type": d.recall_type, "metadata": d.metadata}
+                for i, d in enumerate(docs[:top_k])
+            ],
+        }
+
     async def execute_search(
         self,
         user: str,

@@ -610,3 +610,18 @@ def test_collection_rebuild_and_packs(client, collection):
     assert r.json()["items"]
     r = client.get("/api/v1/nodeflow/packs")
     assert "hybrid_search" in r.json()["registered_types"]
+
+
+def test_multi_collection_search(client, collection):
+    r = client.post("/api/v1/collections", json={"title": "second"})
+    cid2 = r.json()["id"]
+    client.post(f"/api/v1/collections/{cid2}/documents",
+                json=[{"name": "m.md", "content": "# M\n\nokapi giraffid forest."}])
+    r = client.post("/api/v1/searches",
+                    json={"collection_ids": [collection["id"], cid2],
+                          "query": "okapi giraffid", "top_k": 3})
+    assert r.status_code == 201, r.text
+    items = r.json()["items"]
+    assert items and "okapi" in items[0]["text"]
+    # results can come from either collection
+    assert r.json()["collection_ids"] == [collection["id"], cid2]
