@@ -165,17 +165,21 @@ def build_ivf(
     x_np = np.asarray(x)
     values = np.zeros((nlist, capacity, d), np.float32)
     row_ids = np.full((nlist, capacity), -1, np.int32)
-    fill = np.zeros(nlist, np.int64)
-    overflow_rows = []
+    # vectorized cluster fill: sort rows by cluster, rank within each
+    # cluster run, place rank < capacity, spill the rest to overflow
     order = np.argsort(assign, kind="stable")
-    for r in order:
-        c = assign[r]
-        if fill[c] < capacity:
-            values[c, fill[c]] = x_np[r]
-            row_ids[c, fill[c]] = r
-            fill[c] += 1
-        else:
-            overflow_rows.append(r)
+    sorted_assign = assign[order]
+    idx = np.arange(n, dtype=np.int64)
+    is_start = np.empty(n, bool)
+    if n:
+        is_start[0] = True
+        is_start[1:] = sorted_assign[1:] != sorted_assign[:-1]
+    run_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+    rank = idx - run_start
+    keep = rank < capacity
+    values[sorted_assign[keep], rank[keep]] = x_np[order[keep]]
+    row_ids[sorted_assign[keep], rank[keep]] = order[keep].astype(np.int32)
+    overflow_rows = order[~keep].tolist()
 
     scales = None
     if dtype == jnp.int8:
