@@ -176,10 +176,15 @@ def build_router(ctx: AppContext) -> Router:
         )
         return Response.json(coll, status=201)
 
+    def _paginate(req: Request, rows: list) -> list:
+        limit = min(int(req.query.get("limit", "100")), 1000)
+        offset = max(int(req.query.get("offset", "0")), 0)
+        return rows[offset : offset + limit]
+
     @router.get("/api/v1/collections")
     async def list_collections(req: Request) -> Response:
         user = me(req)
-        return Response.json(collections.list(user["username"]))
+        return Response.json(_paginate(req, collections.list(user["username"])))
 
     @router.get("/api/v1/collections/{cid}")
     async def get_collection(req: Request) -> Response:
@@ -386,9 +391,9 @@ def build_router(ctx: AppContext) -> Router:
     @router.get("/api/v1/collections/{cid}/documents")
     async def list_documents(req: Request) -> Response:
         user = me(req)
-        return Response.json(
-            documents.list(user["username"], req.path_params["cid"])
-        )
+        return Response.json(_paginate(
+            req, documents.list(user["username"], req.path_params["cid"])
+        ))
 
     @router.get("/api/v1/documents/{did}")
     async def get_document(req: Request) -> Response:
@@ -912,7 +917,7 @@ def build_router(ctx: AppContext) -> Router:
     @router.get("/api/v1/chats")
     async def list_chats(req: Request) -> Response:
         user = me(req)
-        return Response.json(chats.list(user["username"]))
+        return Response.json(_paginate(req, chats.list(user["username"])))
 
     @router.get("/api/v1/chats/{chat_id}")
     async def get_chat(req: Request) -> Response:

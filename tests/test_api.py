@@ -625,3 +625,12 @@ def test_multi_collection_search(client, collection):
     assert items and "okapi" in items[0]["text"]
     # results can come from either collection
     assert r.json()["collection_ids"] == [collection["id"], cid2]
+
+
+def test_pagination(client):
+    r = client.get("/api/v1/collections?limit=1")
+    assert len(r.json()) == 1
+    all_cols = client.get("/api/v1/collections").json()
+    page2 = client.get("/api/v1/collections?limit=1&offset=1").json()
+    if len(all_cols) > 1:
+        assert page2[0]["id"] == all_cols[1]["id"]
