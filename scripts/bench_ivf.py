@@ -48,8 +48,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     ivf = build_ivf(jnp.asarray(emb), nlist=nlist, dtype=jnp.int8,
-                    kmeans_iters=6, capacity_factor=1.5)
+                    kmeans_iters=6, capacity_factor=1.2)
     build_s = time.perf_counter() - t0
+    import gc
+    gc.collect()  # free the f32 training copies before serving arrays
 
     zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
     terms = ((zipf_raw - 1) % vocab).astype(np.int32)

@@ -1,0 +1,127 @@
+"""Office Open XML parsers: docx / xlsx / pptx without external deps.
+
+The reference routes office formats through Docling + soffice conversion
+(fileparser/docling_parser.py:35-47) — heavy externals absent here.  OOXML
+files are zip archives of XML; the text lives in well-known parts:
+
+  docx  word/document.xml          <w:t> runs, <w:p> paragraphs,
+                                   heading styles -> TitlePart levels
+  xlsx  xl/sharedStrings.xml +     cell values joined per row
+        xl/worksheets/sheetN.xml
+  pptx  ppt/slides/slideN.xml      <a:t> runs per slide
+
+Formatting subtleties (tables-in-docx layout, numeric formats) are out of
+scope; the goal is searchable text with structure hints.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree
+
+from super_rag_tpu.fileparser.base import BaseParser, Part, TextPart, TitlePart
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+_HEADING_RE = re.compile(r"Heading(\d)|heading\s*(\d)", re.I)
+
+
+def _open_zip(path: str, data: bytes | None) -> zipfile.ZipFile:
+    if data is None:
+        return zipfile.ZipFile(path)
+    return zipfile.ZipFile(io.BytesIO(data))
+
+
+class DocxParser(BaseParser):
+    supported_extensions = (".docx",)
+
+    def parse_file(self, path: str, data: bytes | None = None) -> list[Part]:
+        with _open_zip(path, data) as z:
+            xml = z.read("word/document.xml")
+        root = ElementTree.fromstring(xml)
+        parts: list[Part] = []
+        for p in root.iter(f"{_W}p"):
+            text = "".join(t.text or "" for t in p.iter(f"{_W}t")).strip()
+            if not text:
+                continue
+            style = p.find(f"{_W}pPr/{_W}pStyle")
+            level = None
+            if style is not None:
+                m = _HEADING_RE.search(style.get(f"{_W}val", ""))
+                if m:
+                    level = int(m.group(1) or m.group(2))
+            if level:
+                parts.append(TitlePart(content=text, level=min(level, 6)))
+            else:
+                parts.append(TextPart(content=text))
+        if not parts:
+            raise ValueError("docx contains no extractable text")
+        return parts
+
+
+class XlsxParser(BaseParser):
+    supported_extensions = (".xlsx",)
+
+    def parse_file(self, path: str, data: bytes | None = None) -> list[Part]:
+        with _open_zip(path, data) as z:
+            shared: list[str] = []
+            if "xl/sharedStrings.xml" in z.namelist():
+                sroot = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+                for si in sroot.iter(f"{_S}si"):
+                    shared.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
+            parts: list[Part] = []
+            sheets = sorted(
+                n for n in z.namelist()
+                if re.match(r"xl/worksheets/sheet\d+\.xml$", n)
+            )
+            for idx, name in enumerate(sheets, 1):
+                root = ElementTree.fromstring(z.read(name))
+                lines = []
+                for row in root.iter(f"{_S}row"):
+                    cells = []
+                    for c in row.iter(f"{_S}c"):
+                        v = c.find(f"{_S}v")
+                        if v is None or v.text is None:
+                            continue
+                        if c.get("t") == "s":
+                            i = int(v.text)
+                            cells.append(shared[i] if i < len(shared) else "")
+                        else:
+                            cells.append(v.text)
+                    if cells:
+                        lines.append("\t".join(cells))
+                if lines:
+                    parts.append(TitlePart(content=f"Sheet {idx}", level=2))
+                    parts.append(TextPart(content="\n".join(lines)))
+        if not parts:
+            raise ValueError("xlsx contains no extractable text")
+        return parts
+
+
+class PptxParser(BaseParser):
+    supported_extensions = (".pptx",)
+
+    def parse_file(self, path: str, data: bytes | None = None) -> list[Part]:
+        with _open_zip(path, data) as z:
+            slides = sorted(
+                (n for n in z.namelist()
+                 if re.match(r"ppt/slides/slide\d+\.xml$", n)),
+                key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+            )
+            parts: list[Part] = []
+            for i, name in enumerate(slides, 1):
+                root = ElementTree.fromstring(z.read(name))
+                texts = [t.text for t in root.iter(f"{_A}t") if t.text]
+                if texts:
+                    parts.append(TitlePart(content=f"Slide {i}: {texts[0]}",
+                                           level=2))
+                    body = "\n".join(texts[1:]).strip()
+                    if body:
+                        parts.append(TextPart(content=body))
+        if not parts:
+            raise ValueError("pptx contains no extractable text")
+        return parts

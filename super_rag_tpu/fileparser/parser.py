@@ -17,9 +17,10 @@ from super_rag_tpu.fileparser.markdown import MarkdownParser, TextParser
 
 
 def _optional_parsers() -> list[BaseParser]:
+    from super_rag_tpu.fileparser.office import DocxParser, PptxParser, XlsxParser
     from super_rag_tpu.fileparser.pdf import PdfParser
 
-    return [PdfParser()]
+    return [PdfParser(), DocxParser(), XlsxParser(), PptxParser()]
 
 
 class DocParser:

@@ -183,9 +183,16 @@ def build_ivf(
 
     scales = None
     if dtype == jnp.int8:
-        q, s = quantize_int8(jnp.asarray(values.reshape(-1, d)))
-        vals = q.reshape(nlist, capacity, d)
-        scales = s.reshape(nlist, capacity)
+        # quantize on the host: a device-side pass would materialize a
+        # [nlist*capacity, d] f32 transient (several GB) next to the
+        # training arrays and can OOM HBM during builds
+        flat = values.reshape(-1, d)
+        absmax = np.abs(flat).max(axis=-1)
+        s_np = (absmax / 127.0).astype(np.float32)
+        safe = np.where(s_np > 0, s_np, 1.0)
+        q_np = np.clip(np.round(flat / safe[:, None]), -127, 127).astype(np.int8)
+        vals = jnp.asarray(q_np.reshape(nlist, capacity, d))
+        scales = s_np.reshape(nlist, capacity)
     else:
         vals = jnp.asarray(values, dtype)
 

@@ -1,0 +1,81 @@
+"""Office OOXML parsers (docx/xlsx/pptx built as zip+XML in-test)."""
+
+import io
+import zipfile
+
+from super_rag_tpu.fileparser.parser import DocParser
+
+W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+
+def zip_bytes(files: dict) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in files.items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
+def test_docx():
+    doc = f"""<?xml version="1.0"?>
+<w:document xmlns:w="{W}"><w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+    <w:r><w:t>Quarterly Report</w:t></w:r></w:p>
+  <w:p><w:r><w:t>Revenue grew by </w:t></w:r><w:r><w:t>12 percent.</w:t></w:r></w:p>
+</w:body></w:document>"""
+    data = zip_bytes({"word/document.xml": doc})
+    parts = DocParser().parse_file("r.docx", data)
+    assert parts[0].content == "Quarterly Report" and parts[0].level == 1
+    assert "Revenue grew by 12 percent." in parts[1].content
+
+
+def test_xlsx():
+    shared = f"""<?xml version="1.0"?>
+<sst xmlns="{S}"><si><t>alpha</t></si><si><t>beta</t></si></sst>"""
+    sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{S}"><sheetData>
+  <row><c t="s"><v>0</v></c><c><v>42</v></c></row>
+  <row><c t="s"><v>1</v></c></row>
+</sheetData></worksheet>"""
+    data = zip_bytes({"xl/sharedStrings.xml": shared,
+                      "xl/worksheets/sheet1.xml": sheet})
+    parts = DocParser().parse_file("t.xlsx", data)
+    text = "\n".join(p.content for p in parts)
+    assert "alpha\t42" in text and "beta" in text
+
+
+def test_pptx():
+    slide = f"""<?xml version="1.0"?>
+<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+       xmlns:a="{A}">
+  <p:cSld><a:t>Launch Plan</a:t><a:t>Ship in Q3</a:t></p:cSld></p:sld>"""
+    data = zip_bytes({"ppt/slides/slide1.xml": slide})
+    parts = DocParser().parse_file("deck.pptx", data)
+    assert "Launch Plan" in parts[0].content
+    assert "Ship in Q3" in parts[1].content
+
+
+def test_end_to_end_docx_ingest(tmp_path):
+    from super_rag_tpu.config import Settings
+    from super_rag_tpu.service.collection_service import CollectionService
+    from super_rag_tpu.service.document_service import DocumentService
+    from super_rag_tpu.service.context import build_context
+
+    doc = f"""<?xml version="1.0"?>
+<w:document xmlns:w="{W}"><w:body>
+  <w:p><w:r><w:t>Wolverines are tenacious mustelids.</w:t></w:r></w:p>
+</w:body></w:document>"""
+    cfg = Settings(data_dir=str(tmp_path), embedding_dim=64,
+                   index_dtype="float32", vocab_size=1 << 14)
+    ctx = build_context(cfg)
+    cs = CollectionService(ctx)
+    ds = DocumentService(ctx, cs)
+    coll = cs.create("u", "office")
+    d = ds.create("u", coll["id"], "animals.docx",
+                  zip_bytes({"word/document.xml": doc}))
+    assert d["status"] == "COMPLETE"
+    eng = ctx.engines.get(coll["id"], coll["config"])
+    hits = eng.search("tenacious mustelids", top_k=1, mode="fulltext")
+    assert hits and "Wolverines" in hits[0].text
