@@ -162,6 +162,7 @@ def build_ivf(
     assign = np.asarray(_assign(x, centroids))
 
     capacity = max(8, int(np.ceil(n / nlist * capacity_factor)))
+    capacity = -(-capacity // 64) * 64  # VMEM-tile-friendly (pallas_ivf)
     x_np = np.asarray(x)
     values = np.zeros((nlist, capacity, d), np.float32)
     row_ids = np.full((nlist, capacity), -1, np.int32)
