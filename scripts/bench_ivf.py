@@ -139,3 +139,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def pallas_variant():
+    """Measure the Pallas IVF kernel (run after main() in the same
+    process to reuse the built index)."""
