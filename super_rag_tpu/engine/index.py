@@ -461,24 +461,44 @@ class DeviceIndex:
                 qt, qi, corpus, jnp.float32(self.df.avgdl),
                 vocab_size=self.spec.vocab_size, k=k, mask=mask,
             )
-        # inverted prefix + doc-major fresh tail, merged.  The tail scan
-        # masks out the inverted-covered prefix so each row scores once.
+        # inverted prefix + doc-major fresh tail, merged.  Only the tail
+        # SLICE is scanned (static per tail capacity class), not the full
+        # table under a mask — an O(N) scan per query would defeat the
+        # inverted index the moment one row landed after compaction.
         from super_rag_tpu.ops.bm25_inverted import inverted_bm25_search
         from super_rag_tpu.ops.topk import merge_topk
 
         iv, ii = inverted_bm25_search(qt, qi, self._inverted, k=k,
                                       mask=mask, has_mask=True)
-        row_ids = jnp.arange(self._capacity, dtype=jnp.int32)
-        tail_mask = mask & (row_ids >= self._inverted_upto)
+        start, length, tail_lex, tail_mask = self._tail_slice(mask)
         tv, ti = bm25_search(
-            qt, qi, corpus, jnp.float32(self.df.avgdl),
-            vocab_size=self.spec.vocab_size, k=k, mask=tail_mask,
+            qt, qi, tail_lex, jnp.float32(self.df.avgdl),
+            vocab_size=self.spec.vocab_size, k=min(k, length),
+            mask=tail_mask,
         )
+        ti = ti + start
         return merge_topk(
             jnp.concatenate([iv, tv], axis=1),
             jnp.concatenate([ii, ti], axis=1),
             k,
         )
+
+    def _tail_slice(self, mask: jax.Array):
+        """Static slice covering rows [inverted_upto, size): returns
+        (start, length, LexicalCorpus, tail mask).  start/length are
+        Python ints (one compiled program per tail capacity class)."""
+        upto = self._inverted_upto
+        tail_len = max(1, self.size - upto)
+        length = max(WRITE_BLOCK, 1 << (tail_len - 1).bit_length())
+        length = min(length, self._capacity)
+        start = max(0, min(upto, self._capacity - length))
+        sl = slice(start, start + length)
+        rows = jnp.arange(start, start + length, dtype=jnp.int32)
+        tail_mask = mask[sl] & (rows >= upto)
+        tail_lex = LexicalCorpus(
+            terms=self.terms[sl], tfs=self.tfs[sl], doc_len=self.doc_len[sl]
+        )
+        return start, length, tail_lex, tail_mask
 
     @_locked
     def search_hybrid(
@@ -500,11 +520,14 @@ class DeviceIndex:
         qt, qi = self._query_arrays(queries, max_terms)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and self._capacity >= 2048
-        inverted = (
-            self._inverted
-            if self._inverted is not None and self._inverted_upto == self.size
-            else None
-        )
+        mask = self._mask(flt)
+        inverted = self._inverted
+        tail_lex = tail_mask = None
+        tail_offset = 0
+        if inverted is not None and self._inverted_upto < self.size:
+            # fresh rows since compaction: fused program scans just the
+            # tail slice alongside the inverted postings
+            tail_offset, _tl, tail_lex, tail_mask = self._tail_slice(mask)
         ivf = (
             self._ivf
             if self._ivf is not None and self._ivf_upto == self.size
@@ -518,11 +541,14 @@ class DeviceIndex:
             LexicalCorpus(terms=self.terms, tfs=self.tfs, doc_len=self.doc_len),
             jnp.float32(self.df.avgdl),
             inverted=inverted,
+            tail_lexical=tail_lex,
+            tail_mask=tail_mask,
+            tail_offset=tail_offset,
             vocab_size=self.spec.vocab_size,
             k=k,
             candidates=candidates,
             metric=self.spec.metric,
-            mask=self._mask(flt),
+            mask=mask,
             rrf_k=rrf_k,
             use_pallas=use_pallas,
             ivf=ivf,

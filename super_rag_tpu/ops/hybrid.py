@@ -93,6 +93,7 @@ def _rrf_on_device(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
         "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
+        "tail_offset",
     ),
 )
 def hybrid_search(
@@ -104,6 +105,9 @@ def hybrid_search(
     avgdl: jax.Array,  # scalar f32
     inverted: Optional[InvertedIndex] = None,
     ivf: Optional[IVFIndex] = None,
+    tail_lexical: Optional[LexicalCorpus] = None,  # fresh rows not yet
+    tail_mask: Optional[jax.Array] = None,  # covered by the inverted snapshot
+    tail_offset: int = 0,
     *,
     vocab_size: int,
     k: int,
@@ -147,13 +151,31 @@ def hybrid_search(
 
     # BM25 branch.  Preferred path: the inverted index (ops/bm25_inverted
     # — contiguous posting-row gathers + sort-based segment sums; ~1000x
-    # less memory traffic than doc-major scanning at 1M docs).
+    # less memory traffic than doc-major scanning at 1M docs).  A fresh
+    # tail not yet covered by the inverted snapshot scans doc-major over
+    # ONLY the tail slice and merges (the NRT-segment pattern).
     if inverted is not None:
         lv, li = inverted_bm25_search(
             query_terms, query_idf, inverted, k=kc, mask=mask,
             has_mask=mask is not None,
             postings_per_query_term=postings_per_query_term,
         )
+        if tail_lexical is not None:
+            table = _idf_table(query_terms, query_idf, vocab_size)
+            ts = _bm25_block(
+                table, tail_lexical.terms, tail_lexical.tfs,
+                tail_lexical.doc_len,
+                jnp.maximum(avgdl.astype(jnp.float32), 1e-6), k1, b,
+            )
+            if tail_mask is not None:
+                ts = jnp.where(tail_mask[None, :], ts, NEG_INF)
+            kt_tail = min(kc, ts.shape[1])
+            tv, ti = jax.lax.top_k(ts, kt_tail)
+            ti = (ti + tail_offset).astype(jnp.int32)
+            lv = jnp.concatenate([lv, tv], axis=1)
+            li = jnp.concatenate([li, ti], axis=1)
+            lv, pos = jax.lax.top_k(lv, kc)
+            li = jnp.take_along_axis(li, pos, axis=-1)
         return _rrf_on_device(dv, di.astype(jnp.int32), lv,
                               li.astype(jnp.int32), k, rrf_k)
 

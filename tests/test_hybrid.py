@@ -112,3 +112,21 @@ def test_hybrid_with_ivf_tier(rng):
     eng.index.compact_dense(nlist=8, nprobe=8, kmeans_iters=3)
     ivf = eng.search("doc about topic3", top_k=5, mode="hybrid")
     assert {h.row for h in flat} == {h.row for h in ivf}
+
+
+def test_fresh_tail_after_compaction_in_fused_path(rng):
+    """Rows inserted after compaction stay lexically findable through the
+    fused program's sliced tail scan."""
+    import jax.numpy as jnp_
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp_.float32,
+                                     vocab_size=1 << 14))
+    eng.ingest([f"base doc {i} about topic{i % 5}" for i in range(50)])
+    eng.index.compact_lexical()
+    eng.index.auto_compact_rows = 100_000  # keep the tail fresh
+    eng.ingest(["a rare quagga grazes on the plain"])
+    assert eng.index._inverted_upto < eng.index.size
+    hits = eng.search("quagga grazing", top_k=3, mode="hybrid")
+    assert hits and any("quagga" in h.text for h in hits)
+    # prefix content still found through the inverted branch
+    hits2 = eng.search("topic3 base", top_k=3, mode="hybrid")
+    assert hits2
