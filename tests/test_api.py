@@ -634,3 +634,23 @@ def test_pagination(client):
     page2 = client.get("/api/v1/collections?limit=1&offset=1").json()
     if len(all_cols) > 1:
         assert page2[0]["id"] == all_cols[1]["id"]
+
+
+def test_mcp_batch_and_ping(server, client):
+    key = client.post("/api/v1/apikeys", json={"description": "b"}).json()["key"]
+    with httpx.Client(base_url=server.base, timeout=30,
+                      headers={"Authorization": f"Bearer {key}"}) as mcp:
+        r = mcp.post("/mcp", json=[
+            {"jsonrpc": "2.0", "id": 1, "method": "ping"},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {"jsonrpc": "2.0", "id": 2, "method": "prompts/list"},
+        ])
+        body = r.json()
+        assert isinstance(body, list) and len(body) == 2  # notif dropped
+        assert body[0]["id"] == 1 and "result" in body[0]
+        assert body[1]["result"]["prompts"][0]["name"] == "super_rag_usage_guide"
+        r = mcp.post("/mcp", json={"jsonrpc": "2.0", "id": 3,
+                                   "method": "nope/nope"})
+        assert r.json()["error"]["code"] == -32601
+        r = mcp.post("/mcp", content=b"{broken")
+        assert r.json()["error"]["code"] == -32700

@@ -221,3 +221,37 @@ def test_node_type_catalog():
             "llm", "graph_search"} <= types
     vs = next(c for c in cat if c["type"] == "vector_search")
     assert "top_k" in vs["input_schema"]["properties"]
+
+
+def test_yaml_workflow_and_globals():
+    yaml_def = """
+name: yflow
+input_schema:
+  greeting:
+    type: string
+    default: "hello from globals"
+graph:
+  nodes:
+    - id: s
+      type: start
+      data: {}
+    - id: e
+      type: test_echo
+      data:
+        input_values:
+          value: "{{ globals.greeting }}"
+  edges:
+    - source: s
+      target: e
+      targetHandle: value
+"""
+    flow, defaults = NodeflowParser().parse(yaml_def)
+    assert defaults == {"greeting": "hello from globals"}
+    eng = NodeflowEngine()
+    ctx = run(eng.execute_nodeflow(flow, SystemInput(query="q"),
+                                   globals_=defaults))
+    assert ctx.outputs["e"].value == "hello from globals"
+    # override the default at run time
+    ctx = run(eng.execute_nodeflow(flow, SystemInput(query="q"),
+                                   globals_={"greeting": "overridden"}))
+    assert ctx.outputs["e"].value == "overridden"
