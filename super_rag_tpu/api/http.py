@@ -28,7 +28,8 @@ MAX_BODY_BYTES = 512 * 1024 * 1024
 WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 STATUS_TEXT = {
-    200: "OK", 201: "Created", 204: "No Content", 206: "Partial Content",
+    200: "OK", 201: "Created", 202: "Accepted", 204: "No Content",
+    206: "Partial Content",
     301: "Moved Permanently", 302: "Found", 304: "Not Modified",
     400: "Bad Request", 401: "Unauthorized", 403: "Forbidden",
     404: "Not Found", 405: "Method Not Allowed", 409: "Conflict",
@@ -430,6 +431,12 @@ class HttpServer:
         except Exception as e:  # noqa: BLE001
             logger.exception("handler error for %s %s", req.method, req.path)
             resp = Response.error(500, f"internal error: {e}")
+        if not isinstance(resp, Response):
+            # a handler returned a raw value; degrade to 500 rather than
+            # crashing the connection loop (which drops keep-alive peers)
+            logger.error("handler for %s %s returned %r, not Response",
+                         req.method, req.path, type(resp))
+            resp = Response.error(500, "handler returned non-Response")
         await self._write_response(writer, resp, req)
         return False
 

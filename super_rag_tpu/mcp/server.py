@@ -111,7 +111,7 @@ class McpServer:
         try:
             msg = req.json()
         except HttpError:
-            return _rpc_error(None, -32700, "parse error")
+            return Response.json(_rpc_error(None, -32700, "parse error"))
         if isinstance(msg, list):
             out = [await self._dispatch(m, user) for m in msg]
             out = [o for o in out if o is not None]
