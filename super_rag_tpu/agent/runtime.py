@@ -20,20 +20,7 @@ from typing import Any, AsyncIterator, Callable, Optional
 
 MAX_TOOL_ITERATIONS = 10  # reference cap (SURVEY.md 3.3)
 
-SYSTEM_PROMPT = """You are a retrieval assistant with tools.
-
-Tools:
-{tool_descriptions}
-
-To call a tool reply with EXACTLY one JSON object and nothing else:
-{{"tool": "<name>", "arguments": {{...}}}}
-
-When you can answer, reply with the answer text directly (no JSON).
-Cite facts from tool results. Conversation so far:
-{history}
-
-User: {query}
-"""
+from super_rag_tpu.llm.prompts import AGENT_SYSTEM as SYSTEM_PROMPT
 
 
 @dataclass

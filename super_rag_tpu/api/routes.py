@@ -971,6 +971,14 @@ def build_router(ctx: AppContext) -> Router:
                        req.path_params["mid"], b.get("feedback"))
         return Response.json({"ok": True})
 
+    @router.post("/api/v1/chats/{chat_id}/title")
+    async def generate_chat_title(req: Request) -> Response:
+        """Explicit title generation (reference api/chat.py:260)."""
+        user = me(req)
+        chat = await chats.generate_title(user["username"],
+                                          req.path_params["chat_id"])
+        return Response.json({"id": chat["id"], "title": chat["title"]})
+
     @router.post("/api/v1/chats/{chat_id}/completions")
     async def chat_completions(req: Request) -> Response:
         """SSE chat completion (reference frontend_chat_completions)."""

@@ -17,21 +17,10 @@ from super_rag_tpu.chunk.chunking import approx_token_count
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?。！？])\s+")
 
-MAP_PROMPT = """Summarize the passage in 2-3 sentences, keeping key entities
-and numbers.
-
-Passage:
-{text}
-
-Summary:"""
-
-REDUCE_PROMPT = """Combine the partial summaries into one coherent document
-summary of at most 200 words titled '{title}'.
-
-Partial summaries:
-{parts}
-
-Document summary:"""
+from super_rag_tpu.llm.prompts import (
+    SUMMARY_MAP as MAP_PROMPT,
+    SUMMARY_REDUCE as REDUCE_PROMPT,
+)
 
 
 def extractive_summary(chunks: list[str], budget_tokens: int = 300) -> str:

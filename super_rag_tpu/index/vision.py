@@ -23,10 +23,7 @@ from super_rag_tpu.fileparser.base import AssetBinPart, ImagePart, Part
 
 logger = logging.getLogger(__name__)
 
-CAPTION_PROMPT = (
-    "Describe this image in 2-3 sentences for search indexing. Include any "
-    "visible text, charts, and key objects."
-)
+from super_rag_tpu.llm.prompts import VISION_CAPTION as CAPTION_PROMPT
 
 
 def vision_rows(

@@ -28,15 +28,7 @@ _VERB_HINT = re.compile(
     re.IGNORECASE,
 )
 
-EXTRACTION_PROMPT = """Extract knowledge triples from the text as JSON:
-{{"triples": [{{"source": "...", "relation": "...", "target": "...",
-"fact": "one sentence"}}]}}
-Only include facts stated in the text.
-
-Text:
-{text}
-
-JSON:"""
+from super_rag_tpu.llm.prompts import KG_EXTRACTION as EXTRACTION_PROMPT
 
 
 @dataclass

@@ -19,17 +19,7 @@ from super_rag_tpu.nodeflow.types import AnswerOutput, DocumentWithScore
 
 logger = logging.getLogger(__name__)
 
-DEFAULT_PROMPT = """Answer the question using ONLY the context below. If the
-context is insufficient, say so.
-
-# Context
-{context}
-
-# Question
-{query}
-
-# Answer
-"""
+from super_rag_tpu.llm.prompts import RAG_ANSWER as DEFAULT_PROMPT
 
 
 class LLMInput(BaseModel):

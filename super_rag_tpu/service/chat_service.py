@@ -16,6 +16,7 @@ import asyncio
 from typing import AsyncIterator, Optional
 
 from super_rag_tpu.api.http import HttpError
+from super_rag_tpu.llm.prompts import CHAT_ANSWER, CHAT_TITLE
 from super_rag_tpu.service.collection_service import CollectionService
 from super_rag_tpu.service.context import AppContext
 
@@ -150,6 +151,24 @@ class ChatService:
             user, coll["id"], query, top_k=top_k, chat_id=chat_id,
         )
 
+    async def generate_title(self, user: str, chat_id: str) -> dict:
+        """Explicit title (re)generation (reference api/chat.py:260 +
+        chat_title_service.py): titles from the first user message via
+        the completion model, truncation fallback offline."""
+        chat = self.get(user, chat_id)
+        first = next(
+            (p.get("text", "") for m in self.ctx.db.list_chat_messages(chat_id)
+             if m["role"] == "user" for p in m["parts"]
+             if p.get("type") == "text"),
+            "",
+        )
+        if not first:
+            raise HttpError(409, "chat has no user messages to title")
+        title = await self._make_title(first)
+        self.ctx.db.update_chat(chat_id, title=title)
+        chat = self.ctx.db.get_chat(chat_id)
+        return chat
+
     async def _make_title(self, first_message: str) -> str:
         """Title from the first message (reference chat_title_service:
         LLM-generated with truncation fallback)."""
@@ -157,8 +176,7 @@ class ChatService:
         if completion is not None:
             try:
                 result = completion(
-                    prompt="Give a 3-6 word title for a conversation that "
-                           f"starts with: {first_message[:400]}\nTitle:"
+                    prompt=CHAT_TITLE.format(first_message=first_message[:400])
                 )
                 if hasattr(result, "__await__"):
                     result = await result
@@ -179,11 +197,8 @@ class ChatService:
                 for m in history[-6:] for p in m["parts"]
                 if p.get("type") == "text"
             )
-            prompt = (
-                "Answer using the context; cite [n] indices.\n\n"
-                f"# History\n{hist}\n\n# Context\n{context}\n\n"
-                f"# Question\n{query}\n\n# Answer\n"
-            )
+            prompt = CHAT_ANSWER.format(history=hist, context=context,
+                                        query=query)
             result = completion(prompt=prompt)
             if hasattr(result, "__await__"):
                 result = await result

@@ -312,6 +312,23 @@ def test_chat_sse(client, collection):
     assert [m["role"] for m in msgs] == ["user", "assistant"]
 
 
+def test_chat_title_generation(client):
+    chat_id = client.post("/api/v1/chats", json={}).json()["id"]
+    # no user message yet -> 409
+    r = client.post(f"/api/v1/chats/{chat_id}/title")
+    assert r.status_code == 409
+    with client.stream(
+        "POST", f"/api/v1/chats/{chat_id}/completions",
+        json={"message": "what is a systolic array used for"},
+    ) as s:
+        for _ in s.iter_lines():
+            pass
+    r = client.post(f"/api/v1/chats/{chat_id}/title")
+    assert r.status_code == 200
+    # offline fallback titles from the first user message
+    assert "systolic" in r.json()["title"]
+
+
 def test_audit_log(client):
     r = client.get("/api/v1/audit_logs?limit=5")
     assert r.status_code == 200
