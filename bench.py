@@ -179,7 +179,9 @@ def main():
     gold = np.asarray(gold_i)
     got = np.asarray(res.indices)[:sample]
     hybrid_fidelity = float(np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / max((b >= 0).sum(), 1)
+        len({x for x in a.tolist() if x >= 0}
+            & {x for x in b.tolist() if x >= 0})
+        / max(np.unique(b[b >= 0]).size, 1)
         for a, b in zip(got, gold)
     ]))
 

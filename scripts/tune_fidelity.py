@@ -1,0 +1,164 @@
+"""Hybrid-fidelity vs QPS sweep over the query-time postings cap.
+
+bench.py reports hybrid_fidelity = fused-hybrid top-k overlap with a
+truncation-free exact-hybrid gold.  The stored inverted index keeps
+n/500 = 2000 postings per term at 1M docs; the query-time
+``postings_per_query_term`` cap (256 in the headline config) is the
+only lexical pruning.  This sweep measures what relaxing it buys and
+costs, and splits the fidelity loss by branch (dense int8 vs inverted
+BM25) so tuning targets the right knob.
+
+Run on TPU: python scripts/tune_fidelity.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from super_rag_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from super_rag_tpu.ops.bm25 import LexicalCorpus, bm25_search
+    from super_rag_tpu.ops.bm25_inverted import (build_inverted,
+                                                 inverted_bm25_search)
+    from super_rag_tpu.ops.dense import build_corpus, dense_search
+    from super_rag_tpu.ops.fusion import rrf_fuse
+    from super_rag_tpu.ops.hybrid import hybrid_search
+
+    on_tpu = jax.default_backend() != "cpu"
+    n = 1_000_000 if on_tpu else 10_000
+    d = 768 if on_tpu else 128
+    batch = 512 if on_tpu else 16
+    k, cand = 10, 100
+    slots = 64 if on_tpu else 16
+    qterms_n = 16
+    vocab = (1 << 17) if on_tpu else (1 << 14)
+    sample = 64 if on_tpu else 16
+
+    # identical corpus recipe to bench.py (seed 0)
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
+    dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
+
+    zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
+    terms = ((zipf_raw - 1) % vocab).astype(np.int32)
+    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
+    pad_mask = rng.random((n, slots)) < 0.2
+    terms[pad_mask] = vocab
+    tfs[pad_mask] = 0.0
+    doc_len = tfs.sum(1) * 2.0 + 1.0
+    lexical = LexicalCorpus(
+        terms=jnp.asarray(terms), tfs=jnp.asarray(tfs, jnp.bfloat16),
+        doc_len=jnp.asarray(doc_len),
+    )
+    avgdl = jnp.float32(float(doc_len.mean()))
+    inverted = build_inverted(terms, tfs, doc_len, vocab,
+                              postings_per_term=max(256, n // 500),
+                              avgdl=float(doc_len.mean()))
+    sorted_terms = np.sort(terms, axis=1)
+    first = np.ones_like(sorted_terms, bool)
+    first[:, 1:] = sorted_terms[:, 1:] != sorted_terms[:, :-1]
+    uniq_flat = sorted_terms[first]
+    df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
+    idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+
+    queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
+    q_rows = rng.integers(0, n, batch)
+    q_terms = np.full((batch, qterms_n), vocab, np.int32)
+    df_cap = max(64, n // 50)
+    for bi, row in enumerate(q_rows):
+        uniq = [t for t in dict.fromkeys(terms[row].tolist())
+                if t != vocab and df[t] <= df_cap][:qterms_n]
+        q_terms[bi, : len(uniq)] = uniq
+    q_idf = np.where(q_terms != vocab, idf_table[np.minimum(q_terms, vocab)],
+                     0.0).astype(np.float32)
+    q_terms_j = jnp.asarray(q_terms)
+    q_idf_j = jnp.asarray(q_idf)
+    tile = 8192 if on_tpu else 512
+
+    # truncation-free gold (sample queries)
+    dv, di = dense_search(queries[:sample], dense_f32, k=cand,
+                          block_size=262_144 if on_tpu else 8_192)
+    lv, li = bm25_search(q_terms_j[:sample], q_idf_j[:sample], lexical,
+                         avgdl, vocab_size=vocab, k=cand, block_size=8_192)
+    di = jnp.where(jnp.isfinite(dv), di, -1)
+    li = jnp.where(jnp.isfinite(lv) & (lv > 0), li, -1)
+    _, gold_i = rrf_fuse(di.astype(jnp.int32), li.astype(jnp.int32), k=k)
+    gold = np.asarray(gold_i)
+    gold_dense = np.asarray(di)[:, :k]
+    gold_bm25 = np.asarray(li)[:, :k]
+
+    def overlap(got, ref):
+        return float(np.mean([
+            len({x for x in a.tolist() if x >= 0}
+                & {x for x in b.tolist() if x >= 0})
+            / max((np.unique(b[b >= 0])).size, 1)
+            for a, b in zip(got, ref)
+        ]))
+
+    # branch-wise diagnosis at the headline caps
+    from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
+    pdv, pdi = pallas_dense_topk(queries[:sample], dense_int8, k=cand,
+                                 tile=tile, int8_queries=True, per_tile_k=8,
+                                 interpret=not on_tpu)
+    print(json.dumps({"branch": "dense_int8_cap8",
+                      "top10_overlap_vs_f32": overlap(
+                          np.asarray(pdi)[:, :k], gold_dense)}), flush=True)
+    for ppq in (256, 1024):
+        iv_, ii_ = inverted_bm25_search(q_terms_j[:sample], q_idf_j[:sample],
+                                        inverted, k=cand,
+                                        postings_per_query_term=ppq)
+        print(json.dumps({"branch": f"bm25_inverted_cap{ppq}",
+                          "top10_overlap_vs_exact": overlap(
+                              np.asarray(ii_)[:, :k], gold_bm25)}),
+              flush=True)
+
+    def timed(run, sync, lo=8, hi=24):
+        def total(depth):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(depth):
+                out = run()
+            sync(out)
+            return time.perf_counter() - t0
+        total(2)
+        tlo = min(total(lo) for _ in range(2))
+        thi = min(total(hi) for _ in range(2))
+        return (thi - tlo) / (hi - lo)
+
+    for ppq in (256, 512, 1024):
+        def run():
+            return hybrid_search(
+                queries, q_terms_j, q_idf_j, dense_int8, lexical, avgdl,
+                inverted=inverted, vocab_size=vocab, k=k, candidates=cand,
+                use_pallas=on_tpu, dense_tile=tile,
+                postings_per_query_term=ppq, int8_queries=True, per_tile_k=8,
+            )
+
+        def sync(out):
+            np.asarray(out.indices)
+
+        res = run()
+        sync(res)
+        fid = overlap(np.asarray(res.indices)[:sample], gold)
+        per_call = timed(run, sync)
+        print(json.dumps({
+            "postings_per_query_term": ppq,
+            "hybrid_fidelity": round(fid, 4),
+            "qps": round(batch / per_call, 1),
+            "batch512_ms": round(per_call * 1e3, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,12 @@ NEG_INF = float("-inf")
 def _make_kernel(cap: int, d: int, nprobe: int, compute_dtype):
     def kernel(probes_ref, q_ref, values_hbm, out_ref, v_scr, v_sem):
         # probes_ref: [B, nprobe] SMEM (scalar prefetch)
-        # q_ref:      [B, D] VMEM (whole array)
+        # q_ref:      [B, 1, D] VMEM (whole array; the query's dynamic
+        #             index rides the LEADING dim — Mosaic only allows
+        #             unaligned dynamic indices off the tiled last-two)
         # values_hbm: [nlist, C, D] ANY/HBM
-        # out_ref:    [1, nprobe, C] VMEM
+        # out_ref:    [1, nprobe, 1, C] VMEM (probe index j is dim 1,
+        #             again off the tiled pair)
         # v_scr:      [2, C, D] VMEM scratch; v_sem: [2] DMA semaphores
         b = pl.program_id(0)
 
@@ -56,7 +59,7 @@ def _make_kernel(cap: int, d: int, nprobe: int, compute_dtype):
             )
 
         copy(0, 0).start()
-        q_row = q_ref[pl.ds(b, 1), :]  # [1, D]
+        q_row = q_ref[b]  # [1, D]
 
         def loop_body(j, _):
             slot = jax.lax.rem(j, 2)
@@ -74,7 +77,7 @@ def _make_kernel(cap: int, d: int, nprobe: int, compute_dtype):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [1, C]
-            out_ref[0, pl.ds(j, 1), :] = s
+            out_ref[0, j] = s
             return 0
 
         jax.lax.fori_loop(0, nprobe, loop_body, 0)
@@ -127,7 +130,8 @@ def pallas_ivf_topk(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole q array
             pl.BlockSpec(memory_space=pl.ANY),  # values stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, nprobe, cap), lambda bi, p: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, nprobe, 1, cap),
+                               lambda bi, p: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, cap, d), index.values.dtype),
@@ -137,9 +141,10 @@ def pallas_ivf_topk(
     raw = pl.pallas_call(
         _make_kernel(cap, d, nprobe, compute_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nprobe, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nprobe, 1, cap), jnp.float32),
         interpret=interpret,
-    )(probes, q_in, index.values)  # [B, nprobe, cap]
+    )(probes, q_in.reshape(b, 1, d), index.values)
+    raw = raw.reshape(b, nprobe, cap)
 
     # dequant + tombstone mask + top-k on the tiny candidate set
     ci = jnp.take(index.row_ids, probes, axis=0)  # [B, nprobe, cap] int32

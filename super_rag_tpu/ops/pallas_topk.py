@@ -139,12 +139,15 @@ def pallas_dense_topk(
     # honest).  per_tile_k=None keeps the exact per-tile k.
     kt = min(k_eff, per_tile_k) if per_tile_k is not None else k_eff
     pad = (-n) % tile
-    values = jnp.pad(corpus.values, ((0, pad), (0, 0)))
+    # skip no-op pads: at 10M rows a pad copy transiently doubles HBM
+    values = (jnp.pad(corpus.values, ((0, pad), (0, 0))) if pad
+              else corpus.values)
     has_scales = corpus.scales is not None
     has_norms = metric == Metric.L2
     needs_mask = mask is not None or pad > 0
     keep = jnp.ones((n,), jnp.bool_) if mask is None else mask
-    keep = jnp.pad(keep, (0, pad), constant_values=False)
+    if pad:
+        keep = jnp.pad(keep, (0, pad), constant_values=False)
 
     num_tiles = values.shape[0] // tile
     b, d = q.shape

@@ -163,3 +163,30 @@ def test_resolver_and_remote_embedder(stub, tmp_path):
 def test_resolver_returns_none_when_unconfigured(tmp_path):
     db = Database(str(tmp_path / "e.db"))
     assert ModelResolver(db).completion_client({}) is None
+
+
+def test_prompt_library():
+    from super_rag_tpu.llm import prompts
+
+    # every template placeholder renders
+    assert "{context}" in prompts.RAG_ANSWER
+    assert prompts.RAG_ANSWER.format(context="c", query="q")
+    assert prompts.CHAT_ANSWER.format(history="h", context="c", query="q")
+    assert prompts.CHAT_TITLE.format(first_message="hello")
+    assert prompts.AGENT_SYSTEM.format(tool_descriptions="t", history="h",
+                                       query="q")
+    assert prompts.SUMMARY_MAP.format(text="t")
+    assert prompts.SUMMARY_REDUCE.format(title="t", parts="p")
+    assert prompts.KG_EXTRACTION.format(text="t")
+
+    p = prompts.build_agent_query_prompt(
+        "what is x",
+        history=[{"role": "user", "parts": [{"type": "text", "text": "hi"}]},
+                 {"role": "assistant",
+                  "parts": [{"type": "references", "references": []}]}],
+        collection_titles=["kb"],
+    )
+    assert "user: hi" in p and "what is x" in p and "kb" in p
+    # empty history and scope degrade to placeholders, not KeyErrors
+    p2 = prompts.build_agent_query_prompt("q")
+    assert "(no prior messages)" in p2 and "(none)" in p2
