@@ -169,7 +169,30 @@ def main() -> None:
         "pallas_ivf_recall_at_10": round(pallas_recall, 4),
         "ivf_build_s": round(build_s, 1),
         "pallas_meets_p50_5ms": pallas_call_s * 1000 < 5.0,
-    }))
+    }), flush=True)
+
+    # recall/latency curve over nprobe (the production tuning knob)
+    for np_ in (16, 48, 64):
+        if np_ == nprobe:
+            continue
+
+        def run_np():
+            return pallas_ivf_topk(queries, ivf, k=k, nprobe=np_,
+                                   interpret=not on_tpu)
+
+        o = run_np()
+        sync_pair(o)
+        pi_ = np.asarray(o[1])
+        rec_ = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(pi_, gi)
+        ]))
+        t_ = timed_pair(run_np)
+        print(json.dumps({
+            "nprobe": np_,
+            "pallas_ivf_latency_ms": round(t_ * 1000, 3),
+            "recall_at_10": round(rec_, 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":

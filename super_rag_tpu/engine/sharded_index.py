@@ -19,7 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from super_rag_tpu.engine.index import IndexSpec, WRITE_BLOCK
+from super_rag_tpu.engine.index import (
+    INDEXER_CODES,
+    FilterSpec,
+    IndexSpec,
+    WRITE_BLOCK,
+    _chat_hash,
+    _filter_mask,
+)
 from super_rag_tpu.ops.dense import Metric
 from super_rag_tpu.ops.quant import quantize_int8
 from super_rag_tpu.parallel.mesh import CORPUS_AXIS, row_sharding
@@ -80,6 +87,8 @@ class ShardedDeviceIndex:
         self._grow("tfs", (capacity, spec.bm25_slots), jnp.bfloat16)
         self._grow("doc_len", (capacity,), jnp.float32, 1)
         self._grow("valid", (capacity,), jnp.bool_)
+        self._grow("indexer_code", (capacity,), jnp.int32)
+        self._grow("chat_code", (capacity,), jnp.int32)
         self._capacity = capacity
 
     def _ensure_capacity(self, extra: int) -> None:
@@ -93,7 +102,9 @@ class ShardedDeviceIndex:
     # -- mutation ----------------------------------------------------------
 
     def add(self, embeddings, texts: Sequence[str],
-            metadata: Optional[Sequence[dict]] = None) -> list[int]:
+            metadata: Optional[Sequence[dict]] = None,
+            indexer: str = "vector",
+            chat_id: Optional[str] = None) -> list[int]:
         m = len(texts)
         metadata = metadata or [{} for _ in range(m)]
         self._ensure_capacity(m + WRITE_BLOCK)
@@ -136,6 +147,14 @@ class ShardedDeviceIndex:
         vmask = np.zeros(pad_m, bool)
         vmask[:m] = True
         self.valid = _write_sharded(self.valid, jnp.asarray(vmask), s)
+        code = INDEXER_CODES.get(indexer, 0)
+        chat = _chat_hash(chat_id)
+        self.indexer_code = _write_sharded(
+            self.indexer_code, padded(np.full(m, code, np.int32)), s
+        )
+        self.chat_code = _write_sharded(
+            self.chat_code, padded(np.full(m, chat, np.int32)), s
+        )
 
         self.row_meta.extend(
             {"text": t, **md} for t, md in zip(texts, metadata)
@@ -194,8 +213,26 @@ class ShardedDeviceIndex:
 
     # -- query -------------------------------------------------------------
 
+    def _mask(self, flt: Optional[FilterSpec]) -> jax.Array:
+        """Validity AND metadata filters as one sharded [N] mask (same
+        masked-scoring semantics as DeviceIndex._mask; elementwise ops
+        preserve the row sharding, so each chip filters its own rows)."""
+        if flt is None or (flt.indexers is None and flt.chat_hash is None):
+            return self.valid
+        bits = 0
+        if flt.indexers is not None:
+            for c in flt.indexers:
+                bits |= 1 << c
+        return _filter_mask(
+            self.valid, self.indexer_code, self.chat_code,
+            jnp.uint32(bits), jnp.int32(flt.chat_hash or 0),
+            has_chat=flt.chat_hash is not None,
+            has_indexers=flt.indexers is not None,
+        )
+
     def search_hybrid(self, query_emb, queries: Sequence[str], k: int,
-                      candidates: int = 100, max_terms: int = 16):
+                      candidates: int = 100, max_terms: int = 16,
+                      flt: Optional[FilterSpec] = None):
         qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
         qi = np.zeros((len(queries), max_terms), np.float32)
         for i, q in enumerate(queries):
@@ -211,7 +248,7 @@ class ShardedDeviceIndex:
             jnp.asarray(np.asarray(query_emb)),
             jnp.asarray(qt), jnp.asarray(qi),
             self.emb, self.scales, self.terms, self.tfs, self.doc_len,
-            self.valid, jnp.float32(self.df.avgdl),
+            self._mask(flt), jnp.float32(self.df.avgdl),
             self._inv_ids if inv_ok else dummy,
             self._inv_impact if inv_ok else dummy,
             mesh=self.mesh, vocab_size=self.spec.vocab_size, k=k,
@@ -219,3 +256,77 @@ class ShardedDeviceIndex:
             has_scales=self.scales is not None,
             has_inverted=inv_ok,
         )
+
+    # -- snapshot / restore --------------------------------------------------
+
+    def snapshot_state(self) -> tuple[dict, dict]:
+        """Host-side snapshot (same format as DeviceIndex.snapshot_state;
+        np.asarray of a sharded array gathers all shards)."""
+        emb = self.emb[: self.size]
+        if emb.dtype == jnp.bfloat16:
+            emb = emb.astype(jnp.float32)  # npz cannot hold bf16
+        arrays = {
+            "emb": np.asarray(emb),
+            "terms": np.asarray(self.terms[: self.size]),
+            "tfs": np.asarray(self.tfs[: self.size].astype(jnp.float32)),
+            "doc_len": np.asarray(self.doc_len[: self.size]),
+            "valid": np.asarray(self.valid[: self.size]),
+            "indexer_code": np.asarray(self.indexer_code[: self.size]),
+            "chat_code": np.asarray(self.chat_code[: self.size]),
+        }
+        if self.scales is not None:
+            arrays["scales"] = np.asarray(self.scales[: self.size])
+        host = {
+            "spec": {
+                "dim": self.spec.dim,
+                "metric": self.spec.metric.value,
+                "dtype": jnp.dtype(self.spec.dtype).name,
+                "bm25_slots": self.spec.bm25_slots,
+                "vocab_size": self.spec.vocab_size,
+                "min_capacity": self.spec.min_capacity,
+            },
+            "size": self.size,
+            "row_meta": self.row_meta,
+            "df": self.df.state(),
+        }
+        return arrays, host
+
+    @classmethod
+    def from_snapshot(cls, arrays: dict, host: dict,
+                      mesh: Mesh) -> "ShardedDeviceIndex":
+        from super_rag_tpu.tokenize.analyzer import DocFrequency
+
+        s = host["spec"]
+        spec = IndexSpec(
+            dim=s["dim"], metric=Metric(s["metric"]),
+            dtype=jnp.dtype(s["dtype"]), bm25_slots=s["bm25_slots"],
+            vocab_size=s["vocab_size"], min_capacity=s["min_capacity"],
+        )
+        idx = cls(spec, mesh)
+        n = host["size"]
+        idx._ensure_capacity(n)
+        pad = idx._capacity - n
+
+        def put(name, a, fill=0):
+            a = np.asarray(a)
+            a = np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+            tgt = getattr(idx, name)
+            setattr(idx, name, jax.device_put(
+                jnp.asarray(a).astype(tgt.dtype),
+                row_sharding(mesh, a.ndim),
+            ))
+
+        put("emb", arrays["emb"])
+        put("terms", arrays["terms"], fill=spec.vocab_size)
+        put("tfs", arrays["tfs"])
+        put("doc_len", arrays["doc_len"], fill=1)
+        put("valid", arrays["valid"])
+        put("indexer_code", arrays["indexer_code"])
+        put("chat_code", arrays["chat_code"])
+        if "scales" in arrays:
+            put("scales", arrays["scales"])
+        idx.size = n
+        idx.row_meta = list(host["row_meta"])
+        idx.df = DocFrequency.from_state(host["df"])
+        return idx

@@ -136,8 +136,14 @@ def hybrid_search(
     kc = min(candidates, n)
 
     if ivf is not None:
-        dv, di = ivf_search(query_emb, ivf, k=kc, nprobe=nprobe,
-                            mask=mask, metric=metric)
+        if use_pallas:
+            from super_rag_tpu.ops.pallas_ivf import pallas_ivf_topk
+
+            dv, di = pallas_ivf_topk(query_emb, ivf, k=kc, nprobe=nprobe,
+                                     mask=mask, metric=metric)
+        else:
+            dv, di = ivf_search(query_emb, ivf, k=kc, nprobe=nprobe,
+                                mask=mask, metric=metric)
     elif use_pallas:
         dv, di = pallas_dense_topk(
             query_emb, dense, k=kc, metric=metric, mask=mask, tile=dense_tile,

@@ -107,3 +107,46 @@ def test_sharded_inverted_compaction(pair):
                                np.asarray(after.scores), rtol=2e-2, atol=1e-3)
     # postings tables really live sharded
     assert len(sharded._inv_ids.sharding.device_set) == 8
+
+
+def test_sharded_filters(eight_devices):
+    from super_rag_tpu.engine.index import FilterSpec, INDEXER_CODES
+
+    mesh = corpus_mesh(eight_devices)
+    spec = IndexSpec(dim=64, dtype=jnp.float32, vocab_size=1 << 14,
+                     min_capacity=2048)
+    emb = HashEmbedder(dim=64)
+    idx = ShardedDeviceIndex(spec, mesh)
+    idx.add(np.asarray(emb.embed(DOCS[:50])), DOCS[:50], indexer="vector")
+    idx.add(np.asarray(emb.embed(["summary of everything fox"])),
+            ["summary of everything fox"], indexer="summary")
+    idx.add(np.asarray(emb.embed(["chat scoped fox document"])),
+            ["chat scoped fox document"], chat_id="chat-1")
+
+    q = np.asarray(emb.embed(["fox"]))
+    # summary-only filter returns only the summary row
+    flt = FilterSpec(indexers=frozenset({INDEXER_CODES["summary"]}))
+    res = idx.search_hybrid(q, ["fox"], k=3, candidates=10, flt=flt)
+    ids = [i for i in np.asarray(res.indices)[0].tolist() if i >= 0]
+    assert ids == [50]
+    # chat filter: scoped row visible + unscoped rows, not other chats
+    from super_rag_tpu.engine.index import _chat_hash
+
+    flt = FilterSpec(chat_hash=_chat_hash("chat-2"))
+    res = idx.search_hybrid(q, ["fox"], k=52, candidates=60, flt=flt)
+    ids = {i for i in np.asarray(res.indices)[0].tolist() if i >= 0}
+    assert 51 not in ids  # chat-1's row is invisible to chat-2
+
+
+def test_sharded_snapshot_roundtrip(pair, eight_devices):
+    sharded, _, emb = pair
+    mesh = corpus_mesh(eight_devices)
+    arrays, host = sharded.snapshot_state()
+    restored = ShardedDeviceIndex.from_snapshot(arrays, host, mesh)
+    assert restored.size == sharded.size
+    queries = ["fox jumping", "systolic matrices"]
+    q = np.asarray(emb.embed(queries))
+    a = sharded.search_hybrid(q, queries, k=5, candidates=20)
+    b = restored.search_hybrid(q, queries, k=5, candidates=20)
+    np.testing.assert_array_equal(np.asarray(a.indices),
+                                  np.asarray(b.indices))
