@@ -54,8 +54,11 @@ def main() -> None:
     qn = q_all / np.linalg.norm(q_all, axis=1, keepdims=True)
     q_gold = qn[:n_gold]
 
-    # streamed build: per chunk -> normalize -> gold scores -> int8
+    # streamed build: per chunk -> normalize -> gold scores -> int8 (+bf16)
+    import ml_dtypes
+
     values = np.empty((n, d), np.int8)
+    values_bf16 = np.empty((n, d), ml_dtypes.bfloat16)
     scales = np.empty((n,), np.float32)
     gold_v = np.full((n_gold, k), -np.inf, np.float32)
     gold_i = np.full((n_gold, k), -1, np.int64)
@@ -83,6 +86,7 @@ def main() -> None:
             np.rint(chunk * (127.0 / mx[:, None])), -127, 127
         ).astype(np.int8)
         scales[base : base + m] = mx / 127.0
+        values_bf16[base : base + m] = chunk.astype(ml_dtypes.bfloat16)
     build_s = time.perf_counter() - t0
 
     corpus = DenseCorpus(values=jnp.asarray(values),
@@ -97,14 +101,22 @@ def main() -> None:
     def sync(out):
         np.asarray(out[1])
 
+    def recall_of(ids):
+        return float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(np.asarray(ids), gold_i)
+        ]))
+
     # recall@10 of the int8 Pallas path vs exact fp32 gold
     out = run(queries[:n_gold])
     sync(out)
-    ai = np.asarray(out[1])
-    recall = float(np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / k
-        for a, b in zip(ai, gold_i)
-    ]))
+    recall = recall_of(out[1])
+    # int8 corpus with UNquantized (bf16) queries — isolates the
+    # query-side quantization loss at ~half the int8 MXU rate
+    _, fi = pallas_dense_topk(queries[:n_gold], corpus, k=k, tile=TILE,
+                              int8_queries=False, interpret=not on_tpu)
+    sync((None, fi))
+    recall_f32q = recall_of(fi)
 
     def timed(fn, q, lo=4, hi=12):
         def total(depth):
@@ -128,11 +140,40 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "queries/s",
         "n": n, "d": d, "recall_at_10_vs_exact_f32": round(recall, 4),
+        "recall_at_10_f32_queries": round(recall_f32q, 4),
         "batch512_ms": round(per_call_512 * 1e3, 2),
         "batch32_ms": round(per_call_32 * 1e3, 2),
         "hbm_gb": round(n * d / 2**30, 2),
         "build_s": round(build_s, 1),
-    }))
+    }), flush=True)
+
+    # bf16 corpus at the same row count (14.3 GB — the honest
+    # "equal memory" configuration vs the reference's f32 HNSW at 29 GB+)
+    del corpus
+    import gc
+    gc.collect()
+    try:
+        corpus16 = DenseCorpus(values=jnp.asarray(values_bf16), scales=None)
+        del values_bf16
+        gc.collect()
+
+        def run16(q):
+            return pallas_dense_topk(q, corpus16, k=k, tile=TILE,
+                                     interpret=not on_tpu)
+
+        o = run16(queries[:n_gold])
+        sync(o)
+        rec16 = recall_of(o[1])
+        t16 = timed(run16, queries[:batch_lat])
+        print(json.dumps({
+            "metric": "dense_bf16_10m",
+            "recall_at_10_vs_exact_f32": round(rec16, 4),
+            "batch32_ms": round(t16 * 1e3, 2),
+            "hbm_gb": round(n * d * 2 / 2**30, 2),
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001 — HBM-dependent
+        print(json.dumps({"metric": "dense_bf16_10m",
+                          "skipped": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,7 +59,15 @@ class CollectionEngine:
         indexer: str = "vector",
         chat_id: Optional[str] = None,
     ) -> list[int]:
-        emb = np.asarray(self.embedder.embed(list(texts)))
+        # keep the embedding on device when the embedder supports it:
+        # normalize/quantize/write run as async device programs while the
+        # host analyzes terms for the next batch (ingest pipelining)
+        if hasattr(self.embedder, "embed_device"):
+            emb = self.embedder.embed_device(list(texts))
+        else:
+            emb = self.embedder.embed(list(texts))
+            if not isinstance(emb, jax.Array):
+                emb = np.asarray(emb)
         return self.index.add(
             emb, texts, metadata, indexer=indexer, chat_id=chat_id
         )

@@ -109,6 +109,22 @@ def _filter_mask(
 
 
 
+@functools.partial(jax.jit, static_argnames=("cosine", "to_int8"))
+def _prep_dense(x: jax.Array, cosine: bool, to_int8: bool):
+    """Device-side insert prep: normalize (+ squared norms) and optional
+    int8 quantization in one program, so encoder output feeds the write
+    without a host round-trip."""
+    x = x.astype(jnp.float32)
+    if cosine:
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.where(n > 0, n, 1.0)
+    norms = jnp.sum(x * x, axis=-1)
+    if to_int8:
+        q, sc = quantize_int8(x)
+        return q, sc, norms
+    return x, None, norms
+
+
 def _locked(fn):
     """Serialize index mutations and queries (see _mutex note)."""
 
@@ -216,18 +232,30 @@ class DeviceIndex:
         metadata = metadata or [{} for _ in range(m)]
         self._ensure_capacity(m + WRITE_BLOCK)
 
-        x = np.asarray(embeddings, np.float32)
-        if self.spec.metric == Metric.COSINE:
-            n = np.linalg.norm(x, axis=-1, keepdims=True)
-            x = x / np.where(n > 0, n, 1.0)
-        norms = (x * x).sum(-1).astype(np.float32)
-        if self.spec.dtype == jnp.int8:
-            qv, qs = quantize_int8(jnp.asarray(x))
-            emb_block = np.asarray(qv)
-            scale_block = np.asarray(qs)
+        device_in = isinstance(embeddings, jax.Array)
+        if device_in:
+            # embeddings stay on device: normalize/quantize run as one
+            # jitted program (per distinct batch size) and never round-
+            # trip to host — the encoder's output feeds the write
+            # directly while the host analyzes terms below.
+            emb_block, scale_block, norms = _prep_dense(
+                embeddings,
+                cosine=self.spec.metric == Metric.COSINE,
+                to_int8=self.spec.dtype == jnp.int8,
+            )
         else:
-            emb_block = x
-            scale_block = None
+            x = np.asarray(embeddings, np.float32)
+            if self.spec.metric == Metric.COSINE:
+                n = np.linalg.norm(x, axis=-1, keepdims=True)
+                x = x / np.where(n > 0, n, 1.0)
+            norms = (x * x).sum(-1).astype(np.float32)
+            if self.spec.dtype == jnp.int8:
+                qv, qs = quantize_int8(jnp.asarray(x))
+                emb_block = np.asarray(qv)
+                scale_block = np.asarray(qs)
+            else:
+                emb_block = x
+                scale_block = None
 
         terms, tfs, lens = self.analyzer.batch_doc_entries(
             list(texts), self.spec.bm25_slots
@@ -245,6 +273,9 @@ class DeviceIndex:
         pad_m = -(-m // WRITE_BLOCK) * WRITE_BLOCK
 
         def padded(a, fill=0):
+            if isinstance(a, jax.Array):
+                return jnp.pad(a, [(0, pad_m - m)] + [(0, 0)] * (a.ndim - 1),
+                               constant_values=fill)
             out = np.full((pad_m, *a.shape[1:]), fill, a.dtype)
             out[:m] = a
             return jnp.asarray(out)

@@ -139,3 +139,23 @@ class EncoderService:
             vecs = self._apply(jnp.asarray(ids), jnp.asarray(mask))
             out[i : i + len(block)] = np.asarray(vecs)[: len(block)]
         return out
+
+    def embed_device(self, texts: Sequence[str]) -> jax.Array:
+        """Like embed() but the result STAYS ON DEVICE (no host sync):
+        downstream index writes consume it directly, so tokenization of
+        the next batch overlaps the forward pass (ingest pipelining)."""
+        texts = list(texts)
+        if not texts:
+            return jnp.zeros((0, self.dim), jnp.float32)
+        outs = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            block = texts[i : i + bs]
+            ids, mask = self.tokenizer.encode_batch(block, max_len=self.max_len)
+            pad_n = bs - len(block)
+            if pad_n:
+                ids = np.pad(ids, ((0, pad_n), (0, 0)))
+                mask = np.pad(mask, ((0, pad_n), (0, 0)))
+            outs.append(self._apply(jnp.asarray(ids), jnp.asarray(mask)))
+        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return full[: len(texts)]
