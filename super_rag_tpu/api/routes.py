@@ -837,24 +837,45 @@ def build_router(ctx: AppContext) -> Router:
         chat_id = req.path_params["chat_id"]
         session = agent_sessions.get(user["username"], chat_id,
                                      _agent_collections(agent))
-        while True:
-            msg = await ws.receive_json()
-            if msg is None:
-                return
-            text = msg.get("message", msg.get("query", ""))
-            if not text:
-                await ws.send_json({"event": "error", "data": "empty message"})
-                continue
-            ctx.db.add_chat_message(chat_id, "user",
-                                    [{"type": "text", "text": text}])
-            final = ""
-            async for event in session.run(text):
-                await ws.send_json(event)
-                if event["event"] == "done":
-                    final = event["data"].get("text", "")
-            if final:
-                ctx.db.add_chat_message(chat_id, "assistant",
-                                        [{"type": "text", "text": final}])
+        import asyncio as _aio
+
+        from super_rag_tpu.api.wsflow import next_message, pump, start_reader
+
+        inbox: _aio.Queue = _aio.Queue()
+        reader = start_reader(ws, inbox)
+        leftover: list[dict] = []
+        try:
+            while True:
+                msg = await next_message(inbox, leftover)
+                if msg is None:
+                    return
+                text = msg.get("message", msg.get("query", ""))
+                if not text:
+                    await ws.send_json({"event": "error",
+                                        "data": "empty message"})
+                    continue
+                ctx.db.add_chat_message(chat_id, "user",
+                                        [{"type": "text", "text": text}])
+                final = ""
+                events: list[dict] = []
+
+                async def send(event):
+                    events.append(event)
+                    await ws.send_json(event)
+
+                outcome, extra = await pump(session.run(text), inbox, send)
+                leftover.extend(extra)
+                for event in events:
+                    if event.get("event") == "done":
+                        final = event["data"].get("text", "")
+                if final:
+                    ctx.db.add_chat_message(
+                        chat_id, "assistant",
+                        [{"type": "text", "text": final}])
+                if outcome == "closed":
+                    return
+        finally:
+            reader.cancel()
 
     @router.post("/api/v1/agents/{aid}/chats/{chat_id}/ag-ui")
     async def agent_ag_ui(req: Request) -> Response:
@@ -1001,18 +1022,34 @@ def build_router(ctx: AppContext) -> Router:
             await ws.send_json({"event": "error", "data": "unauthorized"})
             return
         chat_id = req.path_params["chat_id"]
-        while True:
-            msg = await ws.receive_json()
-            if msg is None:
-                return
-            text = msg.get("message", msg.get("query", ""))
-            if not text:
-                await ws.send_json({"event": "error", "data": "empty message"})
-                continue
-            async for event in chats.process_message(
-                user["username"], chat_id, text,
-                collection_ids=msg.get("collection_ids"),
-            ):
-                await ws.send_json(event)
+        import asyncio as _aio
+
+        from super_rag_tpu.api.wsflow import next_message, pump, start_reader
+
+        inbox: _aio.Queue = _aio.Queue()
+        reader = start_reader(ws, inbox)
+        leftover: list[dict] = []
+        try:
+            while True:
+                msg = await next_message(inbox, leftover)
+                if msg is None:
+                    return
+                text = msg.get("message", msg.get("query", ""))
+                if not text:
+                    await ws.send_json({"event": "error",
+                                        "data": "empty message"})
+                    continue
+                outcome, extra = await pump(
+                    chats.process_message(
+                        user["username"], chat_id, text,
+                        collection_ids=msg.get("collection_ids"),
+                    ),
+                    inbox, ws.send_json,
+                )
+                leftover.extend(extra)
+                if outcome == "closed":
+                    return
+        finally:
+            reader.cancel()
 
     return router
