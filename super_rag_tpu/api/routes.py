@@ -36,10 +36,21 @@ def build_router(ctx: AppContext) -> Router:
         resp = await nxt(req)
         if req.path.startswith("/api/v1"):
             user = req.state.get("user") or {}
+            # response body captured for mutations only (reference
+            # audit_decorator captures both sides); streams are skipped
+            # and credential-bearing routes are redacted
+            secret = "/auth/" in req.path or "/apikeys" in req.path
+            body_in = ("<redacted>" if secret
+                       else req.body[:1000].decode("utf-8", "replace"))
+            body_out = ""
+            if req.method in ("POST", "PUT", "DELETE") and resp.stream is None:
+                body_out = ("<redacted>" if secret
+                            else resp.body[:1000].decode("utf-8", "replace"))
             ctx.db.add_audit(
                 user.get("username", ""), req.path, req.method, resp.status,
                 (time.perf_counter() - t0) * 1000,
-                request=req.body[:1000].decode("utf-8", "replace"),
+                request=body_in,
+                response=body_out,
             )
         return resp
 

@@ -671,3 +671,15 @@ def test_mcp_batch_and_ping(server, client):
         assert r.json()["error"]["code"] == -32601
         r = mcp.post("/mcp", content=b"{broken")
         assert r.json()["error"]["code"] == -32700
+
+
+def test_audit_captures_response_and_redacts_secrets(client):
+    client.post("/api/v1/collections", json={"title": "audited"})
+    logs = client.get("/api/v1/audit_logs?limit=50").json()
+    create = next(l for l in logs if l["method"] == "POST"
+                  and l["path"] == "/api/v1/collections"
+                  and "audited" in l.get("request", ""))
+    assert "audited" in create["response"]  # response body captured
+    login = next(l for l in logs if l["path"] == "/api/v1/auth/login")
+    assert login["request"] == "<redacted>"
+    assert "secret123" not in (login.get("response") or "")
