@@ -683,3 +683,28 @@ def test_audit_captures_response_and_redacts_secrets(client):
     login = next(l for l in logs if l["path"] == "/api/v1/auth/login")
     assert login["request"] == "<redacted>"
     assert "secret123" not in (login.get("response") or "")
+
+
+def test_multipart_multi_file_and_edge_cases(client, collection):
+    # two files in one request -> two documents
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        files=[("file", ("m1.md", b"# A\n\nokapi first file.", "text/markdown")),
+               ("file", ("m2.md", b"# B\n\nokapi second file.", "text/markdown"))],
+    )
+    assert r.status_code == 201 and len(r.json()) == 2
+    # form field without filename is skipped, not an error
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        data={"note": "not a file"},
+        files={"file": ("m3.md", b"# C\n\nokapi third.", "text/markdown")},
+    )
+    assert r.status_code == 201 and len(r.json()) == 1
+    # empty json body list -> no documents, still 201
+    r = client.post(f"/api/v1/collections/{collection['id']}/documents",
+                    json=[])
+    assert r.status_code == 201 and r.json() == []
+    # missing name -> 422
+    r = client.post(f"/api/v1/collections/{collection['id']}/documents",
+                    json=[{"content": "x"}])
+    assert r.status_code == 422
