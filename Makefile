@@ -15,6 +15,18 @@ run:
 bench:
 	python bench.py
 
+bench-ivf:      # IVF latency tier + nprobe recall/latency curve
+	python scripts/bench_ivf.py
+
+bench-10m:      # 10M-row single-chip capacity + recall
+	python scripts/bench_10m.py
+
+bench-ingest:   # docs/s through the engine write path
+	python scripts/bench_ingest.py
+
+bench-fidelity: # hybrid fidelity vs QPS over the postings cap
+	python scripts/tune_fidelity.py
+
 native:
 	g++ -O3 -std=c++17 -shared -fPIC super_rag_tpu/native/analyzer.cpp \
 	  -o super_rag_tpu/native/build/libanalyzer.so
