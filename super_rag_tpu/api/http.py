@@ -485,6 +485,11 @@ class HttpServer:
         else:
             headers["Content-Length"] = str(len(resp.body))
         for k, v in headers.items():
+            # CR/LF in a header name or value would split the response
+            # (header injection via user-controlled values, e.g. document
+            # names surfaced as X-Document-Name). Strip unconditionally.
+            k = str(k).replace("\r", "").replace("\n", "")
+            v = str(v).replace("\r", " ").replace("\n", " ")
             head += f"{k}: {v}\r\n"
         writer.write((head + "\r\n").encode())
         if req.method == "HEAD":

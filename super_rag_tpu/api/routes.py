@@ -39,7 +39,11 @@ def build_router(ctx: AppContext) -> Router:
             # response body captured for mutations only (reference
             # audit_decorator captures both sides); streams are skipped
             # and credential-bearing routes are redacted
-            secret = "/auth/" in req.path or "/apikeys" in req.path
+            secret = (
+                "/auth/" in req.path
+                or "/apikeys" in req.path
+                or req.path.endswith("/key")  # llm_providers/*/key bodies
+            )
             body_in = ("<redacted>" if secret
                        else req.body[:1000].decode("utf-8", "replace"))
             body_out = ""
@@ -70,7 +74,9 @@ def build_router(ctx: AppContext) -> Router:
     @router.get("/metrics")
     async def metrics(req: Request) -> Response:
         """Prometheus text exposition (the reference has no metrics
-        endpoint — SURVEY.md 5.5; this exceeds parity)."""
+        endpoint — SURVEY.md 5.5; this exceeds parity). Requires auth:
+        collection ids/row counts are not public (ADVICE r1)."""
+        auth.required(req)
         lines = [
             "# TYPE super_rag_http_requests_total counter",
         ]
@@ -846,6 +852,14 @@ def build_router(ctx: AppContext) -> Router:
             await ws.send_json({"event": "error", "data": "agent not found"})
             return
         chat_id = req.path_params["chat_id"]
+        # Ownership check before any message write: without it, an agent
+        # owner could inject messages into another user's chat (ADVICE r1).
+        # Nonexistent ids are allowed (ephemeral agent chats); an existing
+        # chat must belong to the caller.
+        existing = ctx.db.get_chat(chat_id)
+        if existing is not None and existing["user"] != user["username"]:
+            await ws.send_json({"event": "error", "data": "chat not found"})
+            return
         session = agent_sessions.get(user["username"], chat_id,
                                      _agent_collections(agent))
         import asyncio as _aio
@@ -897,6 +911,9 @@ def build_router(ctx: AppContext) -> Router:
         agent = ctx.db.get_agent(req.path_params["aid"])
         if agent is None or agent["user"] != user["username"]:
             raise HttpError(404, "agent not found")
+        existing = ctx.db.get_chat(req.path_params["chat_id"])
+        if existing is not None and existing["user"] != user["username"]:
+            raise HttpError(404, "chat not found")
         b = req.json()
         text = b.get("message", "")
         if not text:

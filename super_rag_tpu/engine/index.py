@@ -82,7 +82,9 @@ def _write_block(dst: jax.Array, src: jax.Array, start: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _clear_rows(valid: jax.Array, rows: jax.Array) -> jax.Array:
-    # rows padded with -1; scatter-drop on negatives
+    # rows padded with values >= capacity, which mode='drop' discards.
+    # (Padding with -1 would WRAP to the last row — jax negative indexing
+    # is in-bounds — silently deleting a live row when size == capacity.)
     return valid.at[rows].set(False, mode="drop")
 
 
@@ -323,7 +325,7 @@ class DeviceIndex:
                 self.df.remove_doc(row_terms.tolist(), int(self.doc_len[r]))
                 self.row_meta[r] = None
         pad = -(-len(rows) // WRITE_BLOCK) * WRITE_BLOCK
-        arr = np.full(pad, -1, np.int32)
+        arr = np.full(pad, int(self.valid.shape[0]), np.int32)
         arr[: len(rows)] = rows
         self.valid = _clear_rows(self.valid, jnp.asarray(arr))
 

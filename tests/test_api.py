@@ -546,6 +546,60 @@ def test_metrics_endpoint(client):
     assert "super_rag_documents_total" in body
 
 
+def test_metrics_requires_auth(server):
+    # ADVICE r1 (low): /metrics exposed collection ids/row counts publicly
+    r = httpx.get(server.base + "/metrics")
+    assert r.status_code == 401
+
+
+def test_header_injection_stripped(server, client, collection):
+    # ADVICE r1 (medium): CR/LF in a document name must not split the
+    # response when echoed back via X-Document-Name on /preview.
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        json=[{
+            "name": "evil\r\nSet-Cookie: pwned=1\r\n.md",
+            "content": "# Evil\n\ninjection probe body.",
+        }],
+    )
+    assert r.status_code == 201, r.text
+    did = r.json()[0]["id"]
+    r = client.get(f"/api/v1/documents/{did}/preview")
+    assert r.status_code == 200
+    assert "set-cookie" not in {k.lower() for k in r.headers}
+    assert "pwned" in r.headers.get("X-Document-Name", "")  # flattened, not split
+
+
+def test_agent_ws_cannot_write_other_users_chat(server, client, collection):
+    # ADVICE r1 (medium): agent WS persisted messages into any chat id.
+    import websockets.sync.client as wsc
+
+    # mallory owns an agent but not alice's chat
+    alice_chat = client.post("/api/v1/chats", json={"title": "private"}
+                             ).json()["id"]
+    with httpx.Client(base_url=server.base, timeout=30) as mal:
+        mal.post("/api/v1/auth/register",
+                 json={"username": "mallory", "password": "sneaky12"})
+        token = mal.post("/api/v1/auth/login",
+                         json={"username": "mallory", "password": "sneaky12"}
+                         ).json()["token"]
+        mal.headers["Authorization"] = f"Bearer {token}"
+        aid = mal.post("/api/v1/agents",
+                       json={"title": "m", "config": {}}).json()["id"]
+        url = (server.base.replace("http://", "ws://")
+               + f"/api/v1/agents/{aid}/chats/{alice_chat}/connect")
+        with wsc.connect(url, additional_headers={
+            "Authorization": f"Bearer {token}"}) as ws:
+            ev = json.loads(ws.recv(timeout=15))
+            assert ev["event"] == "error"
+        # AG-UI path enforces the same ownership rule
+        r = mal.post(f"/api/v1/agents/{aid}/chats/{alice_chat}/ag-ui",
+                     json={"message": "hi"})
+        assert r.status_code == 404
+    r = client.get(f"/api/v1/chats/{alice_chat}")
+    assert r.json()["messages"] == []
+
+
 def test_web_ui_served(server):
     r = httpx.get(server.base + "/")
     assert r.status_code == 200

@@ -116,6 +116,26 @@ def test_int8_index_roundtrip(rng):
     assert int(np.asarray(i)[0, 0]) == 17  # self-match survives int8
 
 
+def test_delete_at_full_capacity_keeps_last_row(tmp_path):
+    # Regression (ADVICE r1, high): delete-row padding of -1 wrapped to the
+    # last row via jax negative indexing whenever size == capacity (e.g.
+    # after from_snapshot restores exactly capacity rows), silently
+    # invalidating the final live row.
+    idx = DeviceIndex(IndexSpec(dim=8, dtype=jnp.float32, min_capacity=64,
+                                vocab_size=1 << 14))
+    rng = np.random.default_rng(3)
+    idx.add(rng.standard_normal((64, 8)), [f"doc {i}" for i in range(64)])
+    path = str(tmp_path / "full")
+    save_index(idx, path)
+    restored = load_index(path)
+    assert restored.size == restored.valid.shape[0]  # the trap: no slack
+    restored.delete([5])
+    valid = np.asarray(restored.valid)
+    assert not valid[5]
+    assert valid[63], "deleting row 5 must not invalidate the last row"
+    assert valid.sum() == 63
+
+
 def test_snapshot_restore(tmp_path, engine):
     path = str(tmp_path / "snap")
     save_index(engine.index, path)
