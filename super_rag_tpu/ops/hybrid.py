@@ -87,13 +87,82 @@ def _rrf_on_device(
     return HybridResult(scores=fv, indices=fi, dense_scores=fd, bm25_scores=fb)
 
 
+def _exact_bm25_rescore(
+    pool_ids: jax.Array,  # [B, P] int32 corpus rows (-1 = invalid)
+    query_terms: jax.Array,  # [B, Q] int32 (pad = vocab_size, deduped)
+    query_idf: jax.Array,  # [B, Q] f32
+    lexical: LexicalCorpus,
+    avgdl: jax.Array,
+    k1: float,
+    b: float,
+) -> jax.Array:
+    """Exact BM25 scores of pooled candidates — the fidelity recovery
+    stage (ROADMAP r1 item 2): postings truncation distorts the lexical
+    branch's candidate ranks, so the fused pool is re-scored against the
+    full doc-term rows before fusion.  Matches _bm25_block slot-level
+    semantics exactly (same f32 math on the same gathered rows).
+
+    Cost: one [B, P] row gather + a lax.scan over Q compare-reduce steps,
+    each touching [B, P, L] — ~0.5 ms at B=512, P=200, L=64 on v5e.
+    """
+    safe = jnp.maximum(pool_ids, 0)
+    terms = jnp.take(lexical.terms, safe, axis=0)  # [B, P, L]
+    tfs = jnp.take(lexical.tfs, safe, axis=0).astype(jnp.float32)
+    dl = jnp.take(lexical.doc_len, safe, axis=0).astype(jnp.float32)
+    norm = k1 * (1.0 - b + b * dl[:, :, None]
+                 / jnp.maximum(avgdl.astype(jnp.float32), 1e-6))
+    sat = tfs * (k1 + 1.0) / (tfs + norm)  # [B, P, L]; 0 where tf=0
+
+    def step(acc, inp):
+        qt, qi = inp  # [B] int32, [B] f32
+        hit = terms == qt[:, None, None]  # [B, P, L]
+        acc = acc + qi[:, None] * jnp.sum(jnp.where(hit, sat, 0.0), axis=-1)
+        return acc, None
+
+    init = jnp.zeros(pool_ids.shape, jnp.float32)
+    scores, _ = jax.lax.scan(step, init, (query_terms.T, query_idf.T))
+    return jnp.where(pool_ids >= 0, scores, NEG_INF)
+
+
+def _rescored_lexical_branch(
+    dv: jax.Array, di: jax.Array,  # dense candidates (scores may be -inf)
+    lv: jax.Array, li: jax.Array,  # truncated lexical candidates
+    query_terms: jax.Array, query_idf: jax.Array,
+    lexical: LexicalCorpus, avgdl: jax.Array,
+    kc: int, k1: float, b: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Re-rank the fused candidate pool by EXACT BM25 and return the top
+    ``kc`` as the lexical branch.  Recovers (a) rank distortion from
+    postings truncation and (b) lexically-strong docs that only the dense
+    branch surfaced."""
+    ia = jnp.where(jnp.isfinite(dv), di, -1).astype(jnp.int32)
+    ib = jnp.where(jnp.isfinite(lv) & (lv > 0), li, -1).astype(jnp.int32)
+    pool = jnp.concatenate([ia, ib], axis=1)  # [B, P]
+    # Sort the pool ascending by doc id (invalids last): adjacent compare
+    # dedups, and top_k's first-position tie-break then matches the
+    # lowest-id-first order of an exact doc-major scan (the fidelity gold).
+    key = jnp.where(pool >= 0, pool, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key, axis=-1)
+    pool = jnp.take_along_axis(pool, order, axis=-1)
+    valid = pool >= 0
+    dup = jnp.concatenate(
+        [jnp.zeros_like(valid[:, :1]), pool[:, 1:] == pool[:, :-1]], axis=1
+    )
+    s = _exact_bm25_rescore(pool, query_terms, query_idf, lexical, avgdl,
+                            k1, b)
+    s = jnp.where(valid & ~dup & (s > 0), s, NEG_INF)
+    lv2, pos = jax.lax.top_k(s, min(kc, pool.shape[1]))
+    li2 = jnp.take_along_axis(pool, pos, axis=-1)
+    return lv2, jnp.where(jnp.isfinite(lv2), li2, -1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
         "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
-        "tail_offset",
+        "tail_offset", "rescore", "lex_gen",
     ),
 )
 def hybrid_search(
@@ -125,12 +194,20 @@ def hybrid_search(
     int8_queries: bool = False,
     per_tile_k: Optional[int] = None,
     nprobe: int = 32,
+    rescore: bool = True,
+    lex_gen: Optional[int] = None,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k).
 
     Dense branch tiers: IVF (``ivf`` given — bytes/query ~ nprobe/nlist,
     the latency tier) > fused Pallas flat (``use_pallas``) > blocked XLA.
+
+    ``rescore`` (inverted path only) re-scores the fused candidate pool
+    with exact BM25 before fusion — recovers the fidelity that postings
+    truncation costs at negligible QPS.  ``lex_gen`` deepens the lexical
+    candidate GENERATION (default 2*candidates): generation depth only
+    costs a wider top_k, while the rescoring stage restores exact ranks.
     """
     n = dense.size
     kc = min(candidates, n)
@@ -161,8 +238,9 @@ def hybrid_search(
     # tail not yet covered by the inverted snapshot scans doc-major over
     # ONLY the tail slice and merges (the NRT-segment pattern).
     if inverted is not None:
+        kg = min(lex_gen if lex_gen is not None else 2 * kc, n)
         lv, li = inverted_bm25_search(
-            query_terms, query_idf, inverted, k=kc, mask=mask,
+            query_terms, query_idf, inverted, k=kg, mask=mask,
             has_mask=mask is not None,
             postings_per_query_term=postings_per_query_term,
         )
@@ -175,11 +253,19 @@ def hybrid_search(
             )
             if tail_mask is not None:
                 ts = jnp.where(tail_mask[None, :], ts, NEG_INF)
-            kt_tail = min(kc, ts.shape[1])
+            kt_tail = min(kg, ts.shape[1])
             tv, ti = jax.lax.top_k(ts, kt_tail)
             ti = (ti + tail_offset).astype(jnp.int32)
             lv = jnp.concatenate([lv, tv], axis=1)
             li = jnp.concatenate([li, ti], axis=1)
+            lv, pos = jax.lax.top_k(lv, kg)
+            li = jnp.take_along_axis(li, pos, axis=-1)
+        if rescore and lexical is not None:
+            lv, li = _rescored_lexical_branch(
+                dv, di, lv, li.astype(jnp.int32), query_terms, query_idf,
+                lexical, avgdl, kc, k1, b,
+            )
+        elif lv.shape[1] > kc:
             lv, pos = jax.lax.top_k(lv, kc)
             li = jnp.take_along_axis(li, pos, axis=-1)
         return _rrf_on_device(dv, di.astype(jnp.int32), lv,

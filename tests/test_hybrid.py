@@ -130,3 +130,122 @@ def test_fresh_tail_after_compaction_in_fused_path(rng):
     # prefix content still found through the inverted branch
     hits2 = eng.search("topic3 base", top_k=3, mode="hybrid")
     assert hits2
+
+
+def test_exact_rescore_matches_bm25_block(rng):
+    """_exact_bm25_rescore must reproduce the doc-major exact scorer for
+    any pooled candidate (same slot-level f32 math)."""
+    import jax.numpy as jnp_
+
+    from super_rag_tpu.ops.bm25 import (
+        LexicalCorpus, _bm25_block, _idf_table,
+    )
+    from super_rag_tpu.ops.hybrid import _exact_bm25_rescore
+
+    n, slots, vocab, bsz, qn, p = 200, 8, 1 << 10, 4, 5, 16
+    terms = rng.integers(0, vocab, (n, slots)).astype(np.int32)
+    tfs = rng.integers(1, 6, (n, slots)).astype(np.float32)
+    doc_len = tfs.sum(1) + 1.0
+    lex = LexicalCorpus(terms=jnp.asarray(terms),
+                        tfs=jnp.asarray(tfs, jnp.bfloat16),
+                        doc_len=jnp.asarray(doc_len))
+    avgdl = jnp_.float32(float(doc_len.mean()))
+    q_terms = np.stack([
+        rng.choice(vocab, qn, replace=False) for _ in range(bsz)
+    ]).astype(np.int32)
+    # seed matches so scores are non-trivially nonzero
+    q_terms[:, 0] = terms[:bsz, 0]
+    q_idf = rng.random((bsz, qn)).astype(np.float32) + 0.5
+    pool = rng.integers(0, n, (bsz, p)).astype(np.int32)
+    pool[:, -1] = -1  # invalid entry
+
+    got = np.asarray(_exact_bm25_rescore(
+        jnp.asarray(pool), jnp.asarray(q_terms), jnp.asarray(q_idf),
+        lex, avgdl, 1.2, 0.75,
+    ))
+    table = _idf_table(jnp.asarray(q_terms), jnp.asarray(q_idf), vocab)
+    full = np.asarray(_bm25_block(
+        table, lex.terms, lex.tfs, lex.doc_len, avgdl, 1.2, 0.75,
+    ))  # [B, N] exact scores for every doc
+    for bi in range(bsz):
+        for pi in range(p - 1):
+            np.testing.assert_allclose(
+                got[bi, pi], full[bi, pool[bi, pi]], rtol=1e-5,
+                err_msg=f"b={bi} pool_pos={pi} doc={pool[bi, pi]}")
+    assert np.all(np.isneginf(got[:, -1]))
+
+
+def test_rescoring_recovers_truncation_fidelity(rng):
+    """With truncated postings, rescoring the fused pool must recover most
+    of the exact-hybrid ranking (the r1 fidelity gap).
+
+    Corpus proportions mirror bench.py's 1M config (build cap n/500,
+    df-filtered discriminative query terms — the analyzer strips
+    stopwords, so real queries never score on near-ubiquitous terms).
+    """
+    import jax.numpy as jnp_
+
+    from super_rag_tpu.ops.bm25 import LexicalCorpus, bm25_search
+    from super_rag_tpu.ops.bm25_inverted import build_inverted
+    from super_rag_tpu.ops.dense import build_corpus, dense_search
+    from super_rag_tpu.ops.hybrid import hybrid_search
+
+    n, d, bsz, k, cand = 20_000, 32, 24, 10, 100
+    slots, qn, vocab = 24, 12, 1 << 13
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    dense = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
+    zipf = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
+    terms = ((zipf - 1) % vocab).astype(np.int32)
+    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
+    doc_len = tfs.sum(1) * 2.0 + 1.0
+    lex = LexicalCorpus(terms=jnp.asarray(terms),
+                        tfs=jnp.asarray(tfs, jnp.bfloat16),
+                        doc_len=jnp.asarray(doc_len))
+    avgdl = jnp_.float32(float(doc_len.mean()))
+    inverted = build_inverted(terms, tfs, doc_len, vocab,
+                              postings_per_term=max(64, n // 500),
+                              avgdl=float(doc_len.mean()))
+    sorted_terms = np.sort(terms, axis=1)
+    first = np.ones_like(sorted_terms, bool)
+    first[:, 1:] = sorted_terms[:, 1:] != sorted_terms[:, :-1]
+    uniq_flat = sorted_terms[first]
+    df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
+    idf_tab = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+    q_rows = rng.integers(0, n, bsz)
+    q_terms = np.full((bsz, qn), vocab, np.int32)
+    df_cap = max(64, n // 50)
+    for bi, row in enumerate(q_rows):
+        uniq = [t for t in dict.fromkeys(int(x) for x in terms[row])
+                if t < vocab and df[t] <= df_cap][:qn]
+        q_terms[bi, : len(uniq)] = uniq
+    q_idf = np.where(q_terms < vocab,
+                     idf_tab[np.minimum(q_terms, vocab)], 0.0
+                     ).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((bsz, d)).astype(np.float32))
+    qt, qi = jnp.asarray(q_terms), jnp.asarray(q_idf)
+
+    dv, di = dense_search(queries, dense, k=cand, block_size=4096)
+    lv, li = bm25_search(qt, qi, lex, avgdl, vocab_size=vocab, k=cand,
+                         block_size=4096)
+    di = jnp.where(jnp.isfinite(dv), di, -1)
+    li = jnp.where(jnp.isfinite(lv) & (lv > 0), li, -1)
+    _, gold_i = rrf_fuse(di.astype(jnp.int32), li.astype(jnp.int32), k=k)
+    gold = np.asarray(gold_i)
+
+    def fid(rescore):
+        res = hybrid_search(
+            queries, qt, qi, dense, lex, avgdl, inverted=inverted,
+            vocab_size=vocab, k=k, candidates=cand, use_pallas=False,
+            block_size=4096, postings_per_query_term=64, rescore=rescore,
+        )
+        got = np.asarray(res.indices)
+        return float(np.mean([
+            len({x for x in a.tolist() if x >= 0}
+                & {x for x in b.tolist() if x >= 0})
+            / max(len({x for x in b.tolist() if x >= 0}), 1)
+            for a, b in zip(got, gold)
+        ]))
+
+    f_off, f_on = fid(False), fid(True)
+    assert f_on > f_off, (f_off, f_on)
+    assert f_on >= 0.9, (f_off, f_on)
