@@ -54,7 +54,19 @@ class ShardedDeviceIndex:
         self.size = 0
         self._capacity = 0
         self.row_meta: list[Optional[dict]] = []
+        self._deleted: set[int] = set()
+        self._clear_tail()
+        self._ivf = None
+        self._ivf_upto = 0
+        self._ivf_nprobe = 32
         self._alloc(self._round_cap(spec.min_capacity))
+
+    def _clear_tail(self) -> None:
+        self._tail_terms: list[np.ndarray] = []
+        self._tail_tfs: list[np.ndarray] = []
+        self._tail_dlen: list[np.ndarray] = []
+        self._tail_rows: list[np.ndarray] = []
+        self._tail_codes: list[np.ndarray] = []
 
     def _round_cap(self, n: int) -> int:
         unit = self.n_dev * WRITE_BLOCK
@@ -159,6 +171,20 @@ class ShardedDeviceIndex:
         self.row_meta.extend(
             {"text": t, **md} for t, md in zip(texts, metadata)
         )
+        if getattr(self, "_inv_ids", None) is not None:
+            # rows added after lexical compaction also land in the host
+            # tail mirror so the SPMD query's replicated fresh-tail scan
+            # can score them before the next compaction
+            self._tail_terms.append(terms.astype(np.int32))
+            self._tail_tfs.append(tfs.astype(np.float32))
+            self._tail_dlen.append(np.maximum(lens, 1.0).astype(np.float32))
+            self._tail_rows.append(
+                np.arange(start, start + m, dtype=np.int32)
+            )
+            self._tail_codes.append(
+                np.stack([np.full(m, code, np.int32),
+                          np.full(m, chat, np.int32)], axis=1)
+            )
         self.size = start + m
         return list(range(start, start + m))
 
@@ -173,6 +199,7 @@ class ShardedDeviceIndex:
         self.valid = jax.device_put(
             self.valid & jnp.asarray(mask), row_sharding(self.mesh, 1)
         )
+        self._deleted.update(int(r) for r in rows)
 
     # -- lexical compaction (per-shard inverted postings) --------------------
 
@@ -210,6 +237,88 @@ class ShardedDeviceIndex:
             jnp.asarray(np.stack(imp_blocks), jnp.bfloat16), sharding
         )
         self._inverted_upto = self.size
+        self._clear_tail()
+
+    # -- dense compaction (per-shard IVF tier) --------------------------------
+
+    def compact_dense(self, nlist: int = 64, nprobe: int = 16,
+                      kmeans_iters: int = 10,
+                      capacity_factor: float = 1.5) -> None:
+        """Build a per-shard IVF tier: each shard's rows are k-means
+        clustered LOCALLY (local doc ids), arrays stacked [n_dev, ...] and
+        placed sharded so the SPMD query probes only its own clusters —
+        the same latency tier as DeviceIndex.compact_dense, per chip."""
+        from super_rag_tpu.ops.ivf import build_ivf
+
+        if self.size == 0:
+            return
+        shard_rows = self._capacity // self.n_dev
+        emb_np = np.asarray(
+            self.emb.astype(jnp.float32)
+            if self.emb.dtype == jnp.bfloat16 else self.emb
+        ).astype(np.float32)
+        if self.scales is not None:
+            emb_np = emb_np * np.asarray(self.scales)[:, None]
+        per = []
+        for dev in range(self.n_dev):
+            lo = dev * shard_rows
+            shard_emb = emb_np[lo: lo + shard_rows]
+            per.append(build_ivf(
+                jnp.asarray(shard_emb), nlist=nlist,
+                capacity_factor=capacity_factor,
+                dtype=self.spec.dtype if self.spec.dtype == jnp.int8
+                else jnp.float32,
+                metric=self.spec.metric, kmeans_iters=kmeans_iters,
+                seed=dev,
+            ))
+        cap = max(p.capacity for p in per)
+        m_of = max(
+            (p.overflow.size if p.overflow is not None else 0) for p in per
+        )
+
+        def pad_cluster(a, c, fill=0):
+            out = np.full((a.shape[0], c, *a.shape[2:]), fill, np.asarray(a).dtype)
+            out[:, : a.shape[1]] = np.asarray(a)
+            return out
+
+        sh3 = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None))
+        sh4 = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None, None))
+        sh2 = NamedSharding(self.mesh, P(CORPUS_AXIS, None))
+        ivf = {
+            "centroids": jax.device_put(jnp.asarray(np.stack(
+                [np.asarray(p.centroids) for p in per])), sh3),
+            "values": jax.device_put(jnp.asarray(np.stack(
+                [pad_cluster(p.values, cap) for p in per])), sh4),
+            "row_ids": jax.device_put(jnp.asarray(np.stack(
+                [pad_cluster(p.row_ids, cap, fill=-1) for p in per])), sh3),
+            "scales": None,
+            "of_values": None, "of_scales": None, "of_rows": None,
+        }
+        if per[0].scales is not None:
+            ivf["scales"] = jax.device_put(jnp.asarray(np.stack(
+                [pad_cluster(np.asarray(p.scales, np.float32), cap)
+                 for p in per])), sh3)
+        if m_of > 0:
+            d = self.spec.dim
+            of_v = np.zeros((self.n_dev, m_of, d),
+                            np.int8 if per[0].scales is not None
+                            else np.float32)
+            of_s = np.ones((self.n_dev, m_of), np.float32)
+            of_r = np.full((self.n_dev, m_of), -1, np.int32)
+            for dev, p in enumerate(per):
+                if p.overflow is None:
+                    continue
+                m = p.overflow.size
+                of_v[dev, :m] = np.asarray(p.overflow.values)
+                if p.overflow.scales is not None:
+                    of_s[dev, :m] = np.asarray(p.overflow.scales)
+                of_r[dev, :m] = np.asarray(p.overflow_rows)
+            ivf["of_values"] = jax.device_put(jnp.asarray(of_v), sh3)
+            ivf["of_scales"] = jax.device_put(jnp.asarray(of_s), sh2)
+            ivf["of_rows"] = jax.device_put(jnp.asarray(of_r), sh2)
+        self._ivf = ivf
+        self._ivf_upto = self.size
+        self._ivf_nprobe = nprobe
 
     # -- query -------------------------------------------------------------
 
@@ -230,20 +339,57 @@ class ShardedDeviceIndex:
             has_indexers=flt.indexers is not None,
         )
 
+    def _tail_arrays(self, flt: Optional[FilterSpec]):
+        """Replicated fresh-tail arrays (rows added since compact_lexical),
+        padded to a power-of-two capacity class.  The keep mask bakes in
+        validity + metadata filters host-side (the tail is small)."""
+        if not self._tail_rows:
+            return None
+        rows = np.concatenate(self._tail_rows)
+        m = len(rows)
+        cap = max(WRITE_BLOCK, 1 << (m - 1).bit_length())
+        L = self.spec.bm25_slots
+        tt = np.full((cap, L), self.spec.vocab_size, np.int32)
+        tf_ = np.zeros((cap, L), np.float32)
+        tdl = np.ones(cap, np.float32)
+        trow = np.full(cap, -1, np.int32)
+        tt[:m] = np.concatenate(self._tail_terms)
+        tf_[:m] = np.concatenate(self._tail_tfs)
+        tdl[:m] = np.concatenate(self._tail_dlen)
+        trow[:m] = rows
+        codes = np.concatenate(self._tail_codes)  # [m, 2] indexer, chat
+        keep = np.zeros(cap, bool)
+        keep[:m] = ~np.isin(rows, list(self._deleted)) if self._deleted \
+            else True
+        if flt is not None:
+            if flt.indexers is not None:
+                keep[:m] &= np.isin(codes[:, 0], list(flt.indexers))
+            if flt.chat_hash is not None:
+                keep[:m] &= (codes[:, 1] == flt.chat_hash) | (codes[:, 1] == 0)
+        return (jnp.asarray(tt), jnp.asarray(tf_), jnp.asarray(tdl),
+                jnp.asarray(trow), jnp.asarray(keep))
+
     def search_hybrid(self, query_emb, queries: Sequence[str], k: int,
                       candidates: int = 100, max_terms: int = 16,
-                      flt: Optional[FilterSpec] = None):
+                      flt: Optional[FilterSpec] = None,
+                      use_pallas: Optional[bool] = None,
+                      rescore: bool = True):
         qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
         qi = np.zeros((len(queries), max_terms), np.float32)
         for i, q in enumerate(queries):
             qt[i], qi[i] = self.analyzer.query_entry(q, self.df, max_terms)
-        # the per-shard inverted snapshot is used only when it covers every
-        # row (inserts after compaction fall back to doc-major scanning)
-        inv_ok = (
-            getattr(self, "_inv_ids", None) is not None
-            and getattr(self, "_inverted_upto", 0) == self.size
-        )
+        inv_ok = getattr(self, "_inv_ids", None) is not None
+        tail = self._tail_arrays(flt) if inv_ok else None
+        # IVF is only safe when it covers every row (mirrors DeviceIndex)
+        ivf = self._ivf if (self._ivf is not None
+                            and self._ivf_upto == self.size) else None
+        on_tpu = jax.default_backend() == "tpu"
+        if use_pallas is None:
+            use_pallas = on_tpu and self._capacity // self.n_dev >= 2048
+        shard_rows = self._capacity // self.n_dev
         dummy = jnp.zeros((), jnp.float32)
+        t = tail or (dummy,) * 5
+        iv = ivf or {}
         return sharded_hybrid_search(
             jnp.asarray(np.asarray(query_emb)),
             jnp.asarray(qt), jnp.asarray(qi),
@@ -251,10 +397,25 @@ class ShardedDeviceIndex:
             self._mask(flt), jnp.float32(self.df.avgdl),
             self._inv_ids if inv_ok else dummy,
             self._inv_impact if inv_ok else dummy,
+            iv.get("centroids"), iv.get("values"), iv.get("scales"),
+            iv.get("row_ids"), iv.get("of_values"), iv.get("of_scales"),
+            iv.get("of_rows"),
+            t[0], t[1], t[2], t[3], t[4],
             mesh=self.mesh, vocab_size=self.spec.vocab_size, k=k,
             candidates=candidates, metric=self.spec.metric,
             has_scales=self.scales is not None,
             has_inverted=inv_ok,
+            use_pallas=use_pallas and ivf is None,
+            interpret=not on_tpu,
+            dense_tile=2048 if shard_rows >= 2048 else max(256, shard_rows),
+            per_tile_k=8 if (use_pallas and candidates >= 32) else None,
+            int8_queries=use_pallas and self.spec.dtype == jnp.int8,
+            rescore=rescore,
+            has_ivf=ivf is not None,
+            has_ivf_scales=ivf is not None and ivf.get("scales") is not None,
+            has_overflow=ivf is not None and ivf.get("of_values") is not None,
+            nprobe=self._ivf_nprobe,
+            has_tail=tail is not None,
         )
 
     # -- snapshot / restore --------------------------------------------------

@@ -150,3 +150,90 @@ def test_sharded_snapshot_roundtrip(pair, eight_devices):
     b = restored.search_hybrid(q, queries, k=5, candidates=20)
     np.testing.assert_array_equal(np.asarray(a.indices),
                                   np.asarray(b.indices))
+
+
+def test_sharded_pallas_path_matches_xla(pair):
+    """The per-shard Pallas flat kernel (interpret mode on CPU) must agree
+    with the blocked-XLA dense branch through the full SPMD program."""
+    sharded, _, emb = pair
+    queries = ["fox jumping", "topic7 subject3"]
+    q = np.asarray(emb.embed(queries))
+    xla = sharded.search_hybrid(q, queries, k=5, candidates=20,
+                                use_pallas=False)
+    pal = sharded.search_hybrid(q, queries, k=5, candidates=20,
+                                use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(xla.indices),
+                                  np.asarray(pal.indices))
+    np.testing.assert_allclose(np.asarray(xla.scores),
+                               np.asarray(pal.scores), rtol=1e-3)
+
+
+def test_sharded_fresh_tail_after_compaction(eight_devices):
+    """Rows added after compact_lexical stay findable through the
+    replicated tail scan (no doc-major fallback, no recompaction)."""
+    mesh = corpus_mesh(eight_devices)
+    spec = IndexSpec(dim=32, dtype=jnp.float32, vocab_size=1 << 14,
+                     min_capacity=2048)
+    idx = ShardedDeviceIndex(spec, mesh)
+    emb = HashEmbedder(dim=32)
+    docs = [f"base doc {i} about topic{i % 5}" for i in range(100)]
+    idx.add(np.asarray(emb.embed(docs)), docs)
+    idx.compact_lexical(postings_per_term=64)
+    idx.add(np.asarray(emb.embed(["a rare quokka grazes peacefully"])),
+            ["a rare quokka grazes peacefully"])
+    assert idx._inverted_upto < idx.size
+    q = np.asarray(emb.embed(["quokka grazing"]))
+    res = idx.search_hybrid(q, ["quokka grazing"], k=3)
+    top = int(np.asarray(res.indices)[0, 0])
+    assert idx.row_meta[top]["text"] == "a rare quokka grazes peacefully"
+    # prefix rows still found through the inverted branch
+    q2 = np.asarray(emb.embed(["topic3 base"]))
+    res2 = idx.search_hybrid(q2, ["topic3 base doc"], k=3)
+    assert int(np.asarray(res2.indices)[0, 0]) >= 0
+    # tail rows respect deletes
+    idx.delete([idx.size - 1])
+    res3 = idx.search_hybrid(q, ["quokka grazing"], k=3)
+    assert top not in np.asarray(res3.indices)[0].tolist()
+
+
+def test_sharded_ivf_tier(eight_devices):
+    """Per-shard IVF at nprobe=nlist is exact: results must match the flat
+    path through the same SPMD program."""
+    mesh = corpus_mesh(eight_devices)
+    spec = IndexSpec(dim=32, dtype=jnp.float32, vocab_size=1 << 14,
+                     min_capacity=2048)
+    idx = ShardedDeviceIndex(spec, mesh)
+    emb = HashEmbedder(dim=32)
+    docs = [f"ivf doc {i} about cluster{i % 16}" for i in range(800)]
+    idx.add(np.asarray(emb.embed(docs)), docs)
+    queries = ["cluster7 document", "ivf doc 400"]
+    q = np.asarray(emb.embed(queries))
+    flat = idx.search_hybrid(q, queries, k=5, candidates=20)
+    idx.compact_dense(nlist=4, nprobe=4, kmeans_iters=3)
+    assert idx._ivf is not None
+    ivf = idx.search_hybrid(q, queries, k=5, candidates=20)
+    assert (set(np.asarray(flat.indices)[0].tolist())
+            == set(np.asarray(ivf.indices)[0].tolist()))
+    # IVF arrays live sharded over the mesh
+    assert len(idx._ivf["values"].sharding.device_set) == 8
+
+
+def test_sharded_ivf_int8_recall(eight_devices):
+    """int8 per-shard IVF at partial nprobe keeps high recall vs flat."""
+    mesh = corpus_mesh(eight_devices)
+    spec = IndexSpec(dim=32, dtype=jnp.int8, vocab_size=1 << 14,
+                     min_capacity=4096)
+    idx = ShardedDeviceIndex(spec, mesh)
+    rng = np.random.default_rng(5)
+    n = 4000
+    emb = rng.standard_normal((n, 32)).astype(np.float32)
+    idx.add(emb, [f"doc {i}" for i in range(n)])
+    q = emb[rng.integers(0, n, 8)] + 0.1 * rng.standard_normal((8, 32))
+    flat = idx.search_hybrid(q, ["x"] * 8, k=10, candidates=32)
+    idx.compact_dense(nlist=16, nprobe=8, kmeans_iters=4)
+    ivf = idx.search_hybrid(q, ["x"] * 8, k=10, candidates=32)
+    fi, ii = np.asarray(flat.indices), np.asarray(ivf.indices)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(ii, fi)
+    ])
+    assert recall >= 0.8, recall
