@@ -158,6 +158,13 @@ class DeviceIndex:
         self._ivf = None
         self._ivf_upto = 0
         self._ivf_nprobe = 16
+        self._ivf_nlist = None
+        self._ivf_recall_target = None
+        self._ivf_churn = 0  # inserts+deletes since the IVF snapshot
+        # serving-time guard for the Pallas per-tile extraction cap: a
+        # clustered corpus can concentrate winners in one tile, where a
+        # fixed cap silently loses recall — calibrated at compaction
+        self._per_tile_k = 8
         # guards mutations vs queries: inserts DONATE device buffers
         # (in-place dynamic_update_slice), which invalidates any array
         # reference a concurrently-dispatching query captured — a real
@@ -309,8 +316,8 @@ class DeviceIndex:
         self.row_meta.extend(
             {"text": t, **md} for t, md in zip(texts, metadata)
         )
-        self.row_meta.extend([None] * 0)
         self.size = start + m
+        self._ivf_churn += m
         return rows
 
     @_locked
@@ -328,6 +335,7 @@ class DeviceIndex:
         arr = np.full(pad, int(self.valid.shape[0]), np.int32)
         arr[: len(rows)] = rows
         self.valid = _clear_rows(self.valid, jnp.asarray(arr))
+        self._ivf_churn += len(rows)
 
     @property
     def live_count(self) -> int:
@@ -366,10 +374,21 @@ class DeviceIndex:
 
     @_locked
     def compact_dense(self, nlist: Optional[int] = None, nprobe: int = 16,
-                      kmeans_iters: int = 8) -> None:
+                      kmeans_iters: int = 8,
+                      recall_target: Optional[float] = None,
+                      calib_sample: int = 32, calib_k: int = 10) -> None:
         """Build/refresh the IVF snapshot over the live rows (opt-in; the
         flat Pallas path is exact and already fast at 1M rows — IVF is
-        the >=10M-rows-per-chip tier, BASELINE.md config #5)."""
+        the >=10M-rows-per-chip tier, BASELINE.md config #5).
+
+        ``recall_target`` auto-tunes nprobe: after the build, sampled live
+        rows are queried through the IVF at doubling nprobe values until
+        recall@``calib_k`` against the exact flat search reaches the
+        target (reference quality bar: HNSW ef=128 defaults,
+        context/context.py:44).  The chosen nprobe becomes the serving
+        default; churn (inserts+deletes) past 20% of the snapshot
+        triggers a re-cluster with the same settings.
+        """
         from super_rag_tpu.ops.ivf import build_ivf
 
         n = self.size
@@ -387,6 +406,83 @@ class DeviceIndex:
         )
         self._ivf_upto = n
         self._ivf_nprobe = nprobe
+        self._ivf_nlist = nlist
+        self._ivf_recall_target = recall_target
+        self._ivf_churn = 0
+        if recall_target is not None:
+            self._ivf_nprobe = self._calibrate_nprobe(
+                nprobe, recall_target, calib_sample, calib_k
+            )
+
+    def _sample_queries(self, sample: int, seed: int = 0) -> jax.Array:
+        """Query sample for calibration: live rows, slightly perturbed so
+        winners aren't trivially the query row itself."""
+        live = [r for r, m in enumerate(self.row_meta) if m is not None]
+        rng = np.random.default_rng(seed)
+        rows = rng.choice(live, size=min(sample, len(live)), replace=False)
+        q = np.asarray(self.emb[jnp.asarray(rows)].astype(jnp.float32))
+        if self.scales is not None:
+            q = q * np.asarray(self.scales[jnp.asarray(rows)])[:, None]
+        q = q + 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+        return jnp.asarray(q)
+
+    def _calibrate_nprobe(self, nprobe: int, target: float,
+                          sample: int, k: int) -> int:
+        from super_rag_tpu.ops.ivf import ivf_search
+
+        if self.size < 2 * k:
+            return nprobe
+        q = self._sample_queries(sample)
+        mask = self._mask(None)
+        _, gold = dense_search(q, self.dense_corpus(), k=k,
+                               metric=self.spec.metric, mask=mask)
+        gold = np.asarray(gold)
+        np_ = nprobe
+        while True:
+            _, got = ivf_search(q, self._ivf, k=k, nprobe=np_, mask=mask,
+                                metric=self.spec.metric)
+            got = np.asarray(got)
+            recall = float(np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / k
+                for a, b in zip(got, gold)
+            ]))
+            if recall >= target or np_ >= self._ivf.nlist:
+                return min(np_, self._ivf.nlist)
+            np_ *= 2
+
+    @_locked
+    def calibrate_per_tile_k(self, sample: int = 32, threshold: float = 0.98,
+                             k: int = 10, cand: int = 100) -> int:
+        """Serving-time exactness guard for the Pallas per-tile extraction
+        cap (ops/pallas_topk.py per_tile_k): compares capped vs uncapped
+        candidate extraction on sampled queries and widens the cap until
+        overlap >= threshold.  Run at compaction cadence."""
+        if self.size < 64:
+            return self._per_tile_k
+        interpret = jax.default_backend() != "tpu"
+        tile = 2048 if self._capacity >= 2048 else max(256, self._capacity)
+        q = self._sample_queries(sample, seed=1)
+        mask = self._mask(None)
+        _, gold = pallas_dense_topk(
+            q, self.dense_corpus(), k=min(cand, self.size),
+            metric=self.spec.metric, mask=mask, tile=tile,
+            per_tile_k=None, interpret=interpret,
+        )
+        gold_sets = [set(r.tolist()) for r in np.asarray(gold)]
+        while self._per_tile_k < min(cand, tile):
+            _, got = pallas_dense_topk(
+                q, self.dense_corpus(), k=min(cand, self.size),
+                metric=self.spec.metric, mask=mask, tile=tile,
+                per_tile_k=self._per_tile_k, interpret=interpret,
+            )
+            overlap = float(np.mean([
+                len(set(a.tolist()) & g) / max(len(g), 1)
+                for a, g in zip(np.asarray(got), gold_sets)
+            ]))
+            if overlap >= threshold:
+                break
+            self._per_tile_k *= 2
+        return self._per_tile_k
 
     @_locked
     def search_dense(
@@ -475,6 +571,16 @@ class DeviceIndex:
                 self.compact_lexical()
         elif tail >= self.auto_compact_rows:
             self.compact_lexical()
+        # deletes-aware IVF recluster: churn past 20% of the snapshot (or
+        # the tail budget) degrades both recall (stale centroids) and
+        # latency (fresh rows scanned flat) — rebuild with the same knobs
+        if (self._ivf is not None
+                and self._ivf_churn >= max(self.auto_compact_rows,
+                                           self._ivf_upto // 5)):
+            self.compact_dense(
+                nlist=self._ivf_nlist, nprobe=self._ivf_nprobe,
+                recall_target=self._ivf_recall_target,
+            )
 
     def _query_arrays(self, queries: Sequence[str], max_terms: int):
         qt = np.full((len(queries), max_terms), self.analyzer.pad_id, np.int32)
@@ -600,9 +706,10 @@ class DeviceIndex:
             ivf=ivf,
             nprobe=self._ivf_nprobe,
             # deep candidate lists: cap the in-kernel extraction (profiled
-            # 6x batch-latency win at candidates=100) and the postings
-            # contribution per query term
-            per_tile_k=8 if (use_pallas and candidates >= 32) else None,
+            # 6x batch-latency win at candidates=100; cap calibrated by
+            # calibrate_per_tile_k) and the postings per query term
+            per_tile_k=(self._per_tile_k
+                        if (use_pallas and candidates >= 32) else None),
             postings_per_query_term=256,
             int8_queries=use_pallas and self.spec.dtype == jnp.int8,
         )

@@ -139,6 +139,10 @@ def pallas_dense_topk(
     # honest).  per_tile_k=None keeps the exact per-tile k.
     kt = min(k_eff, per_tile_k) if per_tile_k is not None else k_eff
     pad = (-n) % tile
+    # the tile-local candidates must be able to cover k_eff in total
+    # (small corpora / few tiles would otherwise underfeed the merge)
+    num_tiles_ = (n + pad) // tile
+    kt = max(kt, -(-k_eff // max(num_tiles_, 1)))
     # skip no-op pads: at 10M rows a pad copy transiently doubles HBM
     values = (jnp.pad(corpus.values, ((0, pad), (0, 0))) if pad
               else corpus.values)

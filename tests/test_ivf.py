@@ -139,3 +139,52 @@ def test_engine_ivf_compaction(rng):
     eng.ingest(["a capybara swims in the river"])
     hits = eng.search("capybara river", top_k=2, mode="dense")
     assert any("capybara" in h.text for h in hits)
+
+
+def test_auto_nprobe_calibration(rng):
+    """compact_dense(recall_target=...) must widen nprobe until sampled
+    recall vs exact flat search reaches the target."""
+    import jax.numpy as jnp
+    from super_rag_tpu.engine.index import DeviceIndex, IndexSpec
+
+    idx = DeviceIndex(IndexSpec(dim=32, dtype=jnp.float32,
+                                vocab_size=1 << 14, min_capacity=4096))
+    # unclustered corpus: a point's true neighbors straddle many k-means
+    # cells, so nprobe=1 genuinely loses recall
+    pts = rng.standard_normal((4000, 32)).astype(np.float32)
+    idx.add(pts, [f"d{i}" for i in range(4000)])
+    idx.compact_dense(nlist=64, nprobe=1, kmeans_iters=4,
+                      recall_target=0.95)
+    assert idx._ivf_nprobe > 1
+    # measured recall at the chosen nprobe really hits the target
+    from super_rag_tpu.ops.dense import dense_search
+    from super_rag_tpu.ops.ivf import ivf_search
+
+    q = idx._sample_queries(32, seed=7)
+    _, gold = dense_search(q, idx.dense_corpus(), k=10, mask=idx._mask(None))
+    _, got = ivf_search(q, idx._ivf, k=10, nprobe=idx._ivf_nprobe,
+                        mask=idx._mask(None))
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(got), np.asarray(gold))
+    ])
+    assert recall >= 0.9, recall
+
+
+def test_churn_triggers_recluster(rng):
+    import jax.numpy as jnp
+    from super_rag_tpu.engine.index import DeviceIndex, IndexSpec
+
+    idx = DeviceIndex(IndexSpec(dim=16, dtype=jnp.float32,
+                                vocab_size=1 << 14, min_capacity=1024))
+    idx.auto_compact_rows = 100
+    idx.add(rng.standard_normal((500, 16)), [f"d{i}" for i in range(500)])
+    idx.compact_dense(nlist=8, nprobe=8, kmeans_iters=2)
+    built_at = idx._ivf_upto
+    assert idx._ivf_churn == 0
+    idx.delete(list(range(60)))
+    idx.add(rng.standard_normal((60, 16)), [f"n{i}" for i in range(60)])
+    assert idx._ivf_churn == 120  # 20%+ of 500
+    idx._maybe_autocompact()
+    assert idx._ivf_churn == 0
+    assert idx._ivf_upto == idx.size > built_at

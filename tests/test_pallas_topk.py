@@ -89,3 +89,42 @@ def test_per_tile_k_cap(rng):
         for a, b in zip(np.asarray(pi), np.asarray(gi))
     ])
     assert recall >= 0.95, recall
+
+
+def test_per_tile_k_guard_widens_on_clustered_corpus(rng):
+    """Adversarial corpus: the top-100 winners all live in ONE tile, so
+    per_tile_k=8 silently loses recall — the serving-time guard must
+    detect the drift and widen the cap (VERDICT r1 weak #5)."""
+    import jax.numpy as jnp
+    from super_rag_tpu.engine.index import DeviceIndex, IndexSpec
+
+    idx = DeviceIndex(IndexSpec(dim=16, dtype=jnp.float32,
+                                vocab_size=1 << 14, min_capacity=4096))
+    hub = rng.standard_normal(16).astype(np.float32)
+    hub /= np.linalg.norm(hub)
+    # 256 near-duplicates of one direction packed at the front (one tile),
+    # the rest orthogonal-ish noise
+    packed = hub[None, :] * 5 + 0.05 * rng.standard_normal((256, 16))
+    noise = rng.standard_normal((3840 - 256, 16))
+    idx.add(np.concatenate([packed, noise]).astype(np.float32),
+            [f"d{i}" for i in range(3840)])
+    # queries near the hub: their true top-100 is inside the packed tile
+    assert idx._per_tile_k == 8
+    got = idx.calibrate_per_tile_k(sample=8, threshold=0.98, cand=100)
+    assert got > 8
+    # and the widened cap really restores the candidates
+    from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
+
+    q = jnp.asarray(hub[None, :] + 0.01 * rng.standard_normal((4, 16)),
+                    jnp.float32)
+    _, exact = pallas_dense_topk(q, idx.dense_corpus(), k=100,
+                                 mask=idx._mask(None), tile=2048,
+                                 per_tile_k=None, interpret=True)
+    _, capped = pallas_dense_topk(q, idx.dense_corpus(), k=100,
+                                  mask=idx._mask(None), tile=2048,
+                                  per_tile_k=got, interpret=True)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 100
+        for a, b in zip(np.asarray(capped), np.asarray(exact))
+    ])
+    assert overlap >= 0.98, overlap
