@@ -291,6 +291,54 @@ def build_router(ctx: AppContext) -> Router:
         )
         return Response.json(result, status=201)
 
+    @router.post("/api/v1/collections/{cid}/searches/image")
+    async def image_search(req: Request) -> Response:
+        """Image->image retrieval over the collection's vision rows
+        (reference parity: multimodal embedding search,
+        index/vision_index.py; here via the perceptual image embedder)."""
+        user = me(req)
+        cid = req.path_params["cid"]
+        coll = collections.get(user["username"], cid)
+        b = req.json()
+        if not b.get("image_base64"):
+            raise HttpError(422, "image_base64 required")
+        try:
+            blob = base64.b64decode(b["image_base64"])
+        except Exception as e:  # noqa: BLE001
+            raise HttpError(422, "invalid base64") from e
+        engine = ctx.engines.get(cid, coll["config"])
+        hits = engine.search_by_image(blob, top_k=int(b.get("top_k", 5)))
+        return Response.json({
+            "items": [
+                {"text": h.text, "score": h.score,
+                 "asset_id": h.metadata.get("asset_id"),
+                 "document_id": h.metadata.get("document_id"),
+                 "recall_type": h.recall_type}
+                for h in hits
+            ]
+        }, status=201)
+
+    @router.get("/api/v1/collections/{cid}/assets/{asset_id}")
+    async def get_asset(req: Request) -> Response:
+        """Serve an extracted image asset (vision index preview)."""
+        user = me(req)
+        cid = req.path_params["cid"]
+        collections.get(user["username"], cid)
+        asset_id = req.path_params["asset_id"]
+        rows = ctx.db.query(
+            "SELECT id FROM document WHERE collection_id=?", (cid,)
+        )
+        for r in rows:
+            path = f"assets/{r['id']}/{asset_id}"
+            try:
+                data = ctx.objects.get(path)
+            except (FileNotFoundError, KeyError):
+                continue
+            mime = "image/jpeg" if data[:2] == b"\xff\xd8" else "image/png"
+            return Response(status=200, body=data,
+                            headers={"Content-Type": mime})
+        raise HttpError(404, "asset not found")
+
     @router.post("/api/v1/searches")
     async def multi_search(req: Request) -> Response:
         """Search several collections in one request (the reference

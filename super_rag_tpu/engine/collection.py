@@ -58,11 +58,16 @@ class CollectionEngine:
         metadata: Optional[Sequence[dict]] = None,
         indexer: str = "vector",
         chat_id: Optional[str] = None,
+        embeddings: Optional[np.ndarray] = None,
     ) -> list[int]:
         # keep the embedding on device when the embedder supports it:
         # normalize/quantize/write run as async device programs while the
-        # host analyzes terms for the next batch (ingest pipelining)
-        if hasattr(self.embedder, "embed_device"):
+        # host analyzes terms for the next batch (ingest pipelining).
+        # ``embeddings`` overrides the text embedder (e.g. vision rows
+        # store an IMAGE vector while the caption text feeds BM25).
+        if embeddings is not None:
+            emb = np.asarray(embeddings, np.float32)
+        elif hasattr(self.embedder, "embed_device"):
             emb = self.embedder.embed_device(list(texts))
         else:
             emb = self.embedder.embed(list(texts))
@@ -116,6 +121,23 @@ class CollectionEngine:
                           metadata=md, recall_type=recall_type)
             )
         return out
+
+    def search_by_image(self, image: bytes, top_k: int = 5,
+                        chat_id: Optional[str] = None) -> list[SearchHit]:
+        """Image->image retrieval over vision rows (their dense vectors
+        are image embeddings; see tasks/document.py vision branch)."""
+        from super_rag_tpu.models.image_embedder import ImageEmbedder
+
+        if self.index.size == 0:
+            return []
+        q = ImageEmbedder(dim=self.index.spec.dim).embed([image])
+        flt = self._filter(["vision"], chat_id, None)
+        v, i = self.index.search_dense(
+            jnp.asarray(q), min(top_k, self.index.size), flt
+        )
+        v, i = np.asarray(v), np.asarray(i)
+        i = np.where(np.isfinite(v), i, -1)
+        return self._hits(v[0], i[0], "vision_search")
 
     def search(
         self,

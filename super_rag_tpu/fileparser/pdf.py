@@ -135,6 +135,60 @@ def extract_pdf_text(data: bytes) -> str:
     return text
 
 
+_IMG_DICT_RE = re.compile(rb"/Subtype\s*/Image")
+_WH_RE = re.compile(rb"/Width\s+(\d+).*?/Height\s+(\d+)", re.S)
+
+
+def extract_pdf_images(data: bytes) -> list[tuple[str, bytes]]:
+    """Embedded image XObjects as (mime_type, bytes).
+
+    Scanned PDFs are usually one full-page image per page: DCTDecode
+    streams ARE JPEG files (returned verbatim); FlateDecode raw bitmaps
+    are reconstructed into PNGs via PIL when the dict gives a decodable
+    geometry.  Counterpart of the reference's per-page pdfium rendering
+    (index/document_parser.py:88-120) within this image's constraints.
+    """
+    images: list[tuple[str, bytes]] = []
+    for _num, body in _OBJ_RE.findall(data):
+        if not _IMG_DICT_RE.search(body):
+            continue
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        raw = m.group(1)
+        if b"/DCTDecode" in body:
+            images.append(("image/jpeg", raw))
+            continue
+        if b"/FlateDecode" in body:
+            try:
+                pixels = zlib.decompress(raw)
+            except zlib.error:
+                continue
+            wh = _WH_RE.search(body)
+            if not wh:
+                continue
+            w, h = int(wh.group(1)), int(wh.group(2))
+            mode = None
+            if b"/DeviceRGB" in body and len(pixels) >= w * h * 3:
+                mode = "RGB"
+            elif b"/DeviceGray" in body and len(pixels) >= w * h:
+                mode = "L"
+            if mode is None:
+                continue
+            try:
+                from PIL import Image
+                import io
+
+                img = Image.frombytes(mode, (w, h),
+                                      pixels[: w * h * len(mode)])
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                images.append(("image/png", buf.getvalue()))
+            except Exception:  # noqa: BLE001 — skip undecodable bitmaps
+                continue
+    return images
+
+
 class PdfParser(BaseParser):
     supported_extensions = (".pdf",)
 
@@ -144,4 +198,23 @@ class PdfParser(BaseParser):
                 data = f.read()
         if not data.startswith(b"%PDF"):
             raise ValueError("not a PDF file")
-        return [TextPart(content=extract_pdf_text(data))]
+        from super_rag_tpu.fileparser.base import AssetBinPart, ImagePart
+        import hashlib
+
+        parts: list[Part] = []
+        try:
+            parts.append(TextPart(content=extract_pdf_text(data)))
+        except ValueError:
+            pass  # image-only (scanned) PDF: fall through to images
+        for j, (mime, blob) in enumerate(extract_pdf_images(data)):
+            asset_id = hashlib.sha256(blob).hexdigest()[:16]
+            parts.append(AssetBinPart(data=blob, mime_type=mime,
+                                      asset_id=asset_id))
+            parts.append(ImagePart(content=f"page image {j + 1}",
+                                   url=f"asset://{asset_id}"))
+        if not parts:
+            raise ValueError(
+                "no extractable text or images (encrypted or unsupported "
+                "encoding)"
+            )
+        return parts

@@ -31,7 +31,13 @@ def vision_rows(
     vision_completion: Optional[Callable] = None,
     doc_name: str = "",
 ) -> list[dict]:
-    """[{text, asset_id}] rows to ingest with indexer='vision'."""
+    """[{text, asset_id, data, mime_type}] rows for indexer='vision'.
+
+    ``data`` carries the raw image bytes when the asset is embedded, so
+    the indexer can compute an IMAGE embedding for the dense branch
+    (models/image_embedder.py) while the caption text feeds BM25 — one
+    row serves both image->image and text->image retrieval.
+    """
     assets = {p.asset_id: p for p in parts if isinstance(p, AssetBinPart)}
     rows: list[dict] = []
     for p in parts:
@@ -54,5 +60,10 @@ def vision_rows(
             caption = f"Image in {doc_name}: {alt}" if alt else (
                 f"Image asset {asset_id} in {doc_name}"
             )
-        rows.append({"text": caption, "asset_id": asset_id})
+        rows.append({
+            "text": caption,
+            "asset_id": asset_id,
+            "data": asset.data if asset is not None else None,
+            "mime_type": asset.mime_type if asset is not None else None,
+        })
     return rows

@@ -65,7 +65,9 @@ class DocumentIndexTask:
         parts = self._load_parts(doc)
         chunker = Rechunker(self.cfg.chunk_size, self.cfg.chunk_overlap)
         chunks = chunker.rechunk(parts, metadata={"document_id": document_id})
-        if not chunks:
+        if not chunks and index_type != "vision":
+            # image-only documents (scanned PDFs) have no text chunks but
+            # still produce vision rows from their image parts
             return {"rows": [], "chunks": 0}
 
         if index_type == "summary":
@@ -88,7 +90,10 @@ class DocumentIndexTask:
             return {"rows": rows, "chunks": 1}
 
         if index_type == "vision":
+            import numpy as np
+
             from super_rag_tpu.index.vision import vision_rows
+            from super_rag_tpu.models.image_embedder import ImageEmbedder
 
             rows_data = vision_rows(
                 parts,
@@ -97,17 +102,41 @@ class DocumentIndexTask:
             )
             if not rows_data:
                 return {"rows": [], "chunks": 0}
+            # dense vector ladder (reference index/vision_index.py:33-39):
+            # image embedding when the asset bytes are available (the
+            # multimodal-embedding analog), else caption text embedding
+            img_embedder = ImageEmbedder(dim=engine.index.spec.dim)
+            emb = np.zeros((len(rows_data), engine.index.spec.dim),
+                           np.float32)
+            with_data = [j for j, r in enumerate(rows_data) if r["data"]]
+            if with_data:
+                emb[with_data] = img_embedder.embed(
+                    [rows_data[j]["data"] for j in with_data]
+                )
+            text_only = [j for j in range(len(rows_data))
+                         if j not in set(with_data) or not emb[j].any()]
+            if text_only:
+                emb[text_only] = np.asarray(engine.embedder.embed(
+                    [rows_data[j]["text"] for j in text_only]
+                ))
+            for r in rows_data:  # assets retrievable for preview/display
+                if r["data"]:
+                    self.objects.put(
+                        f"assets/{document_id}/{r['asset_id']}", r["data"]
+                    )
             rows = engine.ingest(
                 [r["text"] for r in rows_data],
                 metadata=[
                     {"document_id": document_id, "collection_id": coll["id"],
                      "document_name": doc["name"],
-                     "asset_id": r["asset_id"], "title_path": "",
+                     "asset_id": r["asset_id"],
+                     "mime_type": r.get("mime_type"), "title_path": "",
                      "chunk_index": j}
                     for j, r in enumerate(rows_data)
                 ],
                 indexer="vision",
                 chat_id=doc.get("chat_id"),
+                embeddings=emb,
             )
             return {"rows": rows, "chunks": len(rows)}
 

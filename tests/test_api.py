@@ -762,3 +762,56 @@ def test_multipart_multi_file_and_edge_cases(client, collection):
     r = client.post(f"/api/v1/collections/{collection['id']}/documents",
                     json=[{"content": "x"}])
     assert r.status_code == 422
+
+
+def test_image_search_route(client):
+    # vision indexing is opt-in per collection config (reference
+    # config.enable_vision)
+    r = client.post("/api/v1/collections",
+                    json={"title": "scans",
+                          "config": {"enable_vision": True}})
+    assert r.status_code == 201, r.text
+    collection = r.json()
+    # build a tiny scanned-PDF (JPEG XObject, no text layer) and upload it
+    import io as _io
+
+    import numpy as _np
+    from PIL import Image as _Image
+
+    def jpeg(color, seed):
+        rng = _np.random.default_rng(seed)
+        arr = _np.zeros((64, 96, 3), _np.uint8)
+        arr[:] = color
+        arr = _np.clip(arr.astype(int) + rng.integers(-15, 15, arr.shape),
+                       0, 255).astype(_np.uint8)
+        arr[::8] = 255 - arr[::8]
+        buf = _io.BytesIO()
+        _Image.fromarray(arr).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    img = jpeg((210, 40, 40), 1)
+    pdf = b"%PDF-1.4\n" + (
+        b"10 0 obj\n<< /Subtype /Image /Width 96 /Height 64 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n" % len(img)
+    ) + img + b"\nendstream\nendobj\n%%EOF\n"
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/documents",
+        json=[{"name": "scan.pdf",
+               "content_base64": base64.b64encode(pdf).decode()}],
+    )
+    assert r.status_code == 201, r.text
+    # reconcile runs synchronously in tests; search by a similar image
+    query = base64.b64encode(jpeg((210, 40, 40), 2)).decode()
+    r = client.post(
+        f"/api/v1/collections/{collection['id']}/searches/image",
+        json={"image_base64": query, "top_k": 3},
+    )
+    assert r.status_code == 201, r.text
+    items = r.json()["items"]
+    assert items and items[0]["asset_id"]
+    # the stored asset is servable
+    r = client.get(f"/api/v1/collections/{collection['id']}"
+                   f"/assets/{items[0]['asset_id']}")
+    assert r.status_code == 200
+    assert r.headers["content-type"].startswith("image/")
