@@ -144,6 +144,81 @@ class KnowledgeGraphService:
             added.append(edge_id)
         return {"episode_id": eid, "edges": added, "triples": len(added)}
 
+    def add_episode_bulk(self, group_id: str, texts: list[str],
+                         source: str = "") -> dict:
+        """Batch episode ingestion (graphiti add_episode_bulk analog,
+        graphiti_core/graphiti.py:1023): extract across all chunks first,
+        dedup nodes once for the whole batch, then insert every fact with
+        ONE batched device write instead of per-triple ingests."""
+        eng = self._engine(group_id)
+        now = time.time()
+        episode_ids = []
+        all_triples: list[tuple[str, Triple]] = []
+        for text in texts:
+            eid = new_id("kge")
+            episode_ids.append(eid)
+            self.db.execute(
+                "INSERT INTO kg_episode (id,group_id,source,content_preview,"
+                "created) VALUES (?,?,?,?,?)",
+                (eid, group_id, source, text[:300], now),
+            )
+            for t in extract(text, self.completion):
+                all_triples.append((eid, t))
+
+        # one-pass node dedup across the whole batch
+        node_ids: dict[str, str] = {}
+        for _eid, t in all_triples:
+            for name in (t.source, t.target):
+                norm = " ".join(name.lower().split())
+                if norm not in node_ids:
+                    node_ids[norm] = self._upsert_node(group_id, name)
+
+        # within-batch + vs-store supersedence, newest wins
+        seen_keys: dict[tuple, int] = {}
+        kept: list[tuple[str, Triple]] = []
+        for eid, t in all_triples:
+            key = (" ".join(t.source.lower().split()), t.relation,
+                   " ".join(t.target.lower().split()))
+            if key in seen_keys:
+                kept[seen_keys[key]] = (eid, t)  # later chunk supersedes
+            else:
+                seen_keys[key] = len(kept)
+                kept.append((eid, t))
+        edge_rows = []
+        for eid, t in kept:
+            sid = node_ids[" ".join(t.source.lower().split())]
+            tid = node_ids[" ".join(t.target.lower().split())]
+            for o in self.db.query(
+                "SELECT id, row_id FROM kg_edge WHERE group_id=? AND"
+                " source_id=? AND target_id=? AND relation=? AND"
+                " invalid_at IS NULL",
+                (group_id, sid, tid, t.relation),
+            ):
+                self.db.execute(
+                    "UPDATE kg_edge SET invalid_at=? WHERE id=?",
+                    (now, o["id"]),
+                )
+                if o["row_id"] >= 0:
+                    eng.delete([o["row_id"]])
+            edge_rows.append((new_id("kged"), sid, tid, t, eid))
+
+        if edge_rows:
+            rows = eng.ingest(
+                [e[3].fact for e in edge_rows],
+                metadata=[{"edge_id": e[0]} for e in edge_rows],
+            )
+            for (edge_id, sid, tid, t, eid), row_id in zip(edge_rows, rows):
+                self.db.execute(
+                    "INSERT INTO kg_edge (id,group_id,source_id,target_id,"
+                    "relation,fact,episode_id,row_id,valid_at,created)"
+                    " VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
+                     row_id, now, now),
+                )
+        return {"episode_ids": episode_ids,
+                "edges": [e[0] for e in edge_rows],
+                "triples": len(edge_rows)}
+
     def delete_group(self, group_id: str) -> None:
         self.db.execute("DELETE FROM kg_edge WHERE group_id=?", (group_id,))
         self.db.execute("DELETE FROM kg_node WHERE group_id=?", (group_id,))
@@ -165,12 +240,19 @@ class KnowledgeGraphService:
     # -- search ----------------------------------------------------------------------
 
     def search(self, group_id: str, query: str, top_k: int = 5,
-               center_node: Optional[str] = None) -> list[dict]:
-        """Hybrid fact search (+ optional neighbor boost around a node)."""
+               center_node: Optional[str] = None,
+               rerank: Optional[str] = None) -> list[dict]:
+        """Hybrid fact search (+ optional neighbor boost around a node).
+
+        ``rerank='mmr'`` applies maximal-marginal-relevance diversity over
+        the fact embeddings (graphiti's MMR reranker family,
+        search/search.py:54-454)."""
         eng = self._engine(group_id)
         if eng.index.size == 0:
             return []
         hits = eng.search(query, top_k=top_k * 2, mode="hybrid")
+        if rerank == "mmr" and len(hits) > 1:
+            hits = self._mmr(query, hits, top_k * 2)
         boost_ids: set[str] = set()
         if center_node:
             node = self.db.query_one(
@@ -202,6 +284,96 @@ class KnowledgeGraphService:
             })
         out.sort(key=lambda r: -r["score"])
         return out[:top_k]
+
+    def _mmr(self, query: str, hits, k: int, lam: float = 0.6):
+        """Maximal marginal relevance over fact embeddings: greedy pick
+        balancing query relevance against similarity to already-picked
+        facts (diversity)."""
+        import numpy as np
+
+        embedder = None
+        for e in self._engines.values():
+            embedder = e.embedder
+            break
+        if embedder is None:
+            return hits
+        texts = [h.text for h in hits]
+        emb = np.asarray(embedder.embed([query] + texts), np.float32)
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(nrm > 0, nrm, 1.0)
+        qv, dv = emb[0], emb[1:]
+        rel = dv @ qv
+        picked: list[int] = []
+        rest = list(range(len(hits)))
+        while rest and len(picked) < k:
+            if not picked:
+                j = int(np.argmax([rel[i] for i in rest]))
+            else:
+                pv = dv[picked]
+                mmr = [lam * rel[i] - (1 - lam) * float((dv[i] @ pv.T).max())
+                       for i in rest]
+                j = int(np.argmax(mmr))
+            picked.append(rest.pop(j))
+        return [hits[i] for i in picked]
+
+    # -- communities ---------------------------------------------------------------------
+
+    def communities(self, group_id: str, max_members: int = 8) -> list[dict]:
+        """Connected-component communities over the valid-edge graph with
+        degree-ranked members and a summary line (graphiti community
+        nodes analog; LLM summary when a completion client exists)."""
+        edges = self.db.query(
+            "SELECT source_id, target_id FROM kg_edge WHERE group_id=?"
+            " AND invalid_at IS NULL",
+            (group_id,),
+        )
+        if not edges:
+            return []
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        degree: dict[str, int] = {}
+        for e in edges:
+            a, b = find(e["source_id"]), find(e["target_id"])
+            if a != b:
+                parent[a] = b
+            degree[e["source_id"]] = degree.get(e["source_id"], 0) + 1
+            degree[e["target_id"]] = degree.get(e["target_id"], 0) + 1
+        groups: dict[str, list[str]] = {}
+        for nid in degree:
+            groups.setdefault(find(nid), []).append(nid)
+        names = {
+            r["id"]: r["name"] for r in self.db.query(
+                "SELECT id, name FROM kg_node WHERE group_id=?", (group_id,)
+            )
+        }
+        out = []
+        for j, (root, members) in enumerate(
+            sorted(groups.items(), key=lambda kv: -len(kv[1]))
+        ):
+            members.sort(key=lambda n: -degree.get(n, 0))
+            top = [names.get(n, n) for n in members[:max_members]]
+            summary = f"Community of {len(members)} entities around " \
+                      f"{', '.join(top[:3])}"
+            if self.completion is not None:
+                try:
+                    summary = str(self.completion(
+                        prompt="Summarize in one sentence the theme of a "
+                               "knowledge-graph community containing: "
+                               + ", ".join(top)
+                    )).strip() or summary
+                except Exception:  # noqa: BLE001 — offline fallback
+                    pass
+            out.append({
+                "id": f"community-{j}", "size": len(members),
+                "members": top, "summary": summary,
+            })
+        return out
 
     # -- introspection (labels / subgraph for viz) ---------------------------------------
 
@@ -239,9 +411,15 @@ class KnowledgeGraphService:
             self.db.query_one("SELECT * FROM kg_node WHERE id=?", (nid,))
             for nid in node_ids
         ]
+        # community membership for viz coloring
+        comm_of: dict[str, str] = {}
+        for c in self.communities(group_id, max_members=1 << 30):
+            for name in c["members"]:
+                comm_of[name] = c["id"]
         return {
             "nodes": [
-                {"id": n["id"], "name": n["name"], "label": n["label"]}
+                {"id": n["id"], "name": n["name"], "label": n["label"],
+                 "community": comm_of.get(n["name"])}
                 for n in nodes if n
             ],
             "edges": [
@@ -261,4 +439,10 @@ class KnowledgeGraphService:
             " invalid_at IS NULL",
             (group_id,),
         )["c"]
-        return {"nodes": nodes, "edges": edges}
+        comms = self.communities(group_id)
+        return {"nodes": nodes, "edges": edges,
+                "communities": len(comms),
+                "community_summaries": [
+                    {"id": c["id"], "size": c["size"], "summary": c["summary"]}
+                    for c in comms[:10]
+                ]}

@@ -144,11 +144,13 @@ class DocumentIndexTask:
             kg = getattr(self.ctx, "kg", None)
             if kg is None:
                 raise ValueError("graph index requires the kg service")
-            episodes = []
-            for c in chunks:
-                r = kg.add_episode(coll["id"], c.text, source=document_id)
-                episodes.append(r["episode_id"])
-            return {"rows": [], "episodes": episodes, "chunks": len(chunks)}
+            # bulk path: one extraction pass + one batched device write
+            # for the whole document (graphiti add_episode_bulk parity)
+            r = kg.add_episode_bulk(
+                coll["id"], [c.text for c in chunks], source=document_id
+            )
+            return {"rows": [], "episodes": r["episode_ids"],
+                    "chunks": len(chunks)}
 
         rows = engine.ingest(
             [c.padded_text for c in chunks],

@@ -132,3 +132,50 @@ def test_graph_indexed_document_end_to_end(tmp_path):
     # graph docs render facts as one context doc
     assert any(i["recall_type"] in ("graph_search", "hybrid", "reranked")
                for i in result["items"]) or result["items"]
+
+
+def test_add_episode_bulk_dedups_nodes(kg):
+    texts = [
+        "Ada Lovelace worked with Charles Babbage. Ada Lovelace wrote Notes.",
+        "Charles Babbage designed the Analytical Engine.",
+        "Ada Lovelace annotated the Analytical Engine papers.",
+    ]
+    r = kg.add_episode_bulk("bulkgrp", texts, source="doc-1")
+    assert len(r["episode_ids"]) == 3
+    assert r["triples"] >= 2
+    # node dedup: 'ada lovelace' appears once despite three mentions
+    rows = kg.db.query(
+        "SELECT name_norm, COUNT(*) AS c FROM kg_node WHERE group_id=?"
+        " GROUP BY name_norm HAVING c > 1", ("bulkgrp",))
+    assert rows == []
+    hits = kg.search("bulkgrp", "analytical engine")
+    assert hits
+
+
+def test_communities_and_stats(kg):
+    kg.add_episode_bulk("commgrp", [
+        "Alice Smith knows Bob Jones. Bob Jones knows Carol White.",
+        "Xenon Gas bonds with Fluorine Gas.",
+    ])
+    comms = kg.communities("commgrp")
+    assert len(comms) >= 2
+    assert comms[0]["size"] >= comms[-1]["size"]
+    assert all(c["summary"] for c in comms)
+    stats = kg.stats("commgrp")
+    assert stats["communities"] == len(comms)
+    assert stats["community_summaries"]
+    sub = kg.subgraph("commgrp")
+    assert any(n.get("community") for n in sub["nodes"])
+
+
+def test_mmr_rerank_diversifies(kg):
+    kg.add_episode_bulk("mmrgrp", [
+        "Solar Panels convert Sunlight into electricity.",
+        "Solar Panels transform Sunlight Energy into usable power.",
+        "Wind Turbines convert Wind Power into electricity.",
+    ])
+    plain = kg.search("mmrgrp", "convert electricity", top_k=2)
+    mmr = kg.search("mmrgrp", "convert electricity", top_k=2, rerank="mmr")
+    assert plain and mmr
+    facts = [h["fact"] for h in mmr]
+    assert len(set(facts)) == len(facts)
