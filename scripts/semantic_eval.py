@@ -1,0 +1,171 @@
+"""Train the on-TPU encoder on in-domain ICT pairs, then measure held-out
+semantic recall@10 vs the hash embedder (VERDICT r1 item 5).
+
+Corpus: package docstrings (train/corpus.py — offline, always present).
+Split: eval docs are NEVER seen in training.  Eval task: a held-out
+sentence queries its source paragraph among all eval paragraphs plus
+train-paragraph distractors — the standard ICT evaluation.
+
+    python scripts/semantic_eval.py [steps] [out_ckpt]
+
+Writes SEMANTIC_EVAL.json at the repo root; bench.py folds it into its
+extras when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def recall_at_k(query_emb, doc_emb, gold, k=10, block=8192):
+    import jax
+    import jax.numpy as jnp
+
+    from super_rag_tpu.ops.dense import build_corpus, dense_search
+
+    corpus = build_corpus(jnp.asarray(doc_emb), dtype=jnp.float32)
+    hits = 0
+    for i in range(0, len(query_emb), 256):
+        qb = jnp.asarray(query_emb[i: i + 256])
+        _, idx = dense_search(qb, corpus, k=k, block_size=block)
+        idx = np.asarray(idx)
+        for j, g in enumerate(gold[i: i + 256]):
+            if g in idx[j].tolist():
+                hits += 1
+    return hits / len(query_emb)
+
+
+def main() -> None:
+    import jax
+
+    # the axon sitecustomize overrides JAX_PLATFORMS; re-force it so
+    # `JAX_PLATFORMS=cpu python scripts/semantic_eval.py` really runs CPU
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
+    import jax.numpy as jnp
+
+    from super_rag_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from super_rag_tpu.models.encoder import EncoderConfig, TextEncoder
+    from super_rag_tpu.models.encoder_service import (
+        EncoderService,
+        save_params,
+    )
+    from super_rag_tpu.models.hash_embedder import HashEmbedder
+    from super_rag_tpu.models.tokenization import HashTokenizer
+    from super_rag_tpu.train.contrastive import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from super_rag_tpu.train.corpus import harvest_docstrings
+    from super_rag_tpu.train.pairs import Pair, ict_pairs, pairs_to_batches
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else (2000 if on_tpu else 60)
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        ROOT, "checkpoints", "encoder_semantic"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    rng = np.random.default_rng(0)
+    docs = harvest_docstrings()
+    rng.shuffle(docs)
+    n_eval = min(1000, len(docs) // 5)
+    eval_docs, train_docs = docs[:n_eval], docs[n_eval:]
+    print(f"corpus: {len(train_docs)} train / {len(eval_docs)} eval docs")
+
+    # -- eval set: held-out sentence -> source paragraph -------------------
+    eval_pairs = list(ict_pairs(eval_docs, np.random.default_rng(1),
+                                min_sentences=3))[:500]
+    distractors = train_docs[:4000]
+    eval_corpus_texts = [p.positive for p in eval_pairs] + distractors
+    gold = list(range(len(eval_pairs)))
+    queries = [p.query for p in eval_pairs]
+    print(f"eval: {len(eval_pairs)} queries over "
+          f"{len(eval_corpus_texts)} passages")
+
+    # -- baseline: hash embedder -------------------------------------------
+    dim = 256
+    hasher = HashEmbedder(dim=dim)
+    r_hash = recall_at_k(
+        np.asarray(hasher.embed(queries)),
+        np.asarray(hasher.embed(eval_corpus_texts)), gold,
+    )
+    print(f"hash embedder recall@10: {r_hash:.4f}")
+
+    # -- train ---------------------------------------------------------------
+    enc_cfg = EncoderConfig(
+        vocab_size=30522, hidden_dim=dim, num_layers=4, num_heads=8,
+        mlp_dim=1024, max_len=128,
+    )
+    model = TextEncoder(enc_cfg)
+    tok = HashTokenizer(vocab_size=enc_cfg.vocab_size)
+    tcfg = TrainConfig(learning_rate=2e-4,
+                       warmup_steps=max(20, steps // 10))
+    state = create_train_state(model, jax.random.PRNGKey(0), tcfg)
+    step = make_train_step(model, tcfg)
+
+    pairs = list(ict_pairs(train_docs, rng))
+    rng.shuffle(pairs)
+    print(f"{len(pairs)} train pairs")
+    t0 = time.time()
+    done = 0
+    epoch = 0
+    batch_size = 64 if on_tpu else 16
+    last = {}
+    while done < steps:
+        epoch += 1
+        for batch in pairs_to_batches(pairs, tok, batch_size=batch_size,
+                                      max_len=128):
+            state, metrics = step(
+                state, {k: jnp.asarray(v) for k, v in batch.items()}
+            )
+            done += 1
+            if done % 100 == 0 or done == steps:
+                last = {k: float(v) for k, v in metrics.items()}
+                print(f"step {done}/{steps} epoch {epoch}: "
+                      f"loss={last.get('loss', 0):.4f} "
+                      f"acc={last.get('accuracy', 0):.3f}", flush=True)
+            if done >= steps:
+                break
+    train_s = time.time() - t0
+
+    save_params(state.params, out, enc_cfg)
+    svc = EncoderService(cfg=enc_cfg, params=state.params)
+    r_trained = recall_at_k(
+        np.asarray(svc.embed(queries)),
+        np.asarray(svc.embed(eval_corpus_texts)), gold,
+    )
+    print(f"trained encoder recall@10: {r_trained:.4f}")
+
+    result = {
+        "eval": "ICT held-out sentence -> source paragraph",
+        "eval_queries": len(eval_pairs),
+        "eval_passages": len(eval_corpus_texts),
+        "train_pairs": len(pairs),
+        "train_steps": steps,
+        "train_seconds": round(train_s, 1),
+        "backend": jax.default_backend(),
+        "semantic_recall_at_10_trained": round(r_trained, 4),
+        "semantic_recall_at_10_hash": round(r_hash, 4),
+        "final_train_accuracy": round(last.get("accuracy", 0.0), 4),
+        "checkpoint": out + ".npz",
+    }
+    with open(os.path.join(ROOT, "SEMANTIC_EVAL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,7 @@ def main():
 
     tile = 8192 if on_tpu else 512
 
-    def make_run(rescore, lex_gen, pq, use_int8=True):
+    def make_run(rescore, lex_gen, pq, use_int8=True, dg=None, ptk=8):
         def run():
             return hybrid_search(
                 queries, q_terms_j, q_idf_j,
@@ -92,8 +92,8 @@ def main():
                 block_size=262_144 if on_tpu else 8_192,
                 postings_per_query_term=pq,
                 int8_queries=on_tpu and use_int8,
-                per_tile_k=8 if on_tpu else None,
-                rescore=rescore, lex_gen=lex_gen,
+                per_tile_k=ptk if on_tpu else None,
+                rescore=rescore, lex_gen=lex_gen, dense_gen=dg,
             )
         return run
 
@@ -101,15 +101,14 @@ def main():
         np.asarray(out.indices)
 
     configs = [
-        ("off_pq256", False, 100, 256, True),
-        ("on_lg100_pq256", True, 100, 256, True),
-        ("on_lg200_pq256", True, 200, 256, True),
-        ("on_lg200_pq128", True, 200, 128, True),
-        ("on_lg400_pq256", True, 400, 256, True),
-        ("on_lg200_pq256_f32dense", True, 200, 256, False),
+        ("on_lg200_pq256_dg256", True, 200, 256, True, 256, 8),
+        ("on_lg200_pq256_dg512", True, 200, 256, True, 512, 8),
+        ("on_lg300_pq256_dg384", True, 300, 256, True, 384, 8),
+        ("on_lg200_pq256_ptk16", True, 200, 256, True, None, 16),
+        ("on_lg200_pq256_dg512_f32dense", True, 200, 256, False, 512, 8),
     ]
-    for name, rs, lg, pq, i8 in configs:
-        run = make_run(rs, lg, pq, i8)
+    for name, rs, lg, pq, i8, dg, ptk in configs:
+        run = make_run(rs, lg, pq, i8, dg, ptk)
         res = run()
         sync(res)
         got = np.asarray(res.indices)[:sample]

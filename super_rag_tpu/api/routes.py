@@ -18,6 +18,8 @@ from super_rag_tpu.service.chat_service import ChatService
 from super_rag_tpu.service.collection_service import CollectionService
 from super_rag_tpu.service.context import AppContext
 from super_rag_tpu.service.document_service import DocumentService
+from super_rag_tpu.schema import view_models as vm
+from super_rag_tpu.schema.view_models import parse_body
 from super_rag_tpu.service.workflow_service import WorkflowService
 
 
@@ -117,17 +119,14 @@ def build_router(ctx: AppContext) -> Router:
 
     @router.post("/api/v1/auth/register")
     async def register(req: Request) -> Response:
-        body = req.json()
-        user = auth.register(
-            body.get("username", ""), body.get("password", ""),
-            body.get("email", ""),
-        )
+        body = parse_body(vm.RegisterRequest, req.json())
+        user = auth.register(body.username, body.password, body.email)
         return Response.json(user, status=201)
 
     @router.post("/api/v1/auth/login")
     async def login(req: Request) -> Response:
-        body = req.json()
-        user, token = auth.login(body.get("username", ""), body.get("password", ""))
+        body = parse_body(vm.LoginRequest, req.json())
+        user, token = auth.login(body.username, body.password)
         return Response.json(
             {"user": user, "token": token},
             headers={"Set-Cookie":
@@ -156,9 +155,9 @@ def build_router(ctx: AppContext) -> Router:
     @router.post("/api/v1/apikeys")
     async def create_key(req: Request) -> Response:
         user = me(req)
-        body = req.json()
+        body = parse_body(vm.ApiKeyCreate, req.json())
         return Response.json(
-            ctx.db.create_api_key(user["id"], body.get("description", "")),
+            ctx.db.create_api_key(user["id"], body.description),
             status=201,
         )
 
@@ -178,15 +177,8 @@ def build_router(ctx: AppContext) -> Router:
 
     @router.post("/api/v1/collections")
     async def create_collection(req: Request) -> Response:
-        from pydantic import ValidationError
-
-        from super_rag_tpu.schema.view_models import CollectionCreate
-
         user = me(req)
-        try:
-            body = CollectionCreate(**req.json())
-        except ValidationError as e:
-            raise HttpError(422, e.errors()[0]["msg"]) from e
+        body = parse_body(vm.CollectionCreate, req.json())
         coll = collections.create(
             user["username"], body.title, body.description,
             body.config.model_dump(exclude_none=True),
@@ -213,9 +205,13 @@ def build_router(ctx: AppContext) -> Router:
     @router.put("/api/v1/collections/{cid}")
     async def update_collection(req: Request) -> Response:
         user = me(req)
-        body = req.json()
+        body = parse_body(vm.CollectionUpdate, req.json())
+        fields = body.model_dump(exclude_none=True)
+        if "config" in fields:
+            fields["config"] = body.config.model_dump(exclude_none=True)
         return Response.json(
-            collections.update(user["username"], req.path_params["cid"], **body)
+            collections.update(user["username"], req.path_params["cid"],
+                               **fields)
         )
 
     @router.delete("/api/v1/collections/{cid}")
@@ -268,18 +264,8 @@ def build_router(ctx: AppContext) -> Router:
 
     @router.post("/api/v1/collections/{cid}/searches")
     async def create_search(req: Request) -> Response:
-        from pydantic import ValidationError
-
-        from super_rag_tpu.schema.view_models import SearchRequest
-
         user = me(req)
-        try:
-            body = SearchRequest(**req.json())
-        except ValidationError as e:
-            first = e.errors()[0]
-            raise HttpError(
-                422, f"{'.'.join(str(x) for x in first['loc'])}: {first['msg']}"
-            ) from e
+        body = parse_body(vm.SearchRequest, req.json())
         result = await collections.execute_search(
             user["username"], req.path_params["cid"], body.query,
             top_k=body.top_k,
@@ -299,15 +285,13 @@ def build_router(ctx: AppContext) -> Router:
         user = me(req)
         cid = req.path_params["cid"]
         coll = collections.get(user["username"], cid)
-        b = req.json()
-        if not b.get("image_base64"):
-            raise HttpError(422, "image_base64 required")
+        b = parse_body(vm.ImageSearchRequest, req.json())
         try:
-            blob = base64.b64decode(b["image_base64"])
+            blob = base64.b64decode(b.image_base64)
         except Exception as e:  # noqa: BLE001
             raise HttpError(422, "invalid base64") from e
         engine = ctx.engines.get(cid, coll["config"])
-        hits = engine.search_by_image(blob, top_k=int(b.get("top_k", 5)))
+        hits = engine.search_by_image(blob, top_k=b.top_k)
         return Response.json({
             "items": [
                 {"text": h.text, "score": h.score,
@@ -344,15 +328,12 @@ def build_router(ctx: AppContext) -> Router:
         """Search several collections in one request (the reference
         accepts collection_ids but searches only the first)."""
         user = me(req)
-        b = req.json()
-        cids = b.get("collection_ids") or []
-        if not b.get("query") or not cids:
-            raise HttpError(422, "query and collection_ids required")
+        b = parse_body(vm.MultiSearchRequest, req.json())
         return Response.json(
             await collections.execute_multi_search(
-                user["username"], cids, b["query"],
-                top_k=b.get("top_k"), use_rerank=b.get("use_rerank", True),
-                chat_id=b.get("chat_id"),
+                user["username"], b.collection_ids, b.query,
+                top_k=b.top_k, use_rerank=b.use_rerank,
+                chat_id=b.chat_id,
             ),
             status=201,
         )
@@ -584,7 +565,10 @@ def build_router(ctx: AppContext) -> Router:
     @router.post("/api/v1/workflows")
     async def create_workflow(req: Request) -> Response:
         user = me(req)
-        body = req.json()
+        raw = req.json()
+        if "definition" in (raw or {}):
+            parse_body(vm.WorkflowDefinition, raw["definition"])
+        body = raw or {}
         return Response.json(
             workflows.create(
                 user["username"], body.get("title", "workflow"),
@@ -709,9 +693,8 @@ def build_router(ctx: AppContext) -> Router:
     @router.post("/api/v1/llm_providers")
     async def upsert_provider(req: Request) -> Response:
         me(req)
-        b = req.json()
-        if not b.get("name"):
-            raise HttpError(422, "provider name required")
+        b_ = parse_body(vm.LLMProviderCreate, req.json())
+        b = b_.model_dump()
         ctx.db.upsert_provider(
             b["name"], b.get("label", ""), b.get("base_url", ""),
             b.get("api_type", "openai"),
@@ -732,11 +715,10 @@ def build_router(ctx: AppContext) -> Router:
     @router.post("/api/v1/llm_providers/{name}/models")
     async def upsert_model(req: Request) -> Response:
         me(req)
-        b = req.json()
+        b = parse_body(vm.LLMProviderModelCreate, req.json())
         ctx.db.upsert_model(
-            req.path_params["name"], b.get("api", "completion"),
-            b.get("model", ""), b.get("context_window", 0),
-            b.get("max_tokens", 0), b.get("tags", []),
+            req.path_params["name"], b.api, b.model, b.context_window,
+            b.max_tokens, b.tags,
         )
         return Response.json(ctx.db.list_models(req.path_params["name"]),
                              status=201)
@@ -744,9 +726,9 @@ def build_router(ctx: AppContext) -> Router:
     @router.post("/api/v1/llm_providers/{name}/key")
     async def set_provider_key(req: Request) -> Response:
         user = me(req)
-        b = req.json()
+        b = parse_body(vm.ProviderKeySet, req.json())
         ctx.db.set_provider_key(
-            req.path_params["name"], user["username"], b.get("api_key", "")
+            req.path_params["name"], user["username"], b.api_key
         )
         return Response.json({"ok": True})
 
@@ -841,12 +823,10 @@ def build_router(ctx: AppContext) -> Router:
     @router.post("/api/v1/agents")
     async def create_agent(req: Request) -> Response:
         user = me(req)
-        b = req.json()
-        if not b.get("title"):
-            raise HttpError(422, "title required")
+        b = parse_body(vm.AgentCreate, req.json())
         return Response.json(
-            ctx.db.create_agent(user["username"], b["title"],
-                                b.get("description", ""), b.get("config")),
+            ctx.db.create_agent(user["username"], b.title,
+                                b.description, b.config),
             status=201,
         )
 
@@ -869,9 +849,8 @@ def build_router(ctx: AppContext) -> Router:
         a = ctx.db.get_agent(req.path_params["aid"])
         if a is None or a["user"] != user["username"]:
             raise HttpError(404, "agent not found")
-        b = req.json()
-        allowed = {k: v for k, v in b.items()
-                   if k in ("title", "description", "config")}
+        b = parse_body(vm.AgentUpdate, req.json())
+        allowed = b.model_dump(exclude_none=True)
         if allowed:
             ctx.db.update_agent(a["id"], **allowed)
         return Response.json(ctx.db.get_agent(a["id"]))
@@ -979,11 +958,9 @@ def build_router(ctx: AppContext) -> Router:
         me(req)
         from super_rag_tpu.websearch.service import WebSearchService
 
-        b = req.json()
-        if not b.get("query"):
-            raise HttpError(422, "query required")
+        b = parse_body(vm.WebSearchRequest, req.json())
         svc = req.state.get("web") or WebSearchService()
-        results = svc.search(b["query"], max_results=b.get("max_results", 5))
+        results = svc.search(b.query, max_results=b.max_results)
         return Response.json({"results": results,
                               "offline": len(results) == 0})
 
@@ -1004,10 +981,10 @@ def build_router(ctx: AppContext) -> Router:
     @router.post("/api/v1/chats")
     async def create_chat(req: Request) -> Response:
         user = me(req)
-        b = req.json()
+        b = parse_body(vm.ChatCreate, req.json())
         return Response.json(
-            chats.create(user["username"], b.get("title", ""),
-                         b.get("collection_ids")),
+            chats.create(user["username"], b.title,
+                         b.collection_ids or None),
             status=201,
         )
 

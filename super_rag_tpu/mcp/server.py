@@ -189,16 +189,39 @@ class McpServer:
                 ]
             }
         if name == "search_collection":
+            # tool args share the REST contract model, so both surfaces
+            # reject the same invalid payloads (schema/view_models.py)
+            from super_rag_tpu.schema.view_models import (
+                SearchRequest,
+                parse_body,
+            )
+
+            body = parse_body(SearchRequest, {
+                "query": args.get("query", ""),
+                **{k: v for k, v in args.items()
+                   if k in ("top_k", "use_rerank", "chat_id")
+                   and v is not None},
+            })
             result = await self.collections.execute_search(
-                username, args["collection_id"], args["query"],
-                top_k=args.get("top_k"),
-                use_rerank=args.get("use_rerank", True),
+                username, args["collection_id"], body.query,
+                top_k=body.top_k, use_rerank=body.use_rerank,
             )
             return result
         if name == "search_chat_files":
+            from super_rag_tpu.schema.view_models import (
+                SearchRequest,
+                parse_body,
+            )
+
+            body = parse_body(SearchRequest, {
+                "query": args.get("query", ""),
+                "chat_id": args["chat_id"],
+                **{k: v for k, v in args.items()
+                   if k == "top_k" and v is not None},
+            })
             result = await self.collections.execute_search(
-                username, args["collection_id"], args["query"],
-                top_k=args.get("top_k"), chat_id=args["chat_id"],
+                username, args["collection_id"], body.query,
+                top_k=body.top_k, chat_id=body.chat_id,
             )
             return result
         if name == "web_search" and self.web is not None:

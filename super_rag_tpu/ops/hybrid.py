@@ -162,7 +162,7 @@ def _rescored_lexical_branch(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
         "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
-        "tail_offset", "rescore", "lex_gen",
+        "tail_offset", "rescore", "lex_gen", "dense_gen",
     ),
 )
 def hybrid_search(
@@ -196,6 +196,7 @@ def hybrid_search(
     nprobe: int = 32,
     rescore: bool = True,
     lex_gen: Optional[int] = None,
+    dense_gen: Optional[int] = None,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k).
@@ -211,26 +212,35 @@ def hybrid_search(
     """
     n = dense.size
     kc = min(candidates, n)
+    # dense candidate depth for POOL membership (rescoring): deeper dense
+    # lists are nearly free (no sort), and a doc at dense rank 100-300
+    # with a strong exact BM25 score still reaches the fused top-k via
+    # its recovered lexical rank.  RRF's dense branch stays at kc so its
+    # rank semantics match the exact gold.
+    kd = min(max(kc, dense_gen), n) if dense_gen is not None else kc
 
     if ivf is not None:
         if use_pallas:
             from super_rag_tpu.ops.pallas_ivf import pallas_ivf_topk
 
-            dv, di = pallas_ivf_topk(query_emb, ivf, k=kc, nprobe=nprobe,
+            dv, di = pallas_ivf_topk(query_emb, ivf, k=kd, nprobe=nprobe,
                                      mask=mask, metric=metric)
         else:
-            dv, di = ivf_search(query_emb, ivf, k=kc, nprobe=nprobe,
+            dv, di = ivf_search(query_emb, ivf, k=kd, nprobe=nprobe,
                                 mask=mask, metric=metric)
     elif use_pallas:
         dv, di = pallas_dense_topk(
-            query_emb, dense, k=kc, metric=metric, mask=mask, tile=dense_tile,
+            query_emb, dense, k=kd, metric=metric, mask=mask, tile=dense_tile,
             int8_queries=int8_queries, per_tile_k=per_tile_k,
         )
     else:
         dv, di = dense_search(
-            query_emb, dense, k=kc, metric=metric, mask=mask,
+            query_emb, dense, k=kd, metric=metric, mask=mask,
             block_size=block_size,
         )
+    dv_pool, di_pool = dv, di
+    if kd > kc:
+        dv, di = dv[:, :kc], di[:, :kc]
 
     # BM25 branch.  Preferred path: the inverted index (ops/bm25_inverted
     # — contiguous posting-row gathers + sort-based segment sums; ~1000x
@@ -262,8 +272,8 @@ def hybrid_search(
             li = jnp.take_along_axis(li, pos, axis=-1)
         if rescore and lexical is not None:
             lv, li = _rescored_lexical_branch(
-                dv, di, lv, li.astype(jnp.int32), query_terms, query_idf,
-                lexical, avgdl, kc, k1, b,
+                dv_pool, di_pool, lv, li.astype(jnp.int32), query_terms,
+                query_idf, lexical, avgdl, kc, k1, b,
             )
         elif lv.shape[1] > kc:
             lv, pos = jax.lax.top_k(lv, kc)

@@ -815,3 +815,26 @@ def test_image_search_route(client):
                    f"/assets/{items[0]['asset_id']}")
     assert r.status_code == 200
     assert r.headers["content-type"].startswith("image/")
+
+
+def test_contract_validation_shared_surfaces(server, client, collection):
+    # REST: typed 422s with field locations
+    r = client.post("/api/v1/agents", json={"title": ""})
+    assert r.status_code == 422 and "title" in r.json()["error"]["message"]
+    r = client.post("/api/v1/workflows",
+                    json={"title": "bad", "definition": {"graph": {}}})
+    assert r.status_code == 422
+    r = client.post("/api/v1/auth/register",
+                    json={"username": "shorty", "password": "short"})
+    assert r.status_code == 422
+    r = client.post("/api/v1/searches", json={"query": "x"})
+    assert r.status_code == 422  # collection_ids required
+    # MCP shares the same SearchRequest contract
+    key = client.post("/api/v1/apikeys", json={"description": "c"}).json()["key"]
+    r = httpx.post(server.base + "/mcp", headers={
+        "Authorization": f"Bearer {key}"}, json={
+        "jsonrpc": "2.0", "id": 9, "method": "tools/call",
+        "params": {"name": "search_collection",
+                   "arguments": {"collection_id": collection["id"],
+                                  "query": "x", "top_k": 5000}}})
+    assert "top_k" in json.dumps(r.json().get("error", r.json()))
