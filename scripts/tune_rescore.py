@@ -101,11 +101,9 @@ def main():
         np.asarray(out.indices)
 
     configs = [
-        ("on_lg200_pq256_dg256", True, 200, 256, True, 256, 8),
-        ("on_lg200_pq256_dg512", True, 200, 256, True, 512, 8),
-        ("on_lg300_pq256_dg384", True, 300, 256, True, 384, 8),
-        ("on_lg200_pq256_ptk16", True, 200, 256, True, None, 16),
-        ("on_lg200_pq256_dg512_f32dense", True, 200, 256, False, 512, 8),
+        ("ss_lg200_pq256", True, 200, 256, True, None, 8),
+        ("ss_lg256_pq384", True, 256, 384, True, None, 8),
+        ("ss_lg320_pq512", True, 320, 512, True, None, 8),
     ]
     for name, rs, lg, pq, i8, dg, ptk in configs:
         run = make_run(rs, lg, pq, i8, dg, ptk)

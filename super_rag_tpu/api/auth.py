@@ -73,11 +73,113 @@ def decode_jwt(token: str, secret: str) -> Optional[dict]:
         return None
 
 
+def _default_fetch_json(url: str, data: Optional[dict] = None,
+                        headers: Optional[dict] = None) -> dict:
+    """Minimal stdlib HTTP JSON helper for the OAuth code exchange."""
+    import urllib.parse
+    import urllib.request
+
+    body = urllib.parse.urlencode(data).encode() if data is not None else None
+    req = urllib.request.Request(url, data=body, headers={
+        "Accept": "application/json", **(headers or {}),
+    })
+    with urllib.request.urlopen(req, timeout=20) as resp:  # noqa: S310
+        return json.loads(resp.read().decode())
+
+
 class Auth:
-    def __init__(self, db: Database, secret: str, ttl_hours: int = 72):
+    def __init__(self, db: Database, secret: str, ttl_hours: int = 72,
+                 oauth_providers: Optional[dict] = None):
         self.db = db
         self.secret = secret
         self.ttl_s = ttl_hours * 3600
+        # {name: {client_id, client_secret, authorize_url, token_url,
+        #         userinfo_url, scope?, id_field?, username_field?}}
+        # (reference: fastapi-users OAuth accounts, db/models.py:108-143)
+        self.oauth_providers = oauth_providers or {}
+        self._fetch_json = _default_fetch_json  # injectable for tests
+
+    # -- oauth (authorization-code flow) ----------------------------------------
+
+    def _oauth_cfg(self, provider: str) -> dict:
+        cfg = self.oauth_providers.get(provider)
+        if cfg is None:
+            raise HttpError(404, f"unknown oauth provider {provider!r}")
+        return cfg
+
+    def oauth_authorize_url(self, provider: str, redirect_uri: str) -> dict:
+        import urllib.parse
+
+        cfg = self._oauth_cfg(provider)
+        state = _b64(os.urandom(16))
+        # state is signed so the callback can verify it statelessly
+        signed = make_jwt({"oauth_state": state, "provider": provider},
+                          self.secret, 600)
+        params = urllib.parse.urlencode({
+            "client_id": cfg.get("client_id", ""),
+            "redirect_uri": redirect_uri,
+            "response_type": "code",
+            "scope": cfg.get("scope", ""),
+            "state": signed,
+        })
+        return {"authorization_url": f"{cfg['authorize_url']}?{params}",
+                "state": signed}
+
+    def oauth_callback(self, provider: str, code: str, state: str,
+                       redirect_uri: str) -> tuple[dict, str]:
+        cfg = self._oauth_cfg(provider)
+        payload = decode_jwt(state, self.secret) if state else None
+        if not payload or payload.get("provider") != provider:
+            raise HttpError(401, "invalid oauth state")
+        token_resp = self._fetch_json(cfg["token_url"], data={
+            "client_id": cfg.get("client_id", ""),
+            "client_secret": cfg.get("client_secret", ""),
+            "code": code,
+            "grant_type": "authorization_code",
+            "redirect_uri": redirect_uri,
+        })
+        access_token = token_resp.get("access_token", "")
+        if not access_token:
+            raise HttpError(401, "oauth code exchange failed")
+        info = self._fetch_json(cfg["userinfo_url"], headers={
+            "Authorization": f"Bearer {access_token}",
+        })
+        account_id = str(info.get(cfg.get("id_field", "id"), ""))
+        if not account_id:
+            raise HttpError(401, "oauth userinfo missing account id")
+        email = str(info.get("email") or "")
+        user = None
+        acct = self.db.get_oauth_account(provider, account_id)
+        if acct is not None:
+            user = self.db.get_user_by_id(acct["user_id"])
+        if user is None:
+            base_name = str(
+                info.get(cfg.get("username_field", "login"))
+                or (email.split("@")[0] if email else "")
+                or f"{provider}_{account_id}"
+            )
+            username = base_name
+            n = 1
+            while self.db.get_user(username) is not None:
+                n += 1
+                username = f"{base_name}{n}"
+            role = "user" if self.db.list_users() else "admin"
+            user = self.db.create_user(
+                username, hash_password(_b64(os.urandom(24))), email, role
+            )
+            self.db.add_oauth_account(
+                user["id"], provider, account_id, email, access_token
+            )
+        else:
+            self.db.update_oauth_token(provider, account_id, access_token)
+        if not user["is_active"]:
+            raise HttpError(403, "account disabled")
+        token = make_jwt(
+            {"sub": user["id"], "username": user["username"],
+             "role": user["role"]},
+            self.secret, self.ttl_s,
+        )
+        return self._public(user), token
 
     # -- account ops ---------------------------------------------------------
 

@@ -133,6 +133,42 @@ def build_router(ctx: AppContext) -> Router:
                      f"{COOKIE_NAME}={token}; HttpOnly; Path=/; SameSite=Lax"},
         )
 
+    @router.get("/api/v1/auth/oauth/{provider}/authorize")
+    async def oauth_authorize(req: Request) -> Response:
+        """Start the OAuth authorization-code flow (reference:
+        fastapi-users OAuth, api/auth.py:121-123)."""
+        provider = req.path_params["provider"]
+        redirect_uri = req.query.get(
+            "redirect_uri",
+            f"http://{req.headers.get('host', 'localhost')}"
+            f"/api/v1/auth/oauth/{provider}/callback",
+        )
+        return Response.json(auth.oauth_authorize_url(provider, redirect_uri))
+
+    @router.get("/api/v1/auth/oauth/{provider}/callback")
+    async def oauth_callback(req: Request) -> Response:
+        provider = req.path_params["provider"]
+        code = req.query.get("code", "")
+        state = req.query.get("state", "")
+        if not code:
+            raise HttpError(422, "code required")
+        redirect_uri = req.query.get(
+            "redirect_uri",
+            f"http://{req.headers.get('host', 'localhost')}"
+            f"/api/v1/auth/oauth/{provider}/callback",
+        )
+        user, token = auth.oauth_callback(provider, code, state, redirect_uri)
+        return Response.json(
+            {"user": user, "token": token},
+            headers={"Set-Cookie":
+                     f"{COOKIE_NAME}={token}; HttpOnly; Path=/; SameSite=Lax"},
+        )
+
+    @router.get("/api/v1/users/me/oauth_accounts")
+    async def my_oauth_accounts(req: Request) -> Response:
+        user = me(req)
+        return Response.json(ctx.db.list_oauth_accounts(user["id"]))
+
     @router.post("/api/v1/auth/logout")
     async def logout(req: Request) -> Response:
         return Response.json(

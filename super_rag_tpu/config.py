@@ -82,6 +82,23 @@ class Settings:
         default_factory=lambda: _env("JWT_SECRET", "dev-secret-change-me")
     )
     jwt_ttl_hours: int = field(default_factory=lambda: _env_int("JWT_TTL_HOURS", 72))
+    # OAuth providers as a JSON object: {"github": {"client_id": ...,
+    # "client_secret": ..., "authorize_url": ..., "token_url": ...,
+    # "userinfo_url": ..., "scope": "user:email"}} (reference:
+    # fastapi-users OAuth flows, api/auth.py:121-123)
+    oauth_providers_json: str = field(
+        default_factory=lambda: _env("OAUTH_PROVIDERS", "")
+    )
+
+    def oauth_providers(self) -> dict:
+        import json as _json
+
+        if not self.oauth_providers_json:
+            return {}
+        try:
+            return _json.loads(self.oauth_providers_json)
+        except ValueError:
+            return {}
 
     # server
     host: str = field(default_factory=lambda: _env("HOST", "127.0.0.1"))

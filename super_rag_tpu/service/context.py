@@ -121,7 +121,8 @@ def build_context(
         else InProcessScheduler(task, reconciler.callbacks)
     )
     reconciler.scheduler = scheduler
-    auth = Auth(db, cfg.jwt_secret, cfg.jwt_ttl_hours)
+    auth = Auth(db, cfg.jwt_secret, cfg.jwt_ttl_hours,
+                oauth_providers=cfg.oauth_providers())
     from super_rag_tpu.kg.service import KnowledgeGraphService
 
     completion = None

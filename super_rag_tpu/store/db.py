@@ -53,6 +53,12 @@ CREATE TABLE IF NOT EXISTS user (
   email TEXT DEFAULT '', password_hash TEXT NOT NULL,
   role TEXT DEFAULT 'user', is_active INTEGER DEFAULT 1, created REAL NOT NULL
 );
+CREATE TABLE IF NOT EXISTS oauth_account (
+  id TEXT PRIMARY KEY, user_id TEXT NOT NULL, provider TEXT NOT NULL,
+  account_id TEXT NOT NULL, account_email TEXT DEFAULT '',
+  access_token TEXT DEFAULT '', created REAL NOT NULL,
+  UNIQUE(provider, account_id)
+);
 CREATE TABLE IF NOT EXISTS api_key (
   id TEXT PRIMARY KEY, user TEXT NOT NULL, key TEXT UNIQUE NOT NULL,
   description TEXT DEFAULT '', created REAL NOT NULL,
@@ -388,6 +394,39 @@ class Database:
 
     def get_user(self, username: str) -> Optional[dict]:
         return self.query_one("SELECT * FROM user WHERE username=?", (username,))
+
+    # -- oauth accounts (reference db/models.py:108-143) -----------------------
+
+    def get_oauth_account(self, provider: str, account_id: str) -> Optional[dict]:
+        return self.query_one(
+            "SELECT * FROM oauth_account WHERE provider=? AND account_id=?",
+            (provider, account_id),
+        )
+
+    def add_oauth_account(self, user_id: str, provider: str, account_id: str,
+                          email: str = "", access_token: str = "") -> dict:
+        oid = new_id("oau")
+        self.execute(
+            "INSERT INTO oauth_account (id,user_id,provider,account_id,"
+            "account_email,access_token,created) VALUES (?,?,?,?,?,?,?)",
+            (oid, user_id, provider, account_id, email, access_token, _now()),
+        )
+        return self.query_one("SELECT * FROM oauth_account WHERE id=?", (oid,))
+
+    def update_oauth_token(self, provider: str, account_id: str,
+                           access_token: str) -> None:
+        self.execute(
+            "UPDATE oauth_account SET access_token=? WHERE provider=? AND"
+            " account_id=?",
+            (access_token, provider, account_id),
+        )
+
+    def list_oauth_accounts(self, user_id: str) -> list[dict]:
+        return self.query(
+            "SELECT provider, account_id, account_email, created FROM"
+            " oauth_account WHERE user_id=?",
+            (user_id,),
+        )
 
     def get_user_by_id(self, uid: str) -> Optional[dict]:
         return self.query_one("SELECT * FROM user WHERE id=?", (uid,))
