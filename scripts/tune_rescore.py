@@ -101,9 +101,9 @@ def main():
         np.asarray(out.indices)
 
     configs = [
-        ("ss_lg200_pq256", True, 200, 256, True, None, 8),
-        ("ss_lg256_pq384", True, 256, 384, True, None, 8),
-        ("ss_lg320_pq512", True, 320, 512, True, None, 8),
+        ("scan_lg200_pq256", True, 200, 256, True, None, 8),
+        ("gen200_norescore", False, 200, 256, True, None, 8),
+        ("scan_lg300_pq384", True, 300, 384, True, None, 8),
     ]
     for name, rs, lg, pq, i8, dg, ptk in configs:
         run = make_run(rs, lg, pq, i8, dg, ptk)

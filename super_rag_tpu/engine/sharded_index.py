@@ -285,6 +285,7 @@ class ShardedDeviceIndex:
         sh4 = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None, None))
         sh2 = NamedSharding(self.mesh, P(CORPUS_AXIS, None))
         ivf = {
+            "residual": bool(per[0].residual),
             "centroids": jax.device_put(jnp.asarray(np.stack(
                 [np.asarray(p.centroids) for p in per])), sh3),
             "values": jax.device_put(jnp.asarray(np.stack(
@@ -414,6 +415,7 @@ class ShardedDeviceIndex:
             has_ivf=ivf is not None,
             has_ivf_scales=ivf is not None and ivf.get("scales") is not None,
             has_overflow=ivf is not None and ivf.get("of_values") is not None,
+            ivf_residual=bool(ivf.get("residual")) if ivf else False,
             nprobe=self._ivf_nprobe,
             has_tail=tail is not None,
         )

@@ -151,6 +151,10 @@ def pallas_ivf_topk(
     cv = raw
     if index.scales is not None:
         cv = cv * jnp.take(index.scales, probes, axis=0)
+    if index.residual:
+        # values hold x - centroid[cluster]; the probe score q@c (already
+        # computed for probe selection) restores the full dot product
+        cv = cv + jnp.take_along_axis(cs, probes, axis=1)[:, :, None]
     keep = ci >= 0
     if mask is not None:
         keep &= jnp.take(mask, jnp.maximum(ci, 0))

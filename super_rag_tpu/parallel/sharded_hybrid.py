@@ -40,6 +40,7 @@ NEG_INF = float("-inf")
                      "postings_per_query_term", "use_pallas", "interpret",
                      "dense_tile", "per_tile_k", "int8_queries", "rescore",
                      "has_ivf", "has_ivf_scales", "has_overflow", "nprobe",
+                     "ivf_residual",
                      "has_tail"),
 )
 def sharded_hybrid_search(
@@ -86,6 +87,7 @@ def sharded_hybrid_search(
     has_ivf: bool = False,
     has_ivf_scales: bool = False,
     has_overflow: bool = False,
+    ivf_residual: bool = False,
     nprobe: int = 32,
     has_tail: bool = False,
 ) -> HybridResult:
@@ -143,6 +145,7 @@ def sharded_hybrid_search(
                 centroids=ivc[0], values=ivv[0],
                 scales=ivs[0] if has_ivf_scales else None,
                 row_ids=ivr[0], overflow=None, overflow_rows=None,
+                residual=ivf_residual,
             )
             dv, di = ivf_search(qe, ivf, k=kc, nprobe=nprobe, mask=keep,
                                 metric=metric)

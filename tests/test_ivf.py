@@ -60,7 +60,7 @@ def test_ivf_int8_matches_flat_int8(rng):
     x = rng.standard_normal((6000, 64)).astype(np.float32)
     q = jnp.asarray(rng.standard_normal((32, 64)).astype(np.float32))
     index = build_ivf(jnp.asarray(x), nlist=32, dtype=jnp.int8,
-                      kmeans_iters=5, seed=0)
+                      kmeans_iters=5, seed=0, residual=False)
     flat = build_corpus(jnp.asarray(x), dtype=jnp.int8)
     _, gi = dense_search(q, flat, k=10)
     # nprobe = nlist: the partitioned layout must reproduce flat search
@@ -188,3 +188,49 @@ def test_churn_triggers_recluster(rng):
     idx._maybe_autocompact()
     assert idx._ivf_churn == 0
     assert idx._ivf_upto == idx.size > built_at
+
+
+def test_residual_coding_beats_plain_int8(rng):
+    """Residual int8 IVF (values = x - centroid, probe score added back)
+    must recover recall that plain per-row int8 loses on clustered data —
+    the 10M north-star quantization fix (VERDICT r2 item 3)."""
+    centers = rng.standard_normal((64, 64)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 64, 20_000)
+    x = centers[assign] + rng.standard_normal((20_000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # queries near corpus points so neighbor gaps are below plain-int8
+    # resolution
+    q_rows = rng.integers(0, 20_000, 64)
+    q = x[q_rows] + 0.02 * rng.standard_normal((64, 64)).astype(np.float32)
+    q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+
+    gold_flat = build_corpus(jnp.asarray(x), dtype=jnp.float32)
+    _, gi = dense_search(q, gold_flat, k=10)
+
+    plain = build_ivf(jnp.asarray(x), nlist=64, dtype=jnp.int8,
+                      kmeans_iters=5, seed=0, residual=False)
+    resid = build_ivf(jnp.asarray(x), nlist=64, dtype=jnp.int8,
+                      kmeans_iters=5, seed=0, residual=True)
+    assert resid.residual and not plain.residual
+    _, pi = ivf_search(q, plain, k=10, nprobe=64)
+    _, ri = ivf_search(q, resid, k=10, nprobe=64)
+    r_plain = recall_at_k(pi, gi, 10)
+    r_resid = recall_at_k(ri, gi, 10)
+    assert r_resid > r_plain, (r_plain, r_resid)
+    assert r_resid >= 0.97, (r_plain, r_resid)
+
+
+def test_residual_pallas_matches_xla(rng):
+    """The Pallas streaming kernel applies the same residual correction."""
+    from super_rag_tpu.ops.pallas_ivf import pallas_ivf_topk
+
+    centers = rng.standard_normal((16, 32)).astype(np.float32) * 3.0
+    x = centers[rng.integers(0, 16, 4096)] + \
+        rng.standard_normal((4096, 32)).astype(np.float32)
+    index = build_ivf(jnp.asarray(x), nlist=16, dtype=jnp.int8,
+                      kmeans_iters=4, seed=1, residual=True)
+    q = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    xv, xi = ivf_search(q, index, k=10, nprobe=8)
+    pv, pi = pallas_ivf_topk(q, index, k=10, nprobe=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(xi), np.asarray(pi))
+    np.testing.assert_allclose(np.asarray(xv), np.asarray(pv), rtol=1e-4)
