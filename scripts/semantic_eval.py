@@ -72,7 +72,7 @@ def main() -> None:
     from super_rag_tpu.train.pairs import Pair, ict_pairs, pairs_to_batches
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else (2000 if on_tpu else 60)
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else (4000 if on_tpu else 60)
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         ROOT, "checkpoints", "encoder_semantic"
     )
@@ -111,21 +111,26 @@ def main() -> None:
     )
     model = TextEncoder(enc_cfg)
     tok = HashTokenizer(vocab_size=enc_cfg.vocab_size)
-    tcfg = TrainConfig(learning_rate=2e-4,
-                       warmup_steps=max(20, steps // 10))
+    tcfg = TrainConfig(learning_rate=3e-4,
+                       warmup_steps=max(20, steps // 20),
+                       total_steps=steps)
     state = create_train_state(model, jax.random.PRNGKey(0), tcfg)
     step = make_train_step(model, tcfg)
 
-    pairs = list(ict_pairs(train_docs, rng))
+    # two ICT draws per chunk + the ORQA 10% keep rate: more pairs, and
+    # a slice of the objective that rewards lexical matching too
+    pairs = list(ict_pairs(train_docs, rng, samples_per_chunk=2,
+                           keep_prob=0.1))
     rng.shuffle(pairs)
     print(f"{len(pairs)} train pairs")
     t0 = time.time()
     done = 0
     epoch = 0
-    batch_size = 64 if on_tpu else 16
+    batch_size = 256 if on_tpu else 16
     last = {}
     while done < steps:
         epoch += 1
+        rng.shuffle(pairs)  # fresh in-batch negative composition per epoch
         for batch in pairs_to_batches(pairs, tok, batch_size=batch_size,
                                       max_len=128):
             state, metrics = step(

@@ -29,7 +29,7 @@ from super_rag_tpu.engine.index import (
 )
 from super_rag_tpu.ops.dense import Metric
 from super_rag_tpu.ops.quant import quantize_int8
-from super_rag_tpu.parallel.mesh import CORPUS_AXIS, row_sharding
+from super_rag_tpu.parallel.mesh import CORPUS_AXIS, row_axes, row_sharding
 from super_rag_tpu.parallel.sharded_hybrid import sharded_hybrid_search
 from super_rag_tpu.tokenize.analyzer import Analyzer, DocFrequency
 
@@ -229,7 +229,7 @@ class ShardedDeviceIndex:
             imp_blocks.append(
                 np.asarray(inv.postings_impact.astype(jnp.float32))
             )
-        sharding = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None))
+        sharding = NamedSharding(self.mesh, P(row_axes(self.mesh), None, None))
         self._inv_ids = jax.device_put(
             jnp.asarray(np.stack(ids_blocks)), sharding
         )
@@ -281,9 +281,9 @@ class ShardedDeviceIndex:
             out[:, : a.shape[1]] = np.asarray(a)
             return out
 
-        sh3 = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None))
-        sh4 = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None, None))
-        sh2 = NamedSharding(self.mesh, P(CORPUS_AXIS, None))
+        sh3 = NamedSharding(self.mesh, P(row_axes(self.mesh), None, None))
+        sh4 = NamedSharding(self.mesh, P(row_axes(self.mesh), None, None, None))
+        sh2 = NamedSharding(self.mesh, P(row_axes(self.mesh), None))
         ivf = {
             "residual": bool(per[0].residual),
             "centroids": jax.device_put(jnp.asarray(np.stack(

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from super_rag_tpu.ops.dense import DenseCorpus, Metric, dense_search
-from super_rag_tpu.parallel.mesh import CORPUS_AXIS
+from super_rag_tpu.parallel.mesh import CORPUS_AXIS, SLICE_AXIS, row_axes
 
 
 @functools.partial(
@@ -40,11 +40,13 @@ def _sharded_search_impl(
 ):
     n_dev = mesh.devices.size
     shard_rows = values.shape[0] // n_dev
+    raxes = row_axes(mesh)
+    multi_slice = SLICE_AXIS in raxes
 
-    row = P(CORPUS_AXIS)
+    row = P(raxes)
     in_specs = (
         P(),  # queries replicated
-        P(CORPUS_AXIS, None),  # values row-sharded
+        P(raxes, None),  # values row-sharded
         row if scales is not None else P(),
         row if norms_sq is not None else P(),
         row if has_mask else P(),
@@ -65,15 +67,26 @@ def _sharded_search_impl(
             block_size=block_size,
         )
         shard_id = jax.lax.axis_index(CORPUS_AXIS)
+        if multi_slice:
+            shard_id = (jax.lax.axis_index(SLICE_AXIS)
+                        * mesh.shape[CORPUS_AXIS] + shard_id)
         li = li + shard_id * shard_rows
-        # [n_dev, B, k] candidates ride ICI; scores stay on-chip.
-        av = jax.lax.all_gather(lv, CORPUS_AXIS)
-        ai = jax.lax.all_gather(li, CORPUS_AXIS)
         b = q.shape[0]
-        av = jnp.moveaxis(av, 0, 1).reshape(b, n_dev * lv.shape[-1])
-        ai = jnp.moveaxis(ai, 0, 1).reshape(b, n_dev * lv.shape[-1])
-        fv, pos = jax.lax.top_k(av, k)
-        fi = jnp.take_along_axis(ai, pos, axis=-1)
+
+        def merge_axis(vals, ids, axis):
+            # candidates ride the link; scores stay per-shard
+            av = jnp.moveaxis(jax.lax.all_gather(vals, axis), 0, 1)
+            ai = jnp.moveaxis(jax.lax.all_gather(ids, axis), 0, 1)
+            av = av.reshape(b, -1)
+            ai = ai.reshape(b, -1)
+            fv, pos = jax.lax.top_k(av, k)
+            return fv, jnp.take_along_axis(ai, pos, axis=-1)
+
+        # hierarchical merge: ICI (corpus axis) first, then only k
+        # winners per slice cross the DCN (slice axis)
+        fv, fi = merge_axis(lv, li, CORPUS_AXIS)
+        if multi_slice:
+            fv, fi = merge_axis(fv, fi, SLICE_AXIS)
         return fv, fi
 
     dummy = jnp.zeros((), jnp.float32)

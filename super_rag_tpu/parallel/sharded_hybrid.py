@@ -28,7 +28,7 @@ from super_rag_tpu.ops.hybrid import (
     _rescored_lexical_branch,
     _rrf_on_device,
 )
-from super_rag_tpu.parallel.mesh import CORPUS_AXIS
+from super_rag_tpu.parallel.mesh import CORPUS_AXIS, SLICE_AXIS, row_axes
 
 NEG_INF = float("-inf")
 
@@ -94,31 +94,33 @@ def sharded_hybrid_search(
     n_dev = mesh.devices.size
     shard_rows = values.shape[0] // n_dev
     kc = min(candidates, shard_rows)
+    raxes = row_axes(mesh)
+    multi_slice = SLICE_AXIS in raxes
 
-    row = P(CORPUS_AXIS)
-    shard3 = P(CORPUS_AXIS, None, None)
+    row = P(raxes)
+    shard3 = P(raxes, None, None)
 
     def spec_or_none(cond, spec):
         return spec if cond else P()
 
     in_specs = (
         P(), P(), P(),  # queries replicated
-        P(CORPUS_AXIS, None),  # values
+        P(raxes, None),  # values
         row if has_scales else P(),
-        P(CORPUS_AXIS, None),  # terms
-        P(CORPUS_AXIS, None),  # tfs
+        P(raxes, None),  # terms
+        P(raxes, None),  # tfs
         row,  # doc_len
         row,  # valid
         P(),  # avgdl
         spec_or_none(has_inverted, shard3),
         spec_or_none(has_inverted, shard3),
         spec_or_none(has_ivf, shard3),
-        spec_or_none(has_ivf, P(CORPUS_AXIS, None, None, None)),
+        spec_or_none(has_ivf, P(raxes, None, None, None)),
         spec_or_none(has_ivf and has_ivf_scales, shard3),
         spec_or_none(has_ivf, shard3),
         spec_or_none(has_ivf and has_overflow, shard3),
-        spec_or_none(has_ivf and has_overflow, P(CORPUS_AXIS, None)),
-        spec_or_none(has_ivf and has_overflow, P(CORPUS_AXIS, None)),
+        spec_or_none(has_ivf and has_overflow, P(raxes, None)),
+        spec_or_none(has_ivf and has_overflow, P(raxes, None)),
         P(), P(), P(), P(), P(),  # tail replicated
     )
 
@@ -126,6 +128,10 @@ def sharded_hybrid_search(
               iids, iimp, ivc, ivv, ivs, ivr, ofv, ofs, ofr,
               tt, tf_, tdl, trow, tkeep):
         shard_id = jax.lax.axis_index(CORPUS_AXIS)
+        if multi_slice:
+            corpus_size = mesh.shape[CORPUS_AXIS]
+            shard_id = (jax.lax.axis_index(SLICE_AXIS) * corpus_size
+                        + shard_id)
         base = (shard_id * shard_rows).astype(jnp.int32)
 
         # -- dense tier: IVF > Pallas flat > blocked XLA (ops/hybrid.py) --
@@ -204,22 +210,32 @@ def sharded_hybrid_search(
             )
         di = jnp.where(di >= 0, di + base, -1).astype(jnp.int32)
         li = jnp.where(li >= 0, li + base, -1).astype(jnp.int32)
-        # candidates ride ICI; [n_dev, B, kc] each
-        adv = jax.lax.all_gather(dv, CORPUS_AXIS)
-        adi = jax.lax.all_gather(di, CORPUS_AXIS)
-        alv = jax.lax.all_gather(lv, CORPUS_AXIS)
-        ali = jax.lax.all_gather(li, CORPUS_AXIS)
         b = qe.shape[0]
 
-        def flat(x):
-            return jnp.moveaxis(x, 0, 1).reshape(b, n_dev * kc)
+        def merge_axis(vals, ids, axis, kk):
+            # [B, kc] per shard -> gather along one mesh axis -> local
+            # top-k; candidates ride the link, scores stay per-branch
+            av = jnp.moveaxis(jax.lax.all_gather(vals, axis), 0, 1)
+            ai = jnp.moveaxis(jax.lax.all_gather(ids, axis), 0, 1)
+            av = av.reshape(b, -1)
+            ai = ai.reshape(b, -1)
+            mv, pos = jax.lax.top_k(av, min(kk, av.shape[-1]))
+            return mv, jnp.take_along_axis(ai, pos, axis=-1)
 
         # global per-branch top-candidates, then RRF (ranks must be
-        # computed on the GLOBAL ordering, not per shard)
-        gdv, pos = jax.lax.top_k(flat(adv), kc)
-        gdi = jnp.take_along_axis(flat(adi), pos, axis=-1)
-        glv = flat(alv)
-        gli = flat(ali)
+        # computed on the GLOBAL ordering, not per shard).  Merge is
+        # hierarchical: corpus axis first (ICI), then — only the slice
+        # winners, kc candidates each — across the slice axis (DCN).
+        gdv, gdi = merge_axis(dv, di, CORPUS_AXIS, kc)
+        glv, gli = merge_axis(lv, li, CORPUS_AXIS, n_dev * kc)
+        if multi_slice:
+            # truncate each slice's lexical pool to its top kc before the
+            # DCN hop — the global lexical top-kc is contained in the
+            # union of per-slice top-kc (row ids are disjoint per shard)
+            glv, pos = jax.lax.top_k(glv, min(kc, glv.shape[-1]))
+            gli = jnp.take_along_axis(gli, pos, axis=-1)
+            gdv, gdi = merge_axis(gdv, gdi, SLICE_AXIS, kc)
+            glv, gli = merge_axis(glv, gli, SLICE_AXIS, glv.shape[-1])
         if has_tail:
             # fresh rows since lexical compaction: scanned doc-major,
             # replicated on every chip (identical result), exact scores

@@ -39,6 +39,9 @@ class TrainConfig:
     temperature: float = 0.05
     warmup_steps: int = 100
     grad_clip: float = 1.0
+    # when set, the LR follows warmup -> cosine decay to ~0 over this many
+    # steps (the standard dense-retrieval schedule); None = warmup -> const
+    total_steps: Optional[int] = None
 
 
 class TrainState(NamedTuple):
@@ -84,7 +87,15 @@ def param_shardings(params: Any, mesh: Mesh):
 
 
 def _optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    sched = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    if cfg.total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps,
+            max(cfg.total_steps, cfg.warmup_steps + 1),
+            end_value=cfg.learning_rate * 0.02,
+        )
+    else:
+        sched = optax.linear_schedule(0.0, cfg.learning_rate,
+                                      cfg.warmup_steps)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(sched, weight_decay=cfg.weight_decay),

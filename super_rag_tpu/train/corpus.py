@@ -20,7 +20,9 @@ from typing import Iterator
 
 DEFAULT_PACKAGES = (
     "numpy", "jax", "flax", "optax", "pandas", "torch", "transformers",
-    "scipy", "sklearn", "PIL",
+    "scipy", "sklearn", "PIL", "matplotlib", "sympy", "networkx", "nltk",
+    "IPython", "tensorflow", "keras", "mpmath", "hypothesis", "seaborn",
+    "sentence_transformers", "h5py", "pytest", "dateutil", "rich",
 )
 
 
@@ -52,8 +54,8 @@ def _docstrings(path: str, min_chars: int) -> Iterator[str]:
 def harvest_docstrings(
     packages: tuple[str, ...] = DEFAULT_PACKAGES,
     min_chars: int = 240,
-    max_files_per_pkg: int = 400,
-    max_docs: int = 20_000,
+    max_files_per_pkg: int = 800,
+    max_docs: int = 40_000,
 ) -> list[str]:
     """Deduped docstring paragraphs from installed packages."""
     site = sysconfig.get_paths()["purelib"]

@@ -30,17 +30,29 @@ class Pair:
 
 
 def ict_pairs(chunks: Sequence[str], rng: np.random.Generator,
-              min_sentences: int = 2) -> Iterator[Pair]:
-    """Inverse cloze task pairs; chunks with < min_sentences are skipped."""
+              min_sentences: int = 2, samples_per_chunk: int = 1,
+              keep_prob: float = 0.0) -> Iterator[Pair]:
+    """Inverse cloze task pairs; chunks with < min_sentences are skipped.
+
+    ``samples_per_chunk`` draws that many distinct query sentences per
+    chunk; ``keep_prob`` leaves the query sentence inside the positive
+    with that probability (the ORQA recipe — a small keep rate teaches
+    lexical matching alongside the harder removed-sentence objective).
+    """
     for text in chunks:
         sents = [s.strip() for s in _SENT_SPLIT.split(text) if s.strip()]
         if len(sents) < min_sentences:
             continue
-        qi = int(rng.integers(0, len(sents)))
-        query = sents[qi]
-        rest = " ".join(sents[:qi] + sents[qi + 1 :])
-        if query and rest:
-            yield Pair(query=query, positive=rest)
+        n_draw = min(samples_per_chunk, len(sents))
+        for qi in rng.choice(len(sents), size=n_draw, replace=False):
+            qi = int(qi)
+            query = sents[qi]
+            if rng.random() < keep_prob:
+                rest = " ".join(sents)
+            else:
+                rest = " ".join(sents[:qi] + sents[qi + 1 :])
+            if query and rest:
+                yield Pair(query=query, positive=rest)
 
 
 def title_pairs(chunks: Sequence[dict]) -> Iterator[Pair]:
