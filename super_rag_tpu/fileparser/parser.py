@@ -18,9 +18,11 @@ from super_rag_tpu.fileparser.markdown import MarkdownParser, TextParser
 
 def _optional_parsers() -> list[BaseParser]:
     from super_rag_tpu.fileparser.office import DocxParser, PptxParser, XlsxParser
+    from super_rag_tpu.fileparser.olebinary import LegacyDocParser, LegacyPptParser
     from super_rag_tpu.fileparser.pdf import PdfParser
 
-    return [PdfParser(), DocxParser(), XlsxParser(), PptxParser()]
+    return [PdfParser(), DocxParser(), XlsxParser(), PptxParser(),
+            LegacyDocParser(), LegacyPptParser()]
 
 
 class DocParser:

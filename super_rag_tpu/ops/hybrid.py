@@ -166,14 +166,14 @@ def _rescored_lexical_branch(
         "vocab_size", "k", "candidates", "metric", "k1", "b", "rrf_k",
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
         "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
-        "tail_offset", "rescore", "lex_gen", "dense_gen",
+        "tail_offset", "rescore", "lex_gen", "dense_gen", "num_docs",
     ),
 )
 def hybrid_search(
     query_emb: jax.Array,  # [B, D] f32
     query_terms: jax.Array,  # [B, Q] int32 (pad = vocab_size)
     query_idf: jax.Array,  # [B, Q] f32
-    dense: DenseCorpus,
+    dense: Optional[DenseCorpus],
     lexical: Optional[LexicalCorpus],
     avgdl: jax.Array,  # scalar f32
     inverted: Optional[InvertedIndex] = None,
@@ -201,9 +201,14 @@ def hybrid_search(
     rescore: bool = True,
     lex_gen: Optional[int] = None,
     dense_gen: Optional[int] = None,
+    num_docs: Optional[int] = None,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k).
+
+    ``dense`` may be None when the dense branch is served entirely by
+    ``ivf`` (a 10M-row flat copy would double HBM); pass ``num_docs``
+    instead.  ``lexical`` is still required for rescoring.
 
     Dense branch tiers: IVF (``ivf`` given — bytes/query ~ nprobe/nlist,
     the latency tier) > fused Pallas flat (``use_pallas``) > blocked XLA.
@@ -214,7 +219,7 @@ def hybrid_search(
     candidate GENERATION (default 2*candidates): generation depth only
     costs a wider top_k, while the rescoring stage restores exact ranks.
     """
-    n = dense.size
+    n = dense.size if dense is not None else num_docs
     kc = min(candidates, n)
     # dense candidate depth for POOL membership (rescoring): deeper dense
     # lists are nearly free (no sort), and a doc at dense rank 100-300

@@ -125,6 +125,28 @@ def _update(x: jax.Array, assign: jax.Array, nlist: int,
     return sums, counts
 
 
+@functools.partial(jax.jit, static_argnames=("c", "block"))
+def _assign_topc(x: jax.Array, centroids: jax.Array, c: int,
+                 block: int = 16384) -> jax.Array:
+    """Top-c nearest centroids per row (dot product, unit-norm data)."""
+    n = x.shape[0]
+    pad = (-n) % block
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    nb = xp.shape[0] // block
+
+    def body(_, xb):
+        s = jax.lax.dot_general(
+            xb, centroids,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v, ids = jax.lax.top_k(s, c)
+        return None, (ids.astype(jnp.int32), v)
+
+    _, (a, v) = jax.lax.scan(body, None, xp.reshape(nb, block, x.shape[1]))
+    return a.reshape(-1, c)[:n], v.reshape(-1, c)[:n]
+
+
 def kmeans(
     x: jax.Array, nlist: int, iters: int = 10, seed: int = 0,
     metric: Metric = Metric.COSINE,
@@ -242,6 +264,201 @@ def build_ivf(
         scales=jnp.asarray(scales) if scales is not None else None,
         row_ids=jnp.asarray(row_ids),
         overflow=overflow,  # overflow stores FULL vectors (scanned flat)
+        overflow_rows=overflow_ids,
+        residual=residual,
+    )
+
+
+def _balanced_place(
+    cand: np.ndarray,  # [m, c] candidate clusters, best first
+    counts: np.ndarray,  # [nlist] running fill counts (mutated)
+    capacity: int,
+    allowed: Optional[np.ndarray] = None,  # [m, c] bool: candidate usable
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy balanced placement: each row goes to its best candidate
+    cluster with a free slot.  Returns (cluster, slot, unplaced_rows);
+    vectorized rank-in-run per candidate round (no Python row loop)."""
+    m, c = cand.shape
+    placed_cl = np.full(m, -1, np.int64)
+    placed_slot = np.full(m, -1, np.int64)
+    todo = np.arange(m)
+    for j in range(c):
+        if todo.size == 0:
+            break
+        if allowed is not None:
+            # a row whose j-th candidate is out of margin spills: later
+            # candidates score even lower (top-k order), so none qualify
+            todo = todo[allowed[todo, j]]
+            if todo.size == 0:
+                break
+        cl = cand[todo, j].astype(np.int64)
+        order = np.argsort(cl, kind="stable")
+        scl = cl[order]
+        idx = np.arange(scl.size, dtype=np.int64)
+        is_start = np.empty(scl.size, bool)
+        is_start[0] = True
+        is_start[1:] = scl[1:] != scl[:-1]
+        run_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+        rank = idx - run_start
+        ok = rank < (capacity - counts[scl])
+        rows = todo[order[ok]]
+        placed_cl[rows] = scl[ok]
+        placed_slot[rows] = counts[scl[ok]] + rank[ok]
+        np.add.at(counts, scl[ok], 1)
+        todo = todo[order[~ok]]
+    return placed_cl, placed_slot, np.flatnonzero(placed_cl < 0)
+
+
+def _quant_rows(stored: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    absmax = np.abs(stored).max(axis=1)
+    s = np.where(absmax > 0, absmax, 1.0) / 127.0
+    q = np.clip(np.rint(stored / s[:, None]), -127, 127).astype(np.int8)
+    return q, s.astype(np.float32)
+
+
+def build_ivf_streaming(
+    chunks,  # callable -> iterator of [m, D] float32 numpy chunks
+    nlist: int,
+    capacity_factor: float = 1.2,
+    dtype=jnp.int8,
+    metric: Metric = Metric.COSINE,
+    kmeans_iters: int = 10,
+    seed: int = 0,
+    train_sample: int = 200_000,
+    residual: Optional[bool] = None,
+    assign_candidates: int = 4,
+    spill_margin: float = 0.15,
+) -> IVFIndex:
+    """Corpus-scale IVF build that never materializes the f32 matrix.
+
+    ``build_ivf`` places the whole [N, D] f32 corpus on device — 29 GB at
+    the 10M x 768 north-star scale (SURVEY.md section 6).  This variant
+    streams host chunks through three passes: (1) reservoir-sample a
+    k-means training set, (2) top-c centroid assignment on device, and
+    (3) BALANCED placement — a row whose nearest cluster is full goes to
+    its next-nearest cluster with a free slot instead of the flat
+    overflow segment.  With residual coding the stored value is
+    x - centroid[placed], so scores stay exact regardless of which
+    cluster holds the row (the probe score of the *storing* cluster is
+    added back); only the probe-hit probability shifts, vs. an overflow
+    scan that costs full-corpus-fraction bandwidth on every query.
+    ``spill_margin`` bounds the relocation distance: a row only moves to
+    a cluster whose centroid scores within that margin of its best — a
+    relocation outside the margin would rarely be probed by the row's
+    own neighborhood queries, so those rows go to the exactly-scanned
+    overflow instead.  ``chunks`` is a zero-arg callable returning a
+    fresh iterator (the stream is consumed twice).
+    """
+    if residual is None:
+        residual = dtype == jnp.int8
+
+    def norm(a: np.ndarray) -> np.ndarray:
+        if metric == Metric.COSINE:
+            nrm = np.linalg.norm(a, axis=1, keepdims=True)
+            return a / np.where(nrm > 0, nrm, 1.0)
+        return a
+
+    # pass 1: count + reservoir sample for k-means training
+    rng = np.random.default_rng(seed)
+    reservoir: Optional[np.ndarray] = None
+    filled = 0
+    n = 0
+    for chunk in chunks():
+        chunk = norm(np.asarray(chunk, np.float32))
+        m, d = chunk.shape
+        if reservoir is None:
+            reservoir = np.empty((train_sample, d), np.float32)
+        take = min(train_sample - filled, m)
+        if take > 0:
+            reservoir[filled : filled + take] = chunk[:take]
+            filled += take
+            start = take
+        else:
+            start = 0
+        if start < m:
+            # vectorized reservoir replacement for the tail
+            pos = rng.integers(0, n + start + np.arange(m - start) + 1)
+            repl = pos < train_sample
+            reservoir[pos[repl]] = chunk[start:][repl]
+        n += m
+    assert n > 0 and reservoir is not None, "empty corpus stream"
+    train = reservoir[:filled]
+
+    centroids = kmeans(jnp.asarray(train), nlist, iters=kmeans_iters,
+                       seed=seed, metric=metric)
+    cen_np = np.asarray(centroids)
+
+    capacity = max(8, int(np.ceil(n / nlist * capacity_factor)))
+    capacity = -(-capacity // 64) * 64  # VMEM-tile-friendly (pallas_ivf)
+
+    store_int8 = dtype == jnp.int8
+    if store_int8:
+        values = np.zeros((nlist, capacity, cen_np.shape[1]), np.int8)
+        scales = np.zeros((nlist, capacity), np.float32)
+    else:
+        import ml_dtypes
+
+        np_dtype = (ml_dtypes.bfloat16 if dtype == jnp.bfloat16
+                    else np.float32)
+        values = np.zeros((nlist, capacity, cen_np.shape[1]), np_dtype)
+        scales = None
+    row_ids = np.full((nlist, capacity), -1, np.int32)
+    counts = np.zeros(nlist, np.int64)
+    of_vals: list[np.ndarray] = []
+    of_scales: list[np.ndarray] = []
+    of_rows: list[np.ndarray] = []
+
+    # pass 2: assign + balanced fill
+    base = 0
+    cand_c = min(assign_candidates, nlist)
+    for chunk in chunks():
+        chunk = norm(np.asarray(chunk, np.float32))
+        m = chunk.shape[0]
+        cand_j, cscore_j = _assign_topc(jnp.asarray(chunk), centroids, cand_c)
+        cand = np.asarray(cand_j)
+        cscore = np.asarray(cscore_j)
+        allowed = cscore >= (cscore[:, :1] - spill_margin)
+        cl, slot, spill = _balanced_place(cand, counts, capacity, allowed)
+        ok = cl >= 0
+        stored = chunk[ok]
+        if residual:
+            stored = stored - cen_np[cl[ok]]
+        if store_int8:
+            q, s = _quant_rows(stored)
+            values[cl[ok], slot[ok]] = q
+            scales[cl[ok], slot[ok]] = s
+        else:
+            values[cl[ok], slot[ok]] = stored.astype(values.dtype)
+        row_ids[cl[ok], slot[ok]] = (base + np.flatnonzero(ok)).astype(np.int32)
+        if spill.size:
+            sv = chunk[spill]
+            if store_int8:
+                q, s = _quant_rows(sv)
+                of_vals.append(q)
+                of_scales.append(s)
+            else:
+                of_vals.append(sv.astype(values.dtype))
+            of_rows.append((base + spill).astype(np.int32))
+        base += m
+
+    overflow = None
+    overflow_ids = None
+    if of_vals:
+        if store_int8:
+            overflow = DenseCorpus(
+                values=jnp.asarray(np.concatenate(of_vals)),
+                scales=jnp.asarray(np.concatenate(of_scales)),
+            )
+        else:
+            overflow = DenseCorpus(values=jnp.asarray(np.concatenate(of_vals)))
+        overflow_ids = jnp.asarray(np.concatenate(of_rows))
+
+    return IVFIndex(
+        centroids=centroids,
+        values=jnp.asarray(values),
+        scales=jnp.asarray(scales) if scales is not None else None,
+        row_ids=jnp.asarray(row_ids),
+        overflow=overflow,
         overflow_rows=overflow_ids,
         residual=residual,
     )
