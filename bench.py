@@ -208,6 +208,23 @@ def main():
         lat32_ms = timed(run32, sync) * 1000.0
 
     gate_ok = recall >= 0.95
+    # fold in the semantic-eval result when a run has produced one
+    # (scripts/semantic_eval.py writes it; VERDICT r1 item 5)
+    sem = {}
+    try:
+        import os
+
+        sem_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SEMANTIC_EVAL.json")
+        with open(sem_path) as fh:
+            s = json.load(fh)
+        sem = {
+            "semantic_recall_at_10_trained":
+                s.get("semantic_recall_at_10_trained"),
+            "semantic_recall_at_10_hash": s.get("semantic_recall_at_10_hash"),
+        }
+    except (OSError, ValueError):
+        pass
     print(json.dumps({
         "metric": (
             f"hybrid (dense int8 Pallas + inverted BM25 + RRF, one XLA program) top-{k} "
@@ -222,6 +239,7 @@ def main():
             "batch_latency_ms": round(p50_ms, 3),
             "batch32_latency_ms": round(lat32_ms, 3) if lat32_ms else None,
             "recall_gate_0.95": gate_ok,
+            **sem,
         },
     }))
 

@@ -24,10 +24,15 @@ Run on TPU: python scripts/bench_10m.py [nprobe ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:  # `python scripts/...` puts scripts/ first
+    sys.path.insert(0, ROOT)
 
 CHUNK = 262_144
 N_GOLD = 64
@@ -35,8 +40,6 @@ K1, B = 1.2, 0.75
 
 
 def main() -> None:
-    import os
-
     import jax
 
     # the axon sitecustomize overrides JAX_PLATFORMS; re-force it so

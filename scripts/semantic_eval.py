@@ -22,6 +22,8 @@ import time
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:  # `python scripts/...` puts scripts/ first
+    sys.path.insert(0, ROOT)
 
 
 def recall_at_k(query_emb, doc_emb, gold, k=10, block=8192):
@@ -105,8 +107,9 @@ def main() -> None:
     print(f"hash embedder recall@10: {r_hash:.4f}")
 
     # -- train ---------------------------------------------------------------
+    n_layers = int(os.environ.get("SEM_LAYERS", "4"))
     enc_cfg = EncoderConfig(
-        vocab_size=30522, hidden_dim=dim, num_layers=4, num_heads=8,
+        vocab_size=30522, hidden_dim=dim, num_layers=n_layers, num_heads=8,
         mlp_dim=1024, max_len=128,
     )
     model = TextEncoder(enc_cfg)

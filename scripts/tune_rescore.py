@@ -5,13 +5,23 @@ Finds the operating point for VERDICT r2 item 2 (fidelity >= 0.9 at
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:  # `python scripts/...` puts scripts/ first
+    sys.path.insert(0, ROOT)
+
 
 def main():
     import jax
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
     import jax.numpy as jnp
 
     from super_rag_tpu.utils.jaxcache import enable_compilation_cache
@@ -100,10 +110,48 @@ def main():
     def sync(out):
         np.asarray(out.indices)
 
+    # -- decomposition: which branch caps fidelity? -----------------------
+    # (a) our int8 dense branch fused with the EXACT lexical gold: if this
+    #     is ~the shipped fidelity, dense int8 rank noise is the cap.
+    # (b) exact dense gold fused with our rescored lexical branch: the
+    #     lexical-side loss.
+    from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
+
+    def fid_of(ids):
+        return float(np.mean([
+            len({x for x in a.tolist() if x >= 0}
+                & {x for x in b.tolist() if x >= 0})
+            / max(np.unique(b[b >= 0]).size, 1)
+            for a, b in zip(np.asarray(ids), gold)
+        ]))
+
+    if on_tpu:
+        odv, odi = pallas_dense_topk(queries[:sample], dense_int8, k=cand,
+                                     tile=tile, int8_queries=True,
+                                     per_tile_k=8)
+    else:
+        odv, odi = dense_search(queries[:sample], dense_int8, k=cand)
+    odi = jnp.where(jnp.isfinite(odv), odi, -1)
+    _, fuse_a = rrf_fuse(odi.astype(jnp.int32), li.astype(jnp.int32), k=k)
+    print(json.dumps({"config": "ourdense_x_goldlex",
+                      "fidelity": round(fid_of(fuse_a), 4)}), flush=True)
+    # f32-query variant isolates query-side quantization
+    if on_tpu:
+        fdv, fdi = pallas_dense_topk(queries[:sample], dense_int8, k=cand,
+                                     tile=tile, int8_queries=False,
+                                     per_tile_k=8)
+        fdi = jnp.where(jnp.isfinite(fdv), fdi, -1)
+        _, fuse_f = rrf_fuse(fdi.astype(jnp.int32), li.astype(jnp.int32), k=k)
+        print(json.dumps({"config": "ourdense_f32q_x_goldlex",
+                          "fidelity": round(fid_of(fuse_f), 4)}), flush=True)
+
     configs = [
         ("scan_lg200_pq256", True, 200, 256, True, None, 8),
         ("gen200_norescore", False, 200, 256, True, None, 8),
         ("scan_lg300_pq384", True, 300, 384, True, None, 8),
+        ("scan_lg400_pq512", True, 400, 512, True, None, 8),
+        ("scan_lg400_pq512_dg300", True, 400, 512, True, 300, 8),
+        ("f32dense_rescore", True, 200, 256, False, None, 8),
     ]
     for name, rs, lg, pq, i8, dg, ptk in configs:
         run = make_run(rs, lg, pq, i8, dg, ptk)

@@ -43,6 +43,10 @@ INDEXER_CODES = {"vector": 0, "summary": 1, "vision": 2, "graph": 3}
 
 WRITE_BLOCK = 256  # inserts are padded to this many rows per device write
 
+# above this f32-corpus size, compact_dense streams the IVF build through
+# host chunks instead of materializing the f32 matrix on device
+IVF_STREAM_BUILD_BYTES = 2 << 30
+
 
 @dataclass(frozen=True)
 class IndexSpec:
@@ -389,21 +393,44 @@ class DeviceIndex:
         default; churn (inserts+deletes) past 20% of the snapshot
         triggers a re-cluster with the same settings.
         """
-        from super_rag_tpu.ops.ivf import build_ivf
+        from super_rag_tpu.ops.ivf import build_ivf, build_ivf_streaming
 
         n = self.size
         if n == 0:
             return
         if nlist is None:
             nlist = max(16, int(np.sqrt(n)))
-        emb = self.emb[:n]
-        if self.scales is not None:
-            emb = emb.astype(jnp.float32) * self.scales[:n, None]
-        self._ivf = build_ivf(
-            emb.astype(jnp.float32), nlist=nlist,
-            dtype=self.spec.dtype if self.spec.dtype != jnp.bfloat16 else jnp.bfloat16,
-            metric=self.spec.metric, kmeans_iters=kmeans_iters,
-        )
+        ivf_dtype = (self.spec.dtype if self.spec.dtype != jnp.bfloat16
+                     else jnp.bfloat16)
+        if n * self.spec.dim * 4 > IVF_STREAM_BUILD_BYTES:
+            # corpus-scale build: the f32 transient would not fit HBM
+            # next to the live index — stream host chunks instead
+            step = 262_144
+            scales_np = (np.asarray(self.scales[:n])
+                         if self.scales is not None else None)
+
+            def chunks():
+                for lo in range(0, n, step):
+                    hi = min(lo + step, n)
+                    block = np.asarray(
+                        self.emb[lo:hi].astype(jnp.float32)
+                    )
+                    if scales_np is not None:
+                        block = block * scales_np[lo:hi, None]
+                    yield block
+
+            self._ivf = build_ivf_streaming(
+                chunks, nlist=nlist, dtype=ivf_dtype,
+                metric=self.spec.metric, kmeans_iters=kmeans_iters,
+            )
+        else:
+            emb = self.emb[:n]
+            if self.scales is not None:
+                emb = emb.astype(jnp.float32) * self.scales[:n, None]
+            self._ivf = build_ivf(
+                emb.astype(jnp.float32), nlist=nlist, dtype=ivf_dtype,
+                metric=self.spec.metric, kmeans_iters=kmeans_iters,
+            )
         self._ivf_upto = n
         self._ivf_nprobe = nprobe
         self._ivf_nlist = nlist

@@ -321,3 +321,30 @@ def test_streaming_reservoir_counts(rng):
     if idx.overflow_rows is not None:
         total += int(np.asarray(idx.overflow_rows).size)
     assert total == 3000
+
+
+def test_engine_streamed_ivf_build(rng, monkeypatch):
+    """compact_dense switches to the streamed build above the HBM
+    threshold and still serves the same results."""
+    import super_rag_tpu.engine.index as eng
+    from super_rag_tpu.engine.index import DeviceIndex, IndexSpec
+
+    spec = IndexSpec(dim=32, dtype=jnp.int8, vocab_size=1 << 14,
+                     min_capacity=1024)
+    idx = DeviceIndex(spec)
+    emb = rng.standard_normal((900, 32)).astype(np.float32)
+    idx.add(emb, [f"doc {i}" for i in range(900)])
+    q = emb[rng.integers(0, 900, 8)] + 0.05 * rng.standard_normal(
+        (8, 32)
+    ).astype(np.float32)
+    flat = idx.search_hybrid(jnp.asarray(q), ["x"] * 8, k=10, candidates=32)
+
+    monkeypatch.setattr(eng, "IVF_STREAM_BUILD_BYTES", 1)  # force streaming
+    idx.compact_dense(nlist=8, nprobe=8, kmeans_iters=4)
+    assert idx._ivf is not None
+    got = idx.search_hybrid(jnp.asarray(q), ["x"] * 8, k=10, candidates=32)
+    fi, gi = np.asarray(flat.indices), np.asarray(got.indices)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(gi, fi)
+    ])
+    assert recall >= 0.8, recall
