@@ -151,11 +151,92 @@ def main() -> None:
 
     save_params(state.params, out, enc_cfg)
     svc = EncoderService(cfg=enc_cfg, params=state.params)
-    r_trained = recall_at_k(
-        np.asarray(svc.embed(queries)),
-        np.asarray(svc.embed(eval_corpus_texts)), gold,
-    )
+    q_emb_tr = np.asarray(svc.embed(queries))
+    d_emb_tr = np.asarray(svc.embed(eval_corpus_texts))
+    r_trained = recall_at_k(q_emb_tr, d_emb_tr, gold)
     print(f"trained encoder recall@10: {r_trained:.4f}")
+
+    # -- stage 2 (SEM_RERANK=1): train the cross-encoder on hard negatives
+    # mined from the trained retriever, then measure retrieve-20 ->
+    # rerank -> recall@10 end to end (VERDICT r1: reranker weights)
+    rerank_metrics = {}
+    if os.environ.get("SEM_RERANK") == "1":
+        from super_rag_tpu.models.cross_encoder import CrossEncoder
+        from super_rag_tpu.train.rerank import (
+            RerankTrainConfig,
+            ce_batches,
+            create_ce_state,
+            make_ce_train_step,
+            mine_hard_negatives,
+            rerank_with_ce,
+        )
+
+        ce_steps = int(os.environ.get("SEM_RERANK_STEPS",
+                                      "1500" if on_tpu else "3"))
+        mine_pairs = pairs[: (12000 if on_tpu else 200)]
+        t0 = time.time()
+        hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=4)
+        print(f"mined hard negatives for {len(mine_pairs)} pairs "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+        ce_model = CrossEncoder(enc_cfg)
+        ce_cfg = RerankTrainConfig(
+            total_steps=ce_steps, warmup_steps=max(10, ce_steps // 20),
+            n_negatives=7,
+        )
+        ce_state = create_ce_state(ce_model, jax.random.PRNGKey(1), ce_cfg)
+        ce_step = make_ce_train_step(ce_model, ce_cfg)
+        done_ce, ce_last = 0, {}
+        crng = np.random.default_rng(2)
+        while done_ce < ce_steps:
+            for batch in ce_batches(mine_pairs, hard, tok, crng, ce_cfg,
+                                    batch_queries=16 if on_tpu else 4,
+                                    max_len=128):
+                ce_state, m = ce_step(
+                    ce_state, {k: jnp.asarray(v) for k, v in batch.items()}
+                )
+                done_ce += 1
+                if done_ce % 100 == 0 or done_ce == ce_steps:
+                    ce_last = {k: float(v) for k, v in m.items()}
+                    print(f"ce step {done_ce}/{ce_steps}: "
+                          f"loss={ce_last['loss']:.4f} "
+                          f"acc={ce_last['accuracy']:.3f}", flush=True)
+                if done_ce >= ce_steps:
+                    break
+        save_params(ce_state.params, out + "_reranker", enc_cfg)
+
+        # retrieve top-20 with the trained encoder, rerank, recall@10
+        from super_rag_tpu.ops.dense import build_corpus, dense_search
+        import jax.numpy as jnp_
+
+        corpus = build_corpus(jnp_.asarray(d_emb_tr), dtype=jnp_.float32)
+        top = 20
+        hits10, hits_rr, hits_top = 0, 0, 0
+        n_eval_rr = len(queries) if on_tpu else 20
+        for lo in range(0, n_eval_rr, 128):
+            qb = jnp_.asarray(q_emb_tr[lo : lo + 128])
+            _, ids = dense_search(qb, corpus, k=top)
+            ids = np.asarray(ids)
+            for j in range(ids.shape[0]):
+                g = gold[lo + j]
+                cand = ids[j].tolist()
+                hits10 += g in cand[:10]
+                hits_top += g in cand
+                if g in cand:
+                    s = rerank_with_ce(
+                        ce_model, ce_state.params, tok, queries[lo + j],
+                        [eval_corpus_texts[c] for c in cand], max_len=128,
+                    )
+                    if g in [cand[i] for i in np.argsort(-s)[:10]]:
+                        hits_rr += 1
+        rerank_metrics = {
+            "rerank_recall_at_10": round(hits_rr / n_eval_rr, 4),
+            "retriever_recall_at_10": round(hits10 / n_eval_rr, 4),
+            "retriever_recall_at_20_ceiling": round(hits_top / n_eval_rr, 4),
+            "rerank_train_steps": ce_steps,
+            "final_ce_accuracy": round(ce_last.get("accuracy", 0.0), 4),
+        }
+        print("rerank:", rerank_metrics)
 
     result = {
         "eval": "ICT held-out sentence -> source paragraph",
@@ -169,6 +250,7 @@ def main() -> None:
         "semantic_recall_at_10_hash": round(r_hash, 4),
         "final_train_accuracy": round(last.get("accuracy", 0.0), 4),
         "checkpoint": out + ".npz",
+        **rerank_metrics,
     }
     with open(os.path.join(ROOT, "SEMANTIC_EVAL.json"), "w") as f:
         json.dump(result, f, indent=1)

@@ -1,0 +1,174 @@
+"""Cross-encoder reranker training: listwise softmax over mined negatives.
+
+The reference's reranker is a remote API (super_rag/llm/rerank/
+rerank_service.py:95-104); an on-TPU reranker needs trainable weights.
+Standard recipe: for each (query, positive) pair, score the positive
+against N negatives in one forward batch and cross-entropy the softmax
+toward the positive.  Negatives are HARD — mined from the trained dual
+encoder's own top-k (the two-stage retrieve-then-rerank training loop) —
+plus random ones for stability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterator, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from super_rag_tpu.models.cross_encoder import CrossEncoder
+from super_rag_tpu.train.pairs import Pair
+
+
+@dataclass(frozen=True)
+class RerankTrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    grad_clip: float = 1.0
+    total_steps: Optional[int] = None
+    n_negatives: int = 7
+
+
+class CEState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _optimizer(cfg: RerankTrainConfig) -> optax.GradientTransformation:
+    if cfg.total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps,
+            max(cfg.total_steps, cfg.warmup_steps + 1),
+            end_value=cfg.learning_rate * 0.02,
+        )
+    else:
+        sched = optax.linear_schedule(0.0, cfg.learning_rate,
+                                      cfg.warmup_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(sched, weight_decay=cfg.weight_decay),
+    )
+
+
+def create_ce_state(model: CrossEncoder, rng: jax.Array,
+                    cfg: RerankTrainConfig) -> CEState:
+    params = model.init_params(rng)
+    return CEState(params=params, opt_state=_optimizer(cfg).init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def make_ce_train_step(model: CrossEncoder, cfg: RerankTrainConfig):
+    """batch: ids/mask/type_ids of shape [B*(1+n), S]; candidate 0 of each
+    group is the positive.  Returns (state, {loss, accuracy})."""
+    opt = _optimizer(cfg)
+    group = 1 + cfg.n_negatives
+
+    def loss_fn(params, batch):
+        scores = model.apply(
+            {"params": params}, batch["ids"], batch["mask"],
+            batch.get("type_ids"),
+        )  # [B*group]
+        scores = scores.reshape(-1, group)
+        labels = jnp.zeros(scores.shape[0], jnp.int32)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            scores, labels
+        ).mean()
+        acc = jnp.mean(jnp.argmax(scores, axis=-1) == labels)
+        return loss, acc
+
+    @jax.jit
+    def step_fn(state: CEState, batch: dict):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            CEState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "accuracy": acc},
+        )
+
+    return step_fn
+
+
+def mine_hard_negatives(
+    pairs: Sequence[Pair],
+    embed_fn,  # callable texts -> [N, D] unit-norm np array
+    n_hard: int = 4,
+    block: int = 2048,
+) -> list[list[int]]:
+    """For each pair, indices (into ``pairs``) of the encoder's strongest
+    WRONG positives for its query — the negatives that actually teach the
+    reranker to out-rank its own retriever."""
+    import jax.numpy as jnp_
+
+    from super_rag_tpu.ops.dense import build_corpus, dense_search
+
+    docs = [p.positive for p in pairs]
+    d_emb = np.asarray(embed_fn(docs))
+    q_emb = np.asarray(embed_fn([p.query for p in pairs]))
+    corpus = build_corpus(jnp_.asarray(d_emb), dtype=jnp_.float32)
+    out: list[list[int]] = []
+    k = n_hard + 1
+    for lo in range(0, len(pairs), block):
+        q = jnp_.asarray(q_emb[lo : lo + block])
+        _, ids = dense_search(q, corpus, k=k)
+        ids = np.asarray(ids)
+        for row, qi in enumerate(range(lo, min(lo + block, len(pairs)))):
+            negs = [int(x) for x in ids[row] if int(x) != qi][:n_hard]
+            out.append(negs)
+    return out
+
+
+def ce_batches(
+    pairs: Sequence[Pair],
+    hard_negs: Sequence[Sequence[int]],
+    tokenizer,
+    rng: np.random.Generator,
+    cfg: RerankTrainConfig,
+    batch_queries: int = 16,
+    max_len: int = 160,
+) -> Iterator[dict]:
+    """Pack [B*(1+n), S] pair batches: positive first, then hard negatives
+    topped up with random ones."""
+    order = rng.permutation(len(pairs))
+    for lo in range(0, len(order) - batch_queries + 1, batch_queries):
+        qs, ds = [], []
+        for qi in order[lo : lo + batch_queries]:
+            qi = int(qi)
+            cands = [qi] + list(hard_negs[qi])[: cfg.n_negatives]
+            while len(cands) < 1 + cfg.n_negatives:
+                r = int(rng.integers(0, len(pairs)))
+                if r != qi and r not in cands:
+                    cands.append(r)
+            for ci in cands:
+                qs.append(pairs[qi].query)
+                ds.append(pairs[ci].positive)
+        ids, mask, tt = tokenizer.encode_pairs(qs, ds, max_len=max_len)
+        yield {"ids": ids, "mask": mask, "type_ids": tt}
+
+
+def rerank_with_ce(
+    model: CrossEncoder,
+    params,
+    tokenizer,
+    query: str,
+    docs: Sequence[str],
+    max_len: int = 160,
+    batch: int = 256,
+) -> np.ndarray:
+    """Scores for one query against candidate docs (descending = better)."""
+    scores = []
+    for lo in range(0, len(docs), batch):
+        chunk = docs[lo : lo + batch]
+        ids, mask, tt = tokenizer.encode_pairs([query] * len(chunk), chunk,
+                                               max_len=max_len)
+        s = model.apply({"params": params}, jnp.asarray(ids),
+                        jnp.asarray(mask), jnp.asarray(tt))
+        scores.append(np.asarray(s))
+    return np.concatenate(scores)
