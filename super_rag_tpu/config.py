@@ -59,6 +59,13 @@ class Settings:
 
     # engine
     embedding_dim: int = field(default_factory=lambda: _env_int("EMBED_DIM", 256))
+    # trained on-TPU encoder checkpoint (scripts/semantic_eval.py /
+    # train_encoder.py output, WITHOUT the .npz suffix); when set and
+    # present it serves as the default embedder instead of the hash
+    # embedder for collections with no explicit embedding provider
+    encoder_checkpoint: str = field(
+        default_factory=lambda: _env("ENCODER_CKPT", "")
+    )
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     bm25_slots: int = field(default_factory=lambda: _env_int("BM25_SLOTS", 64))
     vocab_size: int = field(default_factory=lambda: _env_int("VOCAB_SIZE", 1 << 17))

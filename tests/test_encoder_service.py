@@ -61,3 +61,32 @@ def test_onboard_engine_integration(tmp_path):
     eng.ingest(["the onboard encoder embeds this text"])
     hits = eng.search("onboard encoder text", top_k=1, mode="dense")
     assert hits
+
+
+def test_default_checkpoint_preferred_over_hash(tmp_path, monkeypatch):
+    """With SUPER_RAG_ENCODER_CKPT set to a trained checkpoint of the
+    right dim, the no-provider embedder factory returns the encoder
+    service; dim mismatch falls back to hash."""
+    import jax
+    import numpy as np
+
+    from super_rag_tpu.config import Settings
+    from super_rag_tpu.models.encoder import EncoderConfig, TextEncoder
+    from super_rag_tpu.models.encoder_service import EncoderService, save_params
+    from super_rag_tpu.models.hash_embedder import HashEmbedder
+    from super_rag_tpu.service.context import build_context
+
+    cfg_small = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1,
+                              num_heads=4, mlp_dim=64, max_len=32)
+    params = TextEncoder(cfg_small).init_params(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "enc")
+    save_params(params, ckpt, cfg_small)
+
+    cfg = Settings(data_dir=str(tmp_path / "data"), encoder_checkpoint=ckpt)
+    ctx = build_context(cfg)
+    emb = ctx.engines._embedder_factory({"embedding": {"dim": 32}})
+    assert isinstance(emb, EncoderService)
+    assert np.asarray(emb.embed(["hello world"])).shape == (1, 32)
+
+    emb2 = ctx.engines._embedder_factory({"embedding": {"dim": 64}})
+    assert isinstance(emb2, HashEmbedder)
