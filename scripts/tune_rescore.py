@@ -145,13 +145,34 @@ def main():
         print(json.dumps({"config": "ourdense_f32q_x_goldlex",
                           "fidelity": round(fid_of(fuse_f), 4)}), flush=True)
 
+    # generation-recall probe: how much of the exact BM25 top-100 does
+    # truncated inverted generation surface at each query-time cap?
+    # (r2 sweep 1 showed the lexical branch caps fidelity: ourdense x
+    # goldlex = 0.975 while the full program sat at 0.83-0.88)
+    from super_rag_tpu.ops.bm25_inverted import inverted_bm25_search
+
+    gold_lex = np.asarray(li)
+    for pq in (256, 1024, None):  # None = full stored depth
+        gv_, gi_ = inverted_bm25_search(
+            q_terms_j[:sample], q_idf_j[:sample], inverted, k=200,
+            postings_per_query_term=pq,
+        )
+        gi_ = np.asarray(jnp.where(jnp.isfinite(gv_) & (gv_ > 0), gi_, -1))
+        cov = float(np.mean([
+            len({x for x in a.tolist() if x >= 0}
+                & {x for x in g.tolist() if x >= 0})
+            / max(len({x for x in g.tolist() if x >= 0}), 1)
+            for a, g in zip(gi_, gold_lex)
+        ]))
+        print(json.dumps({"config": f"genrecall_pq{pq}",
+                          "coverage_of_exact_top100": round(cov, 4)}),
+              flush=True)
+
     configs = [
         ("scan_lg200_pq256", True, 200, 256, True, None, 8),
-        ("gen200_norescore", False, 200, 256, True, None, 8),
-        ("scan_lg300_pq384", True, 300, 384, True, None, 8),
-        ("scan_lg400_pq512", True, 400, 512, True, None, 8),
-        ("scan_lg400_pq512_dg300", True, 400, 512, True, 300, 8),
-        ("f32dense_rescore", True, 200, 256, False, None, 8),
+        ("scan_lg200_pq1024", True, 200, 1024, True, None, 8),
+        ("scan_lg200_pqfull", True, 200, None, True, None, 8),
+        ("scan_lg300_pqfull", True, 300, None, True, None, 8),
     ]
     for name, rs, lg, pq, i8, dg, ptk in configs:
         run = make_run(rs, lg, pq, i8, dg, ptk)

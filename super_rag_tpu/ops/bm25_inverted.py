@@ -58,9 +58,12 @@ def build_inverted(
     b: float = 0.75,
     avgdl: Optional[float] = None,
 ) -> InvertedIndex:
-    """Host-side build (vectorized numpy): flatten (term, impact, doc)
-    triples, sort by (term asc, impact desc), keep the top-P run prefix
-    per term."""
+    """Host-side build: flatten (term, impact, doc) triples, sort by
+    (term asc, impact desc), keep the top-P run prefix per term.  The
+    group-by-and-select runs in C++ when a compiler is available
+    (native/postings.cpp — O(E + E log P) vs the numpy lexsort's
+    O(E log E) over E = N*L entries); the numpy path is the verified
+    fallback and the two are bit-identical."""
     terms = np.asarray(terms, np.int64)
     tfs = np.asarray(tfs, np.float32)
     doc_len = np.asarray(doc_len, np.float32)
@@ -70,6 +73,21 @@ def build_inverted(
 
     norm = k1 * (1.0 - b + b * doc_len[:, None] / max(avgdl, 1e-6))
     impact = tfs * (k1 + 1.0) / (tfs + norm)  # [N, L]; 0 where tf=0
+
+    if n * slots >= (1 << 18):  # native wins past ~256k entries
+        from super_rag_tpu.ops import postings_native
+
+        native = postings_native.build_postings(
+            np.minimum(terms, vocab_size).astype(np.int32), impact,
+            vocab_size, postings_per_term,
+        ) if postings_native.available() else None
+        if native is not None:
+            ids_n, imp_n = native
+            return InvertedIndex(
+                postings_ids=jnp.asarray(ids_n),
+                postings_impact=jnp.asarray(imp_n, jnp.bfloat16),
+                num_docs=n,
+            )
 
     flat_terms = terms.reshape(-1)
     flat_impact = impact.reshape(-1).astype(np.float32)
