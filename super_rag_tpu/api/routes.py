@@ -109,6 +109,12 @@ def build_router(ctx: AppContext) -> Router:
             )
         docs = ctx.db.query_one("SELECT COUNT(*) AS n FROM document")
         lines.append(f"super_rag_documents_total {docs['n']}")
+        if ctx.batcher is not None:
+            b = ctx.batcher.stats()
+            lines.append("# TYPE super_rag_batcher_dispatches counter")
+            lines.append(f"super_rag_batcher_dispatches {b['dispatches']}")
+            lines.append(f"super_rag_batcher_queries {b['queries']}")
+            lines.append(f"super_rag_batcher_avg_batch {b['avg_batch']}")
         return Response(
             status=200,
             headers={"Content-Type": "text/plain; version=0.0.4"},

@@ -21,12 +21,25 @@ from super_rag_tpu.service.context import AppContext, build_context
 logger = logging.getLogger(__name__)
 
 
+def _apply_platform_override() -> None:
+    """Honor SUPER_RAG_FORCE_CPU=1 even on images whose TPU plugin
+    force-registers itself via sitecustomize and overrides JAX_PLATFORMS
+    — the update must happen after `import jax`, before any dispatch."""
+    import os
+
+    if os.environ.get("SUPER_RAG_FORCE_CPU", "").lower() in ("1", "true"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 class App:
     def __init__(self, cfg: Optional[Settings] = None,
                  background_tasks: bool = True,
                  ctx: Optional[AppContext] = None):
         from super_rag_tpu.utils.jaxcache import enable_compilation_cache
 
+        _apply_platform_override()
         enable_compilation_cache()  # remote TPU compiles are minutes; cache them
         self.cfg = cfg or default_settings
         self.ctx = ctx or build_context(self.cfg, background_tasks=background_tasks)

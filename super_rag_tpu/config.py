@@ -66,6 +66,13 @@ class Settings:
     encoder_checkpoint: str = field(
         default_factory=lambda: _env("ENCODER_CKPT", "")
     )
+
+    # serving micro-batcher: concurrent same-parameter searches coalesce
+    # into one device dispatch within this window (engine/batcher.py)
+    batch_window_ms: float = field(
+        default_factory=lambda: _env_float("BATCH_WINDOW_MS", 3.0)
+    )
+    batch_max: int = field(default_factory=lambda: _env_int("BATCH_MAX", 64))
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     bm25_slots: int = field(default_factory=lambda: _env_int("BM25_SLOTS", 64))
     vocab_size: int = field(default_factory=lambda: _env_int("VOCAB_SIZE", 1 << 17))

@@ -1,0 +1,113 @@
+"""Dynamic micro-batching for concurrent searches.
+
+The reference gets request concurrency for free from the SeekDB server
+process (every query is a network call into a C++ database); here the
+engine is in-process and one jitted program serves a whole batch, so the
+TPU-native equivalent is a batcher: concurrent requests with identical
+search parameters coalesce — within a few-ms window — into ONE
+``search_batch`` device dispatch.  Queries are padded to capacity-class
+batch shapes by the engine itself, so a coalesced batch compiles once.
+
+Dispatches run on a single worker thread: the asyncio loop stays free to
+accept requests while the device computes, and TPU access stays
+serialized (one process, one ordered stream).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Hashable
+
+
+def _freeze(v: Any) -> Hashable:
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, set):
+        return tuple(sorted(v))
+    return v
+
+
+class QueryBatcher:
+    """Coalesces same-parameter engine searches into one device call."""
+
+    def __init__(self, max_batch: int = 64, max_wait_ms: float = 3.0):
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._pending: dict[tuple, list[tuple[str, asyncio.Future]]] = {}
+        self._engines: dict[tuple, tuple[Any, dict]] = {}
+        self._executor = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="batcher")
+        # observability: how much coalescing actually happens
+        self.dispatches = 0
+        self.queries = 0
+
+    async def search(self, engine: Any, query: str, **params) -> list:
+        """Awaitable single-query search; batches with concurrent peers."""
+        loop = asyncio.get_running_loop()
+        key = (id(engine), _freeze(params))
+        fut: asyncio.Future = loop.create_future()
+        bucket = self._pending.setdefault(key, [])
+        bucket.append((query, fut))
+        self._engines[key] = (engine, params)
+        if len(bucket) == 1:
+            # first request opens the batching window
+            loop.create_task(self._window(key))
+        elif len(bucket) >= self.max_batch:
+            self._dispatch(key)
+        return await fut
+
+    async def _window(self, key: tuple) -> None:
+        await asyncio.sleep(self.max_wait_ms / 1000.0)
+        self._dispatch(key)
+
+    def _dispatch(self, key: tuple) -> None:
+        bucket = self._pending.pop(key, [])
+        if not bucket:
+            return
+        engine, params = self._engines.pop(key)
+        queries = [q for q, _ in bucket]
+        futures = [f for _, f in bucket]
+        self.dispatches += 1
+        self.queries += len(queries)
+        loop = asyncio.get_running_loop()
+
+        def run():
+            return engine.search_batch(queries, **params)
+
+        def done(task):
+            exc = task.exception()
+            for i, f in enumerate(futures):
+                if f.done():
+                    continue
+                if exc is not None:
+                    f.set_exception(exc)
+                else:
+                    f.set_result(task.result()[i])
+
+        task = loop.run_in_executor(self._executor, run)
+        task = asyncio.ensure_future(task)
+        task.add_done_callback(done)
+
+    def stats(self) -> dict:
+        return {
+            "dispatches": self.dispatches,
+            "queries": self.queries,
+            "avg_batch": round(self.queries / max(self.dispatches, 1), 2),
+        }
+
+
+async def batched_search(services: dict, engine: Any, query: str,
+                         **params) -> list:
+    """Search via the context's QueryBatcher when present, else directly.
+
+    The search runners call this so every request path (REST, MCP, chat,
+    workflows) coalesces through the same batcher without each runner
+    knowing whether one is configured.
+    """
+    batcher = services.get("batcher") if services else None
+    if batcher is not None:
+        return await batcher.search(engine, query, **params)
+    return engine.search(query, **params)

@@ -10,6 +10,7 @@ from typing import Optional
 
 from pydantic import BaseModel
 
+from super_rag_tpu.engine.batcher import batched_search
 from super_rag_tpu.nodeflow.models import register_node_runner
 from super_rag_tpu.nodeflow.types import DocsOutput, DocumentWithScore
 
@@ -42,8 +43,9 @@ async def run(node, inputs: FulltextSearchInput, ctx) -> DocsOutput:
                     continue
                 config = coll["config"]
             eng = engines.get(cid, config)
-            hits = eng.search(
-                query, top_k=inputs.top_k, mode="fulltext",
+            hits = await batched_search(
+                ctx.services, eng, query, top_k=inputs.top_k,
+                mode="fulltext",
                 chat_id=inputs.chat_id or ctx.system_input.chat_id,
             )
             docs.extend(

@@ -14,6 +14,7 @@ from typing import Optional
 
 from pydantic import BaseModel
 
+from super_rag_tpu.engine.batcher import batched_search
 from super_rag_tpu.nodeflow.models import register_node_runner
 from super_rag_tpu.nodeflow.types import DocsOutput, DocumentWithScore
 
@@ -48,9 +49,9 @@ async def run(node, inputs: HybridSearchInput, ctx) -> DocsOutput:
                     continue
                 config = coll["config"]
             eng = engines.get(cid, config)
-            hits = eng.search(
-                query, top_k=inputs.top_k, mode="hybrid",
-                candidates=inputs.candidates,
+            hits = await batched_search(
+                ctx.services, eng, query, top_k=inputs.top_k,
+                mode="hybrid", candidates=inputs.candidates,
                 chat_id=inputs.chat_id or ctx.system_input.chat_id,
                 rrf_k=inputs.rrf_k,
             )

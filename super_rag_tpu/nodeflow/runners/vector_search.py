@@ -15,6 +15,7 @@ from typing import Optional
 
 from pydantic import BaseModel
 
+from super_rag_tpu.engine.batcher import batched_search
 from super_rag_tpu.nodeflow.models import register_node_runner
 from super_rag_tpu.nodeflow.types import DocsOutput, DocumentWithScore
 
@@ -49,8 +50,8 @@ async def run(node, inputs: VectorSearchInput, ctx) -> DocsOutput:
                     continue
                 config = coll["config"]
             eng = engines.get(cid, config)
-            hits = eng.search(
-                query, top_k=inputs.top_k, mode="dense",
+            hits = await batched_search(
+                ctx.services, eng, query, top_k=inputs.top_k, mode="dense",
                 similarity_threshold=inputs.similarity_threshold,
                 chat_id=inputs.chat_id or ctx.system_input.chat_id,
                 index_types=inputs.index_types,

@@ -36,6 +36,7 @@ class AppContext:
     kg: Optional[object] = None  # knowledge-graph service (kg/)
     completion: Optional[object] = None  # pluggable LLM client
     reranker: Optional[object] = None  # callable (query, texts) -> scores
+    batcher: Optional[object] = None  # engine.batcher.QueryBatcher
 
     def services_for_nodeflow(self) -> dict:
         return {
@@ -44,6 +45,7 @@ class AppContext:
             "kg": self.kg,
             "completion": self.completion,
             "reranker": self.reranker,
+            "batcher": self.batcher,
         }
 
 
@@ -150,10 +152,14 @@ def build_context(
         completion = lambda **kw: completion_client.complete(**kw)  # noqa: E731
 
     kg = KnowledgeGraphService(db, completion=completion)
+    from super_rag_tpu.engine.batcher import QueryBatcher
+
+    batcher = QueryBatcher(max_batch=cfg.batch_max,
+                           max_wait_ms=cfg.batch_window_ms)
     ctx = AppContext(
         cfg=cfg, db=db, objects=objects, engines=engines,
         reconciler=reconciler, scheduler=scheduler, auth=auth, kg=kg,
-        completion=completion,
+        completion=completion, batcher=batcher,
     )
     ctx.resolver = resolver  # type: ignore[attr-defined]
     task.ctx = ctx  # index task reaches kg/completion through the context

@@ -1,0 +1,129 @@
+"""QueryBatcher: concurrent same-parameter searches coalesce into one
+``search_batch`` device dispatch (engine/batcher.py).
+
+The reference gets request concurrency from the SeekDB server process;
+our in-process engine instead coalesces concurrent requests into one
+batched program launch, so these tests assert the contract the serving
+path relies on: correctness vs. the direct path, actual coalescing,
+parameter isolation, error propagation, and the max-batch flush.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from super_rag_tpu.engine.batcher import QueryBatcher, batched_search
+
+
+class FakeEngine:
+    """Engine double recording every search_batch dispatch."""
+
+    def __init__(self):
+        self.calls: list[tuple[list[str], dict]] = []
+
+    def search_batch(self, queries, **params):
+        self.calls.append((list(queries), dict(params)))
+        return [[f"{q}:{params.get('mode', 'hybrid')}"] for q in queries]
+
+    def search(self, query, **params):
+        return self.search_batch([query], **params)[0]
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_concurrent_searches_coalesce_into_one_dispatch():
+    eng = FakeEngine()
+    b = QueryBatcher(max_batch=64, max_wait_ms=20.0)
+
+    async def go():
+        return await asyncio.gather(*[
+            b.search(eng, f"q{i}", top_k=5, mode="hybrid") for i in range(8)
+        ])
+
+    results = run(go())
+    assert results == [[f"q{i}:hybrid"] for i in range(8)]
+    assert len(eng.calls) == 1  # one device dispatch for 8 requests
+    assert eng.calls[0][0] == [f"q{i}" for i in range(8)]
+    assert b.stats()["avg_batch"] == 8.0
+
+
+def test_different_params_do_not_batch_together():
+    eng = FakeEngine()
+    b = QueryBatcher(max_batch=64, max_wait_ms=20.0)
+
+    async def go():
+        return await asyncio.gather(
+            b.search(eng, "a", top_k=5, mode="hybrid"),
+            b.search(eng, "b", top_k=5, mode="dense"),
+        )
+
+    ra, rb = run(go())
+    assert ra == ["a:hybrid"] and rb == ["b:dense"]
+    assert len(eng.calls) == 2  # parameter sets stay separate programs
+
+
+def test_max_batch_flushes_immediately():
+    eng = FakeEngine()
+    b = QueryBatcher(max_batch=4, max_wait_ms=10_000.0)  # window never fires
+
+    async def go():
+        return await asyncio.wait_for(
+            asyncio.gather(*[
+                b.search(eng, f"q{i}", top_k=3) for i in range(4)
+            ]),
+            timeout=2.0,
+        )
+
+    results = run(go())
+    assert len(results) == 4
+    assert len(eng.calls) == 1
+
+
+def test_engine_errors_propagate_to_every_waiter():
+    class Boom:
+        def search_batch(self, queries, **params):
+            raise RuntimeError("device error")
+
+    b = QueryBatcher(max_batch=64, max_wait_ms=5.0)
+
+    async def go():
+        return await asyncio.gather(
+            b.search(Boom(), "a", top_k=1),
+            b.search(Boom(), "b", top_k=1),
+            return_exceptions=True,
+        )
+
+    res = run(go())
+    assert all(isinstance(r, RuntimeError) for r in res)
+
+
+def test_batched_search_helper_falls_back_without_batcher():
+    eng = FakeEngine()
+    hits = run(batched_search({}, eng, "q", top_k=2, mode="dense"))
+    assert hits == ["q:dense"]
+
+    b = QueryBatcher(max_batch=8, max_wait_ms=5.0)
+    hits = run(batched_search({"batcher": b}, eng, "q2", top_k=2,
+                              mode="dense"))
+    assert hits == ["q2:dense"]
+    assert b.stats()["dispatches"] == 1
+
+
+def test_unhashable_params_freeze_consistently():
+    eng = FakeEngine()
+    b = QueryBatcher(max_batch=64, max_wait_ms=20.0)
+
+    async def go():
+        return await asyncio.gather(
+            b.search(eng, "a", index_types=["vector", "summary"],
+                     doc_rows=[1, 2]),
+            b.search(eng, "b", index_types=["vector", "summary"],
+                     doc_rows=[1, 2]),
+        )
+
+    run(go())
+    assert len(eng.calls) == 1  # list-valued params batch together

@@ -90,8 +90,10 @@ def test_param_shardings_cover_tree(eight_devices):
 
 
 def test_ce_train_step_learns():
-    """Cross-encoder listwise step: loss falls on a separable toy task
-    (positive docs share the query's tokens, negatives don't)."""
+    """Cross-encoder listwise step: loss falls to near-zero on a fixed
+    separable batch (positive docs repeat the query's tokens) — the
+    memorization sanity check that proves gradients flow through the
+    scoring head, listwise loss, and optimizer."""
     from super_rag_tpu.models.cross_encoder import CrossEncoder
     from super_rag_tpu.train.rerank import (
         RerankTrainConfig,
@@ -102,31 +104,30 @@ def test_ce_train_step_learns():
     rng = np.random.default_rng(0)
     model = CrossEncoder(TINY)
     cfg = RerankTrainConfig(n_negatives=3, learning_rate=3e-3,
-                            warmup_steps=2, total_steps=30)
+                            warmup_steps=2, total_steps=80)
     state = create_ce_state(model, jax.random.PRNGKey(0), cfg)
     step = make_ce_train_step(model, cfg)
 
-    def batch():
-        # 4 queries x (1 pos + 3 negs); pos repeats the query tokens
-        ids = np.zeros((16, 16), np.int32)
-        tt = np.zeros((16, 16), np.int32)
-        for qi in range(4):
-            qtok = rng.integers(3, 256, 4)
-            for ci in range(4):
-                row = qi * 4 + ci
-                dtok = qtok if ci == 0 else rng.integers(3, 256, 4)
-                ids[row, :10] = [1, *qtok, 2, *dtok, 2]
-                tt[row, 6:10] = 1
-        return {"ids": jnp.asarray(ids),
-                "mask": jnp.asarray(np.ones((16, 16), bool)),
-                "type_ids": jnp.asarray(tt)}
+    # 4 queries x (1 pos + 3 negs); pos repeats the query tokens
+    ids = np.zeros((16, 16), np.int32)
+    tt = np.zeros((16, 16), np.int32)
+    for qi in range(4):
+        qtok = rng.integers(3, 256, 4)
+        for ci in range(4):
+            row = qi * 4 + ci
+            dtok = qtok if ci == 0 else rng.integers(3, 256, 4)
+            ids[row, :11] = [1, *qtok, 2, *dtok, 2]
+            tt[row, 6:11] = 1
+    batch = {"ids": jnp.asarray(ids),
+             "mask": jnp.asarray(np.ones((16, 16), bool)),
+             "type_ids": jnp.asarray(tt)}
 
     first = None
-    for i in range(30):
-        state, m = step(state, batch())
+    for i in range(80):
+        state, m = step(state, batch)
         if first is None:
             first = float(m["loss"])
-    assert float(m["loss"]) < first
+    assert float(m["loss"]) < first * 0.5
     assert float(m["accuracy"]) >= 0.75
 
 
