@@ -73,6 +73,12 @@ class Settings:
         default_factory=lambda: _env_float("BATCH_WINDOW_MS", 3.0)
     )
     batch_max: int = field(default_factory=lambda: _env_int("BATCH_MAX", 64))
+
+    # ingest pipelining: parse/chunk fan out over this many host threads
+    # while the single device worker embeds+inserts (tasks/scheduler.py)
+    ingest_host_workers: int = field(
+        default_factory=lambda: _env_int("INGEST_HOST_WORKERS", 4)
+    )
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     bm25_slots: int = field(default_factory=lambda: _env_int("BM25_SLOTS", 64))
     vocab_size: int = field(default_factory=lambda: _env_int("VOCAB_SIZE", 1 << 17))

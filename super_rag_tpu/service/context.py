@@ -137,7 +137,8 @@ def build_context(
     task = DocumentIndexTask(db, objects, engines, cfg)
     reconciler = DocumentIndexReconciler(db)
     scheduler: TaskScheduler = (
-        ThreadScheduler(task, reconciler.callbacks)
+        ThreadScheduler(task, reconciler.callbacks,
+                        host_workers=cfg.ingest_host_workers)
         if background_tasks
         else InProcessScheduler(task, reconciler.callbacks)
     )

@@ -37,11 +37,27 @@ class DocumentIndexTask:
         data = self.objects.get(document["object_path"])
         return self.parser.parse_file(document["name"], data)
 
+    def prepare(self, document_id: str, index_type: str) -> dict:
+        """Host-side stage of create_index — parse + chunk, the CPU-bound
+        work safe to run on a worker pool while the device worker embeds
+        a previous document (ThreadScheduler host_workers pipelining).
+        Returns the payload ``create_index`` accepts as ``prepared``."""
+        doc = self.db.get_document(document_id)
+        if doc is None:
+            raise ValueError(f"document {document_id} not found")
+        parts = self._load_parts(doc)
+        chunker = Rechunker(self.cfg.chunk_size, self.cfg.chunk_overlap)
+        chunks = chunker.rechunk(parts, metadata={"document_id": document_id})
+        return {"document_id": document_id, "index_type": index_type,
+                "doc_hash": doc.get("content_hash"), "parts": parts,
+                "chunks": chunks}
+
     def create_index(self, document_id: str, index_type: str,
-                     version: int) -> dict:
+                     version: int, prepared: dict | None = None) -> dict:
         """Parse + chunk + embed + insert; returns index_data for the spec
         row.  Idempotent per (document, version): any rows from a prior
-        version are removed first."""
+        version are removed first.  ``prepared`` (from :meth:`prepare`)
+        skips the parse/chunk stage when it matches this document."""
         doc = self.db.get_document(document_id)
         if doc is None:
             raise ValueError(f"document {document_id} not found")
@@ -62,9 +78,15 @@ class DocumentIndexTask:
         if old_rows:
             engine.delete(old_rows)
 
-        parts = self._load_parts(doc)
-        chunker = Rechunker(self.cfg.chunk_size, self.cfg.chunk_overlap)
-        chunks = chunker.rechunk(parts, metadata={"document_id": document_id})
+        if (prepared is not None
+                and prepared.get("document_id") == document_id
+                and prepared.get("doc_hash") == doc.get("content_hash")):
+            parts, chunks = prepared["parts"], prepared["chunks"]
+        else:
+            parts = self._load_parts(doc)
+            chunker = Rechunker(self.cfg.chunk_size, self.cfg.chunk_overlap)
+            chunks = chunker.rechunk(parts,
+                                     metadata={"document_id": document_id})
         if not chunks and index_type != "vision":
             # image-only documents (scanned PDFs) have no text chunks but
             # still produce vision rows from their image parts

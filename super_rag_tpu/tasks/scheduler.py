@@ -50,9 +50,16 @@ class CallbackScheduler(TaskScheduler):
         self.callbacks = callbacks
 
     def _run_create(self, index_id: int, document_id: str, index_type: str,
-                    version: int) -> None:
+                    version: int, prepare_future=None) -> None:
+        prepared = None
+        if prepare_future is not None:
+            try:
+                prepared = prepare_future.result()
+            except Exception:  # noqa: BLE001 — create_index re-raises the
+                pass  # same parse error and routes it to on_index_failed
         try:
-            data = self.task.create_index(document_id, index_type, version)
+            data = self.task.create_index(document_id, index_type, version,
+                                          prepared=prepared)
             self.callbacks.on_index_created(index_id, version, data)
         except Exception as e:  # noqa: BLE001 - failures land in status
             logger.exception("create_index failed")
@@ -79,13 +86,27 @@ class InProcessScheduler(CallbackScheduler):
 
 
 class ThreadScheduler(CallbackScheduler):
-    """Single background worker: serializes device mutations (the TPU is
-    one chip; DeviceIndex writes donate buffers and must not interleave),
-    while the calling thread returns immediately."""
+    """Pipelined ingest: parse/chunk fan out over a host worker pool
+    while a single device worker serializes embed+insert (the TPU is one
+    chip; DeviceIndex writes donate buffers and must not interleave).
 
-    def __init__(self, task, callbacks, num_workers: int = 1):
+    Ordering: the device job is enqueued AT SCHEDULE TIME with a future
+    for its prepare stage, so commits run strictly FIFO — two versions
+    of the same document can prepare concurrently but always commit in
+    schedule order (the serial-queue semantics the reconciler's CAS
+    state machine assumes)."""
+
+    def __init__(self, task, callbacks, num_workers: int = 1,
+                 host_workers: int = 0):
         super().__init__(task, callbacks)
         self._q: "queue.Queue[Optional[Callable[[], None]]]" = queue.Queue()
+        self._host = None
+        if host_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._host = ThreadPoolExecutor(
+                max_workers=host_workers, thread_name_prefix="ingest-prep"
+            )
         self._workers = [
             threading.Thread(target=self._loop, daemon=True)
             for _ in range(num_workers)
@@ -105,8 +126,13 @@ class ThreadScheduler(CallbackScheduler):
                 self._q.task_done()
 
     def schedule_create_index(self, index_id, document_id, index_type, version):
+        fut = None
+        if self._host is not None:
+            fut = self._host.submit(self.task.prepare, document_id,
+                                    index_type)
         self._q.put(lambda: self._run_create(index_id, document_id,
-                                             index_type, version))
+                                             index_type, version,
+                                             prepare_future=fut))
         return uuid.uuid4().hex
 
     def schedule_delete_index(self, index_id, document_id, index_type):
@@ -123,5 +149,7 @@ class ThreadScheduler(CallbackScheduler):
         return done.wait(timeout)
 
     def shutdown(self) -> None:
+        if self._host is not None:
+            self._host.shutdown(wait=False)
         for _ in self._workers:
             self._q.put(None)

@@ -163,6 +163,78 @@ def test_requeue_stale(stack):
     assert db.get_document_indexes(doc["id"])[0]["status"] == "PENDING"
 
 
+def test_pipelined_ingest_lifecycle(stack):
+    """ThreadScheduler with host prepare workers: parse/chunk fans out,
+    commits stay FIFO on the device worker, results match in-process."""
+    from super_rag_tpu.tasks.scheduler import ThreadScheduler
+
+    cfg, db, objects, engines, rec = stack
+    rec.scheduler = ThreadScheduler(rec.scheduler.task, rec.callbacks,
+                                    host_workers=3)
+    coll = db.create_collection("kb", "alice")
+    docs = [
+        _create_doc(db, objects, coll, name=f"d{i}.md",
+                    data=MD + f"\n\n## Extra\n\nunique{i} token.".encode())
+        for i in range(5)
+    ]
+    rec.reconcile_all()
+    assert rec.scheduler.wait_idle(timeout=60)
+    for i, doc in enumerate(docs):
+        idx = db.get_document_indexes(doc["id"])[0]
+        assert idx["status"] == IndexStatus.ACTIVE.value
+    eng = engines.get(coll["id"], coll["config"])
+    hits = eng.search("unique3", top_k=1, mode="fulltext")
+    assert hits and "unique3" in hits[0].text
+    rec.scheduler.shutdown()
+
+
+def test_pipelined_prepare_failure_lands_failed(stack):
+    from super_rag_tpu.tasks.scheduler import ThreadScheduler
+
+    cfg, db, objects, engines, rec = stack
+    rec.scheduler = ThreadScheduler(rec.scheduler.task, rec.callbacks,
+                                    host_workers=2)
+    coll = db.create_collection("kb", "alice")
+    doc = db.create_document(coll["id"], "ghost.md", object_path="missing/x")
+    db.upsert_document_index(doc["id"], "vector")
+    rec.reconcile_all()
+    assert rec.scheduler.wait_idle(timeout=60)
+    idx = db.get_document_indexes(doc["id"])[0]
+    assert idx["status"] == IndexStatus.FAILED.value
+    assert idx["error_message"]
+    rec.scheduler.shutdown()
+
+
+def test_pipelined_update_commits_in_schedule_order(stack):
+    """v1 and v2 of the same document prepare concurrently but commit in
+    schedule order: the final index state is v2's content."""
+    from super_rag_tpu.tasks.scheduler import ThreadScheduler
+
+    cfg, db, objects, engines, rec = stack
+    task = rec.scheduler.task
+    sched = ThreadScheduler(task, rec.callbacks, host_workers=2)
+    coll = db.create_collection("kb", "alice")
+    doc = _create_doc(db, objects, coll)
+    idx = db.get_document_indexes(doc["id"])[0]
+
+    assert db.claim_index(idx["id"], "PENDING", "CREATING", 1)
+    sched.schedule_create_index(idx["id"], doc["id"], "vector", 1)
+
+    objects.put(doc["object_path"], b"# Doc\n\nzulu yankee replacement.")
+    db.upsert_document_index(doc["id"], "vector")  # -> version 2
+    assert db.claim_index(idx["id"], "PENDING", "CREATING", 2)
+    sched.schedule_create_index(idx["id"], doc["id"], "vector", 2)
+
+    assert sched.wait_idle(timeout=60)
+    cur = db.get_document_indexes(doc["id"])[0]
+    assert cur["observed_version"] == 2
+    eng = engines.get(coll["id"], coll["config"])
+    assert eng.search("zulu yankee", top_k=1, mode="fulltext")
+    stale = eng.search("alpha bravo charlie", top_k=3, mode="fulltext")
+    assert all("alpha" not in h.text for h in stale)
+    sched.shutdown()
+
+
 def test_objectstore_range_and_escape(tmp_path):
     store = LocalObjectStore(str(tmp_path / "obj"))
     store.put("a/b.bin", b"0123456789")
