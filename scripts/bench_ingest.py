@@ -92,5 +92,85 @@ def main() -> None:
     }))
 
 
+def scheduler_pipeline_bench() -> None:
+    """End-to-end document ingest through reconciler + ThreadScheduler:
+    host_workers=0 (serial parse->embed per doc) vs the pipelined pool
+    (parse/chunk overlap the device worker's embed+insert)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from super_rag_tpu.config import Settings
+    from super_rag_tpu.engine.manager import EngineManager
+    from super_rag_tpu.store.db import Database
+    from super_rag_tpu.store.objectstore import LocalObjectStore
+    from super_rag_tpu.tasks.document import DocumentIndexTask
+    from super_rag_tpu.tasks.reconciler import DocumentIndexReconciler
+    from super_rag_tpu.tasks.scheduler import ThreadScheduler
+
+    on_tpu = jax.default_backend() != "cpu"
+    n_docs = 64 if on_tpu else 24
+    rng = np.random.default_rng(1)
+    words = [f"word{i}" for i in range(4000)]
+    # ~40 KB markdown per doc: enough sections that parse+chunk costs
+    # real host time relative to the embed+insert stage
+    def make_doc():
+        secs = []
+        for s in range(40):
+            body = " ".join(rng.choice(words, size=200))
+            secs.append(f"## Section {s}\n\n{body}\n")
+        return ("# Doc\n\n" + "\n".join(secs)).encode()
+
+    payloads = [make_doc() for _ in range(n_docs)]
+
+    def run(host_workers: int) -> float:
+        tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            cfg = Settings(data_dir=tmp, embedding_dim=256,
+                           index_dtype="int8", vocab_size=1 << 16)
+            db = Database(cfg.resolved_db_path())
+            objects = LocalObjectStore(cfg.objects_root())
+            engines = EngineManager(cfg)
+            task = DocumentIndexTask(db, objects, engines, cfg)
+            rec = DocumentIndexReconciler(db)
+            sched = ThreadScheduler(task, rec.callbacks,
+                                    host_workers=host_workers)
+            rec.scheduler = sched
+            coll = db.create_collection("bench", "bench")
+            for i, data in enumerate(payloads):
+                path = f"{coll['id']}/d{i}.md"
+                objects.put(path, data)
+                doc = db.create_document(coll["id"], f"d{i}.md",
+                                         size=len(data), object_path=path,
+                                         content_hash=f"h{i}")
+                db.upsert_document_index(doc["id"], "vector")
+            t0 = time.perf_counter()
+            rec.reconcile_all()
+            sched.wait_idle(timeout=600)
+            dt = time.perf_counter() - t0
+            sched.shutdown()
+            return n_docs / dt
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    serial = run(0)
+    piped = run(4)
+    print(json.dumps({
+        "metric": "scheduler_ingest_docs_per_s",
+        "docs": n_docs,
+        "serial_docs_per_s": round(serial, 2),
+        "pipelined_docs_per_s": round(piped, 2),
+        "speedup": round(piped / serial, 2),
+    }))
+
+
 if __name__ == "__main__":
+    import os
+    import sys
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if ROOT not in sys.path:
+        sys.path.insert(0, ROOT)
     main()
+    scheduler_pipeline_bench()
