@@ -113,7 +113,20 @@ def main() -> None:
         mlp_dim=1024, max_len=128,
     )
     model = TextEncoder(enc_cfg)
-    tok = HashTokenizer(vocab_size=enc_cfg.vocab_size)
+    tok_kind = os.environ.get("SEM_TOKENIZER", "bpe")
+    if tok_kind == "bpe":
+        # in-domain subword vocabulary trained on the TRAIN split only
+        # (models/subword.py): morphological sharing + no hash collisions
+        from super_rag_tpu.models.subword import train_bpe
+
+        t0 = time.time()
+        tok = train_bpe(train_docs, vocab_size=enc_cfg.vocab_size)
+        tok.save(out + ".tokenizer.json")
+        print(f"BPE tokenizer: {tok.vocab_size} ids "
+              f"({len(tok.merges)} merges, {time.time() - t0:.0f}s)",
+              flush=True)
+    else:
+        tok = HashTokenizer(vocab_size=enc_cfg.vocab_size)
     tcfg = TrainConfig(learning_rate=3e-4,
                        warmup_steps=max(20, steps // 20),
                        total_steps=steps)
@@ -150,7 +163,7 @@ def main() -> None:
     train_s = time.time() - t0
 
     save_params(state.params, out, enc_cfg)
-    svc = EncoderService(cfg=enc_cfg, params=state.params)
+    svc = EncoderService(cfg=enc_cfg, params=state.params, tokenizer=tok)
     q_emb_tr = np.asarray(svc.embed(queries))
     d_emb_tr = np.asarray(svc.embed(eval_corpus_texts))
     r_trained = recall_at_k(q_emb_tr, d_emb_tr, gold)
@@ -252,8 +265,14 @@ def main() -> None:
         "checkpoint": out + ".npz",
         **rerank_metrics,
     }
-    with open(os.path.join(ROOT, "SEMANTIC_EVAL.json"), "w") as f:
+    with open(out + ".eval.json", "w") as f:
         json.dump(result, f, indent=1)
+    # publish to the repo-root file bench.py folds into its extras only
+    # for real (TPU or explicitly requested) runs — CPU sanity runs must
+    # not clobber the recorded result
+    if jax.default_backend() != "cpu" or os.environ.get("SEM_PUBLISH") == "1":
+        with open(os.path.join(ROOT, "SEMANTIC_EVAL.json"), "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 

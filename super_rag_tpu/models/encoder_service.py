@@ -90,6 +90,14 @@ class EncoderService:
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "EncoderService":
         params, cfg = load_params(path)
+        # a trained subword tokenizer saved next to the weights travels
+        # with them — serving must tokenize exactly like training did
+        if "tokenizer" not in kw:
+            tok_path = path + ".tokenizer.json"
+            if os.path.exists(tok_path):
+                from super_rag_tpu.models.subword import BPETokenizer
+
+                kw["tokenizer"] = BPETokenizer.load(tok_path)
         return cls(cfg=cfg, params=params, **kw)
 
     @classmethod

@@ -23,6 +23,13 @@ DEFAULT_PACKAGES = (
     "scipy", "sklearn", "PIL", "matplotlib", "sympy", "networkx", "nltk",
     "IPython", "tensorflow", "keras", "mpmath", "hypothesis", "seaborn",
     "sentence_transformers", "h5py", "pytest", "dateutil", "rich",
+    # round 2: widen the harvest (the 27k-doc corpus overfits by 10k
+    # steps — final in-batch accuracy 1.0); these are the next-largest
+    # packages reliably present in this image
+    "google", "OpenGL", "tf_keras", "dm_control", "libcst", "orbax",
+    "tensorboard", "peft", "datasets", "huggingface_hub", "pygments",
+    "fontTools", "fiddle", "haiku", "pygame", "pettingzoo", "debugpy",
+    "aqt", "statsmodels", "prompt_toolkit", "tokamax", "vertexai",
 )
 
 
@@ -54,8 +61,8 @@ def _docstrings(path: str, min_chars: int) -> Iterator[str]:
 def harvest_docstrings(
     packages: tuple[str, ...] = DEFAULT_PACKAGES,
     min_chars: int = 240,
-    max_files_per_pkg: int = 800,
-    max_docs: int = 40_000,
+    max_files_per_pkg: int = 1_200,
+    max_docs: int = 100_000,
 ) -> list[str]:
     """Deduped docstring paragraphs from installed packages."""
     site = sysconfig.get_paths()["purelib"]
