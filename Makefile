@@ -28,8 +28,11 @@ bench-fidelity: # hybrid fidelity vs QPS over the postings cap
 	python scripts/tune_fidelity.py
 
 native:
+	mkdir -p super_rag_tpu/native/build
 	g++ -O3 -std=c++17 -shared -fPIC super_rag_tpu/native/analyzer.cpp \
 	  -o super_rag_tpu/native/build/libanalyzer.so
+	g++ -O3 -std=c++17 -shared -fPIC super_rag_tpu/native/postings.cpp \
+	  -o super_rag_tpu/native/build/libpostings.so
 
 clean:
 	rm -rf super_rag_tpu/native/build .pytest_cache
