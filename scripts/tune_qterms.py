@@ -120,25 +120,35 @@ def main():
             ]))
 
         configs = [
-            ("norescore_pq256", False, None, 256),
-            ("rescore_lg200_pq256", True, 200, 256),
-            ("rescore_lg200_pq512", True, 200, 512),
-            ("rescore_lg300_pq1024", True, 300, 1024),
-            ("rescore_lg300_pqfull", True, 300, None),
-            ("rescore_lg400_pqfull", True, 400, None),
+            # name, rescore, lex_gen, P_q, per_tile_k
+            ("norescore_pq256", False, None, 256, 8),
+            ("rescore_lg200_pq256", True, 200, 256, 8),
+            ("rescore_lg200_pq512", True, 200, 512, 8),
+            ("rescore_lg300_pq1024", True, 300, 1024, 8),
+            ("rescore_lg300_pqfull", True, 300, None, 8),
+            ("rescore_lg400_pqfull", True, 400, None, 8),
+            # per_tile_k=4 dense: extraction epilogue halves (stage probe:
+            # 12.6 -> 7.7 ms at k=100); recall checked via dense_recall
+            ("ptk4_rescore_lg200_pq512", True, 200, 512, 4),
+            ("ptk4_rescore_lg300_pq1024", True, 300, 1024, 4),
+            ("ptk4_rescore_lg300_pqfull", True, 300, None, 4),
+            ("ptk2_rescore_lg300_pq1024", True, 300, 1024, 2),
+            ("ptk4_rescore_lg250_pq768", True, 250, 768, 4),
+            ("ptk2_rescore_lg250_pq768", True, 250, 768, 2),
         ]
         if cfg_filter:
             keep = set(cfg_filter.split(","))
             configs = [c for c in configs if c[0] in keep]
-        for name, rs, lg, pq in configs:
-            def run(rs=rs, lg=lg, pq=pq, qt=qt, qi=qi):
+        for name, rs, lg, pq, ptk in configs:
+            def run(rs=rs, lg=lg, pq=pq, ptk=ptk, qt=qt, qi=qi):
                 return hybrid_search(
                     queries, qt, qi, dense_int8, lexical, avgdl,
                     inverted=inverted, vocab_size=vocab, k=k,
                     candidates=cand, use_pallas=on_tpu, dense_tile=tile,
                     block_size=262_144 if on_tpu else 8_192,
                     postings_per_query_term=pq,
-                    int8_queries=on_tpu, per_tile_k=8 if on_tpu else None,
+                    int8_queries=on_tpu,
+                    per_tile_k=ptk if on_tpu else None,
                     rescore=rs, lex_gen=lg,
                 )
 

@@ -108,10 +108,18 @@ def main():
 
     # dense branch alone (Pallas needs real hardware; skip on CPU sanity)
     if on_tpu:
-        t("dense_pallas_k100",
-          lambda q: pallas_dense_topk(q, dense_int8, k=100, tile=tile,
-                                      int8_queries=True, per_tile_k=8),
-          queries)
+        for ptk in (8, 4, 16):
+            t(f"dense_pallas_k100_ptk{ptk}",
+              lambda q, ptk=ptk: pallas_dense_topk(
+                  q, dense_int8, k=100, tile=tile, int8_queries=True,
+                  per_tile_k=ptk),
+              queries)
+        for tl in (16384,):
+            t(f"dense_pallas_k100_tile{tl}",
+              lambda q, tl=tl: pallas_dense_topk(
+                  q, dense_int8, k=100, tile=tl, int8_queries=True,
+                  per_tile_k=8),
+              queries)
 
     # inverted generation at widths
     for pq in (256, 512, 1024, None):
@@ -122,11 +130,10 @@ def main():
 
     # generation with approx top-k over the segment totals
     @jax.jit
-    def gen_axk(qt_, qi_):
-        p = inverted.postings_ids.shape[1]
-        ids = jnp.take(inverted.postings_ids, qt_, axis=0)
-        imp = jnp.take(inverted.postings_impact, qt_, axis=0).astype(
-            jnp.float32)
+    def gen_axk(post_ids, post_imp, qt_, qi_):
+        p = post_ids.shape[1]
+        ids = jnp.take(post_ids, qt_, axis=0)
+        imp = jnp.take(post_imp, qt_, axis=0).astype(jnp.float32)
         w = imp * qi_[..., None]
         ids2 = ids.reshape(batch, qn * p)
         w2 = w.reshape(batch, qn * p)
@@ -135,7 +142,8 @@ def main():
         i = jnp.take_along_axis(sorted_ids, pos, axis=-1)
         return v, i
 
-    t("lexgen_pqfull_axk300", gen_axk, qt, qi)
+    t("lexgen_pqfull_axk300", gen_axk, inverted.postings_ids,
+      inverted.postings_impact, qt, qi)
 
     # rescore stage alone (pool 304)
     pool = jnp.asarray(rng.integers(0, n, (batch, 304)).astype(np.int32))
