@@ -23,6 +23,7 @@ Row metadata (chunk text, ids) stays host-side, keyed by row number.
 from __future__ import annotations
 
 import functools
+import logging
 import threading
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
@@ -36,6 +37,8 @@ from super_rag_tpu.ops.dense import DenseCorpus, Metric, dense_search
 from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
 from super_rag_tpu.ops.quant import quantize_int8
 from super_rag_tpu.tokenize.analyzer import Analyzer, DocFrequency
+
+logger = logging.getLogger(__name__)
 
 # Indexer-type codes (reference index/base.py IndexType; filterable via
 # context/context.py metadata filters).
@@ -167,8 +170,13 @@ class DeviceIndex:
         self._ivf_churn = 0  # inserts+deletes since the IVF snapshot
         # serving-time guard for the Pallas per-tile extraction cap: a
         # clustered corpus can concentrate winners in one tile, where a
-        # fixed cap silently loses recall — calibrated at compaction
-        self._per_tile_k = 8
+        # fixed cap silently loses recall — calibrated at compaction.
+        # Starts at the measured-lossless 2 (kernels.md stage breakdown:
+        # extraction is the dense branch's dominant cost; 2 vs 8 saves
+        # ~40% of the k=100 branch with no fidelity change on the bench
+        # corpora); calibrate_per_tile_k widens it where the corpus
+        # concentrates winners.
+        self._per_tile_k = 2
         # guards mutations vs queries: inserts DONATE device buffers
         # (in-place dynamic_update_slice), which invalidates any array
         # reference a concurrently-dispatching query captured — a real
@@ -590,6 +598,14 @@ class DeviceIndex:
             avgdl=self.df.avgdl,
         )
         self._inverted_upto = n
+        # compaction cadence doubles as the per-tile-extraction-cap
+        # guard cadence (real kernel only — interpret mode at corpus
+        # scale would take minutes on CPU)
+        if jax.default_backend() == "tpu" and self._capacity >= 2048:
+            try:
+                self.calibrate_per_tile_k()
+            except Exception:  # noqa: BLE001 — guard is best-effort
+                logger.exception("per_tile_k calibration failed")
 
     def _maybe_autocompact(self) -> None:
         tail = self.size - self._inverted_upto
@@ -737,7 +753,7 @@ class DeviceIndex:
             # calibrate_per_tile_k) and the postings per query term
             per_tile_k=(self._per_tile_k
                         if (use_pallas and candidates >= 32) else None),
-            postings_per_query_term=256,
+            postings_per_query_term=768,
             int8_queries=use_pallas and self.spec.dtype == jnp.int8,
         )
 
