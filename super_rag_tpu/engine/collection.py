@@ -45,10 +45,15 @@ class CollectionEngine:
         spec: IndexSpec,
         embedder: Optional[Any] = None,
         reranker: Optional[Callable[[str, Sequence[str]], np.ndarray]] = None,
+        hybrid_opts: Optional[dict] = None,
     ):
         self.index = DeviceIndex(spec)
         self.embedder = embedder or HashEmbedder(dim=spec.dim)
         self.reranker = reranker
+        # per-collection fidelity-vs-QPS knobs forwarded to the fused
+        # program (collection config {"hybrid": {"rescore": ...,
+        # "postings_per_query_term": ...}}; kernels.md frontier)
+        self.hybrid_opts = hybrid_opts or {}
 
     # -- ingest ---------------------------------------------------------------
 
@@ -185,7 +190,7 @@ class CollectionEngine:
             q_emb = jnp.asarray(np.asarray(self.embedder.embed(list(queries))))
             res = self.index.search_hybrid(
                 q_emb, queries, k=k_recall, candidates=k_recall, flt=flt,
-                rrf_k=rrf_k,
+                rrf_k=rrf_k, **self.hybrid_opts,
             )
             v, i = np.asarray(res.scores), np.asarray(res.indices)
             take = k_recall if rerank else top_k

@@ -706,9 +706,16 @@ class DeviceIndex:
         max_terms: int = 16,
         use_pallas: Optional[bool] = None,
         rrf_k: float = 60.0,
+        rescore: bool = True,
+        postings_per_query_term: int = 768,
     ):
         """Dense ⊕ BM25 ⊕ RRF as ONE device program (ops/hybrid.py); uses
-        the inverted lexical snapshot when it covers every row."""
+        the inverted lexical snapshot when it covers every row.
+
+        ``rescore`` / ``postings_per_query_term`` are the per-collection
+        fidelity-vs-QPS knobs (kernels.md frontier: defaults give
+        fidelity >= 0.9; rescore=False trades ~8% fidelity for ~1.8x
+        throughput)."""
         from super_rag_tpu.ops.hybrid import hybrid_search
 
         self._maybe_autocompact()
@@ -753,7 +760,8 @@ class DeviceIndex:
             # calibrate_per_tile_k) and the postings per query term
             per_tile_k=(self._per_tile_k
                         if (use_pallas and candidates >= 32) else None),
-            postings_per_query_term=768,
+            rescore=rescore,
+            postings_per_query_term=postings_per_query_term,
             int8_queries=use_pallas and self.spec.dtype == jnp.int8,
         )
 

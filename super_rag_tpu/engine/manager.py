@@ -60,6 +60,11 @@ class EngineManager:
                 return eng
             config = config or {}
             embedder = self._embedder_factory(config)
+            hybrid_opts = {
+                key: config["hybrid"][key]
+                for key in ("rescore", "postings_per_query_term")
+                if key in config.get("hybrid", {})
+            }
             path = self._snapshot_path(collection_id)
             if snapshot_exists(path):
                 index = load_index(path)
@@ -67,6 +72,7 @@ class EngineManager:
                     index.spec,
                     embedder=embedder,
                     reranker=self._reranker_factory(config),
+                    hybrid_opts=hybrid_opts,
                 )
                 eng.index = index
             else:
@@ -85,6 +91,7 @@ class EngineManager:
                     spec,
                     embedder=embedder,
                     reranker=self._reranker_factory(config),
+                    hybrid_opts=hybrid_opts,
                 )
             self._engines[collection_id] = eng
             return eng

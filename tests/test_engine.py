@@ -213,3 +213,32 @@ def test_snapshot_restore_bf16(tmp_path):
     eng2.index = restored
     hits = eng2.search("pelicans", top_k=1, mode="hybrid")
     assert hits and "pelicans" in hits[0].text
+
+
+def test_per_collection_hybrid_opts_reach_the_program(monkeypatch):
+    """Collection config {"hybrid": {...}} flows manager -> engine ->
+    DeviceIndex.search_hybrid (the per-collection fidelity/QPS knobs)."""
+    from super_rag_tpu.config import Settings
+    from super_rag_tpu.engine.manager import EngineManager
+
+    cfg = Settings(data_dir="/tmp/hybrid_opts_test", embedding_dim=32,
+                   index_dtype="float32", vocab_size=1 << 14)
+    mgr = EngineManager(cfg)
+    eng = mgr.get("c1", {"hybrid": {"rescore": False,
+                                    "postings_per_query_term": 128}})
+    assert eng.hybrid_opts == {"rescore": False,
+                               "postings_per_query_term": 128}
+    eng.ingest(["quokka document about marsupials", "other text entirely"])
+
+    seen = {}
+    orig = eng.index.search_hybrid
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(eng.index, "search_hybrid", spy)
+    hits = eng.search("quokka marsupials", top_k=1, mode="hybrid")
+    assert hits and "quokka" in hits[0].text
+    assert seen["rescore"] is False
+    assert seen["postings_per_query_term"] == 128
