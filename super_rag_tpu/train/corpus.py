@@ -75,7 +75,12 @@ def harvest_docstrings(
         for path in _py_files(root, max_files_per_pkg):
             for doc in _docstrings(path, min_chars):
                 text = " ".join(doc.split())
-                h = hashlib.sha1(text.encode()).hexdigest()
+                # near-duplicate key, not exact: docstring boilerplate
+                # ("Parameters ---------- ...") repeats across packages
+                # with tiny edits; duplicates poison ICT eval distractors
+                # and make mined "hard negatives" actually-positive
+                norm = "".join(c for c in text.lower() if c.isalnum())
+                h = hashlib.sha1(norm[:220].encode()).hexdigest()
                 if h in seen:
                     continue
                 seen.add(h)

@@ -101,10 +101,17 @@ def mine_hard_negatives(
     embed_fn,  # callable texts -> [N, D] unit-norm np array
     n_hard: int = 4,
     block: int = 2048,
+    max_overlap: float = 0.6,
 ) -> list[list[int]]:
     """For each pair, indices (into ``pairs``) of the encoder's strongest
     WRONG positives for its query — the negatives that actually teach the
-    reranker to out-rank its own retriever."""
+    reranker to out-rank its own retriever.
+
+    ``max_overlap`` drops candidates whose word-set Jaccard overlap with
+    the true positive exceeds the threshold: corpora with boilerplate
+    (docstrings, legal templates) surface near-duplicates of the positive
+    as the retriever's top wrong answers, and labeling those "negative"
+    is noise that pins the listwise loss at chance level."""
     import jax.numpy as jnp_
 
     from super_rag_tpu.ops.dense import build_corpus, dense_search
@@ -113,14 +120,27 @@ def mine_hard_negatives(
     d_emb = np.asarray(embed_fn(docs))
     q_emb = np.asarray(embed_fn([p.query for p in pairs]))
     corpus = build_corpus(jnp_.asarray(d_emb), dtype=jnp_.float32)
+    word_sets = [frozenset(d.lower().split()) for d in docs]
     out: list[list[int]] = []
-    k = n_hard + 1
+    k = n_hard * 2 + 1  # extra headroom: some candidates get filtered
     for lo in range(0, len(pairs), block):
         q = jnp_.asarray(q_emb[lo : lo + block])
         _, ids = dense_search(q, corpus, k=k)
         ids = np.asarray(ids)
         for row, qi in enumerate(range(lo, min(lo + block, len(pairs)))):
-            negs = [int(x) for x in ids[row] if int(x) != qi][:n_hard]
+            pos_words = word_sets[qi]
+            negs = []
+            for x in ids[row]:
+                x = int(x)
+                if x == qi or x < 0:
+                    continue
+                inter = len(pos_words & word_sets[x])
+                union = len(pos_words | word_sets[x]) or 1
+                if inter / union > max_overlap:
+                    continue  # near-duplicate of the positive: skip
+                negs.append(x)
+                if len(negs) >= n_hard:
+                    break
             out.append(negs)
     return out
 
