@@ -409,7 +409,9 @@ class ShardedDeviceIndex:
             use_pallas=use_pallas and ivf is None,
             interpret=not on_tpu,
             dense_tile=2048 if shard_rows >= 2048 else max(256, shard_rows),
-            per_tile_k=8 if (use_pallas and candidates >= 32) else None,
+            # measured-lossless extraction cap (kernels.md stage
+            # breakdown; matches the single-chip DeviceIndex default)
+            per_tile_k=2 if (use_pallas and candidates >= 32) else None,
             int8_queries=use_pallas and self.spec.dtype == jnp.int8,
             rescore=rescore,
             has_ivf=ivf is not None,
