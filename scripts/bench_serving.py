@@ -9,9 +9,14 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import sys
 import threading
 import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:  # `python scripts/...` puts scripts/ first
+    sys.path.insert(0, ROOT)
 
 
 def main() -> None:
@@ -84,9 +89,40 @@ def main() -> None:
     total = time.perf_counter() - t0
     lat.sort()
 
+    # concurrent phase: many requests in flight exercise the serving
+    # micro-batcher (engine/batcher.py) — same-parameter searches
+    # coalesce into one device dispatch per window
+    async def concurrent_phase():
+        async with httpx.AsyncClient(base_url=base, timeout=120) as ac:
+            ac.headers["Authorization"] = f"Bearer {tok}"
+            t0 = time.perf_counter()
+            window = 64
+            done = 0
+            while done < n_queries:
+                burst = min(window, n_queries - done)
+                rs = await asyncio.gather(*[
+                    ac.post(f"/api/v1/collections/{coll['id']}/searches",
+                            json={"query": f"term{((done + i) * 7) % 997} "
+                                           f"term{((done + i) * 11) % 997}",
+                                  "top_k": 5})
+                    for i in range(burst)
+                ])
+                for r in rs:
+                    r.raise_for_status()
+                done += burst
+            return time.perf_counter() - t0
+
+    b0 = app.ctx.batcher.stats() if app.ctx.batcher else {}
+    conc_s = asyncio.run(concurrent_phase())
+    b1 = app.ctx.batcher.stats() if app.ctx.batcher else {}
+    d_disp = b1.get("dispatches", 0) - b0.get("dispatches", 0)
+    d_q = b1.get("queries", 0) - b0.get("queries", 0)
+
     print(json.dumps({
         "ingest_docs_per_s": round(n_docs / ingest_s, 2),
         "search_qps_sequential": round(n_queries / total, 2),
+        "search_qps_concurrent64": round(n_queries / conc_s, 2),
+        "batcher_avg_batch": round(d_q / d_disp, 2) if d_disp else None,
         "search_p50_ms": round(lat[len(lat) // 2] * 1000, 2),
         "search_p95_ms": round(lat[int(len(lat) * 0.95)] * 1000, 2),
         "n_docs": n_docs,

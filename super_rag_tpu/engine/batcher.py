@@ -31,7 +31,14 @@ def _freeze(v: Any) -> Hashable:
 
 
 class QueryBatcher:
-    """Coalesces same-parameter engine searches into one device call."""
+    """Coalesces same-parameter engine searches into one device call.
+
+    Dynamic batching: while the (single) device worker is BUSY, arriving
+    requests accumulate and the completion callback dispatches them all
+    as one batch — so the effective batch size tracks the arrival rate
+    times the device latency, not the fixed window.  The window only
+    bounds latency when the worker is idle.
+    """
 
     def __init__(self, max_batch: int = 64, max_wait_ms: float = 3.0):
         self.max_batch = max_batch
@@ -40,6 +47,7 @@ class QueryBatcher:
         self._engines: dict[tuple, tuple[Any, dict]] = {}
         self._executor = ThreadPoolExecutor(max_workers=1,
                                             thread_name_prefix="batcher")
+        self._busy = False  # loop-thread-only state
         # observability: how much coalescing actually happens
         self.dispatches = 0
         self.queries = 0
@@ -52,32 +60,46 @@ class QueryBatcher:
         bucket = self._pending.setdefault(key, [])
         bucket.append((query, fut))
         self._engines[key] = (engine, params)
-        if len(bucket) == 1:
-            # first request opens the batching window
-            loop.create_task(self._window(key))
-        elif len(bucket) >= self.max_batch:
-            self._dispatch(key)
+        if not self._busy:
+            if len(bucket) >= self.max_batch:
+                self._fire(key)
+            elif len(bucket) == 1:
+                # first request while idle opens the latency window
+                loop.create_task(self._window(key))
+        # while busy: the completion callback drains pending buckets
         return await fut
 
     async def _window(self, key: tuple) -> None:
         await asyncio.sleep(self.max_wait_ms / 1000.0)
-        self._dispatch(key)
+        if not self._busy:
+            self._fire(key)
 
-    def _dispatch(self, key: tuple) -> None:
-        bucket = self._pending.pop(key, [])
+    def _fire(self, key: tuple) -> None:
+        bucket = self._pending.get(key)
         if not bucket:
+            self._pending.pop(key, None)
+            self._engines.pop(key, None)
             return
-        engine, params = self._engines.pop(key)
-        queries = [q for q, _ in bucket]
-        futures = [f for _, f in bucket]
+        take = bucket[: self.max_batch]
+        rest = bucket[self.max_batch :]
+        engine, params = self._engines[key]
+        if rest:
+            self._pending[key] = rest
+        else:
+            self._pending.pop(key, None)
+            self._engines.pop(key, None)  # drop the ref so engines GC
+        queries = [q for q, _ in take]
+        futures = [f for _, f in take]
         self.dispatches += 1
         self.queries += len(queries)
+        self._busy = True
         loop = asyncio.get_running_loop()
 
         def run():
             return engine.search_batch(queries, **params)
 
         def done(task):
+            self._busy = False
             exc = task.exception()
             for i, f in enumerate(futures):
                 if f.done():
@@ -86,6 +108,12 @@ class QueryBatcher:
                     f.set_exception(exc)
                 else:
                     f.set_result(task.result()[i])
+            # drain: everything that arrived while the device was busy
+            # goes out immediately as the next (large) batch
+            for k in list(self._pending):
+                if self._pending.get(k):
+                    self._fire(k)
+                    break
 
         task = loop.run_in_executor(self._executor, run)
         task = asyncio.ensure_future(task)

@@ -185,38 +185,47 @@ class CollectionEngine:
         k_recall = max(top_k, candidates if (rerank or mode == "hybrid") else top_k)
         k_recall = min(k_recall, self.index.size)
 
+        # pad the query batch to a power-of-two bucket: concurrent
+        # request coalescing (engine/batcher.py) produces arbitrary
+        # batch sizes, and every distinct [B, ...] shape would otherwise
+        # compile its OWN program — log2(max_batch) programs total
+        # instead of one per observed size
+        n_q = len(queries)
+        bucket = 1 << max(0, n_q - 1).bit_length()
+        padded = list(queries) + [""] * (bucket - n_q)
+
         if mode == "hybrid":
             # one fused device program: dense ⊕ BM25 ⊕ RRF (ops/hybrid.py)
-            q_emb = jnp.asarray(np.asarray(self.embedder.embed(list(queries))))
+            q_emb = jnp.asarray(np.asarray(self.embedder.embed(padded)))
             res = self.index.search_hybrid(
-                q_emb, queries, k=k_recall, candidates=k_recall, flt=flt,
+                q_emb, padded, k=k_recall, candidates=k_recall, flt=flt,
                 rrf_k=rrf_k, **self.hybrid_opts,
             )
             v, i = np.asarray(res.scores), np.asarray(res.indices)
             take = k_recall if rerank else top_k
             results = [
                 self._hits(v[b][:take], i[b][:take], "hybrid")
-                for b in range(len(queries))
+                for b in range(n_q)
             ]
             return self._maybe_rerank(queries, results, rerank, top_k)
 
         if mode == "dense":
-            q_emb = jnp.asarray(np.asarray(self.embedder.embed(list(queries))))
+            q_emb = jnp.asarray(np.asarray(self.embedder.embed(padded)))
             dense_v, dense_i = self.index.search_dense(q_emb, k_recall, flt)
             v, i = np.asarray(dense_v), np.asarray(dense_i)
             i = np.where(np.isfinite(v), i, -1)
             results = [
                 self._hits(v[b][:top_k], i[b][:top_k], "vector_search",
                            similarity_threshold)
-                for b in range(len(queries))
+                for b in range(n_q)
             ]
         else:
-            lex_v, lex_i = self.index.search_bm25(queries, k_recall, flt)
+            lex_v, lex_i = self.index.search_bm25(padded, k_recall, flt)
             v, i = np.asarray(lex_v), np.asarray(lex_i)
             i = np.where(np.isfinite(v), i, -1)
             results = [
                 self._hits(v[b][:top_k], i[b][:top_k], "fulltext_search")
-                for b in range(len(queries))
+                for b in range(n_q)
             ]
         return self._maybe_rerank(queries, results, rerank, top_k)
 

@@ -127,3 +127,38 @@ def test_unhashable_params_freeze_consistently():
 
     run(go())
     assert len(eng.calls) == 1  # list-valued params batch together
+
+
+def test_arrivals_during_busy_drain_as_one_batch():
+    """Dynamic batching: requests arriving while the device worker is
+    busy accumulate and dispatch TOGETHER on completion (batch size
+    tracks arrival rate x device latency, not the idle window)."""
+    import threading
+
+    release = threading.Event()
+    eng = FakeEngine()
+    slow_calls = []
+
+    class SlowEngine(FakeEngine):
+        def search_batch(self, queries, **params):
+            slow_calls.append(list(queries))
+            if len(slow_calls) == 1:
+                release.wait(5)  # hold the worker busy on dispatch #1
+            return super().search_batch(queries, **params)
+
+    slow = SlowEngine()
+    b = QueryBatcher(max_batch=64, max_wait_ms=1.0)
+
+    async def go():
+        first = asyncio.create_task(b.search(slow, "q0", top_k=1))
+        await asyncio.sleep(0.05)  # window fires; worker now busy
+        rest = [asyncio.create_task(b.search(slow, f"q{i}", top_k=1))
+                for i in range(1, 11)]
+        await asyncio.sleep(0.05)  # all 10 arrive while busy
+        release.set()
+        return await asyncio.gather(first, *rest)
+
+    results = run(go())
+    assert len(results) == 11
+    assert len(slow_calls) == 2  # 1 (busy) + 1 drained batch of 10
+    assert sorted(len(c) for c in slow_calls) == [1, 10]
