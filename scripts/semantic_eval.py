@@ -144,6 +144,20 @@ def main() -> None:
     epoch = 0
     batch_size = 256 if on_tpu else 16
     last = {}
+    if os.environ.get("SEM_REUSE_ENCODER") == "1":
+        # iterate on the downstream stages (reranker) without re-running
+        # the 12k-step encoder train: load the saved checkpoint + its
+        # tokenizer sidecar
+        from super_rag_tpu.models.encoder_service import load_params
+        from super_rag_tpu.models.subword import BPETokenizer
+
+        enc_params, enc_cfg = load_params(out)
+        model = TextEncoder(enc_cfg)
+        tok = BPETokenizer.load(out + ".tokenizer.json")
+        state = state._replace(params=enc_params)
+        steps = 0
+        last = {"accuracy": float("nan")}
+        print("reusing encoder checkpoint", flush=True)
     while done < steps:
         epoch += 1
         rng.shuffle(pairs)  # fresh in-batch negative composition per epoch
@@ -195,9 +209,10 @@ def main() -> None:
         ce_model = CrossEncoder(enc_cfg)
         ce_cfg = RerankTrainConfig(
             total_steps=ce_steps, warmup_steps=max(10, ce_steps // 20),
-            n_negatives=7,
+            n_negatives=7, learning_rate=2e-4,
         )
-        ce_state = create_ce_state(ce_model, jax.random.PRNGKey(1), ce_cfg)
+        ce_state = create_ce_state(ce_model, jax.random.PRNGKey(1), ce_cfg,
+                                   backbone_params=state.params["backbone"])
         ce_step = make_ce_train_step(ce_model, ce_cfg)
         done_ce, ce_last = 0, {}
         crng = np.random.default_rng(2)
@@ -257,6 +272,7 @@ def main() -> None:
         "eval_passages": len(eval_corpus_texts),
         "train_pairs": len(pairs),
         "train_steps": steps,
+        "encoder_reused": os.environ.get("SEM_REUSE_ENCODER") == "1",
         "train_seconds": round(train_s, 1),
         "backend": jax.default_backend(),
         "semantic_recall_at_10_trained": round(r_trained, 4),

@@ -56,8 +56,17 @@ def _optimizer(cfg: RerankTrainConfig) -> optax.GradientTransformation:
 
 
 def create_ce_state(model: CrossEncoder, rng: jax.Array,
-                    cfg: RerankTrainConfig) -> CEState:
+                    cfg: RerankTrainConfig,
+                    backbone_params=None) -> CEState:
+    """``backbone_params``: warm-start the transformer backbone from the
+    TRAINED dual encoder (same Backbone module) — a from-scratch CE has
+    to relearn token matching and stays at chance for thousands of
+    steps, while a retriever-initialized one only learns the pair head
+    (the standard retriever->reranker init)."""
     params = model.init_params(rng)
+    if backbone_params is not None:
+        params = dict(params)
+        params["backbone"] = jax.tree.map(jnp.asarray, backbone_params)
     return CEState(params=params, opt_state=_optimizer(cfg).init(params),
                    step=jnp.zeros((), jnp.int32))
 
