@@ -200,7 +200,10 @@ def main() -> None:
 
         ce_steps = int(os.environ.get("SEM_RERANK_STEPS",
                                       "1500" if on_tpu else "3"))
-        mine_pairs = pairs[: (12000 if on_tpu else 200)]
+        # keep CE training under ~one epoch of the mined set: 2500 steps
+        # x 16 queries/step = 40k query-groups; a 12k-pair set meant ~4
+        # epochs and a memorized CE that generalized below the retriever
+        mine_pairs = pairs[: (40000 if on_tpu else 200)]
         t0 = time.time()
         hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=4)
         print(f"mined hard negatives for {len(mine_pairs)} pairs "
@@ -232,6 +235,7 @@ def main() -> None:
                 if done_ce >= ce_steps:
                     break
         save_params(ce_state.params, out + "_reranker", enc_cfg)
+        tok.save(out + "_reranker.tokenizer.json")  # serving sidecar
 
         # retrieve top-20 with the trained encoder, rerank, recall@10
         from super_rag_tpu.ops.dense import build_corpus, dense_search

@@ -66,6 +66,9 @@ class Settings:
     encoder_checkpoint: str = field(
         default_factory=lambda: _env("ENCODER_CKPT", "")
     )
+    reranker_checkpoint: str = field(
+        default_factory=lambda: _env("RERANKER_CKPT", "")
+    )
 
     # serving micro-batcher: concurrent same-parameter searches coalesce
     # into one device dispatch within this window (engine/batcher.py)

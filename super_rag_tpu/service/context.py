@@ -118,19 +118,34 @@ def build_context(
 
     def reranker_factory(config: dict):
         client = resolver.rerank_client(config)
-        if client is None:
-            return None
+        if client is not None:
+            def rerank(query: str, texts):
+                import numpy as np
 
-        def rerank(query: str, texts):
-            import numpy as np
+                results = client.rerank(query, list(texts))
+                scores = np.zeros(len(texts), np.float32)
+                for r in results:
+                    scores[r["index"]] = r["relevance_score"]
+                return scores
 
-            results = client.rerank(query, list(texts))
-            scores = np.zeros(len(texts), np.float32)
-            for r in results:
-                scores[r["index"]] = r["relevance_score"]
-            return scores
+            return rerank
+        # no remote provider: a trained on-TPU cross-encoder checkpoint
+        # (SUPER_RAG_RERANKER_CKPT) serves as the default reranker
+        ckpt = cfg.reranker_checkpoint
+        if ckpt and os.path.exists(ckpt + ".npz"):
+            try:
+                from super_rag_tpu.service.rerank_service import (
+                    RerankService,
+                )
 
-        return rerank
+                return RerankService.from_checkpoint(ckpt)
+            except Exception:  # noqa: BLE001 — rerank is optional
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "reranker checkpoint load failed; rerank disabled"
+                )
+        return None
 
     engines = EngineManager(cfg, embedder_factory=embedder_factory,
                             reranker_factory=reranker_factory)

@@ -52,6 +52,24 @@ class RerankService:
         self.batch_size = batch_size
 
     @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "RerankService":
+        """Load a trained on-TPU cross-encoder (train/rerank.py output);
+        picks up the BPE tokenizer sidecar saved next to the weights so
+        serving tokenizes exactly like training."""
+        import os
+
+        from super_rag_tpu.models.encoder_service import load_params
+
+        params, cfg = load_params(path)
+        if "tokenizer" not in kw:
+            tok_path = path + ".tokenizer.json"
+            if os.path.exists(tok_path):
+                from super_rag_tpu.models.subword import BPETokenizer
+
+                kw["tokenizer"] = BPETokenizer.load(tok_path)
+        return cls(config=cfg, params=params, **kw)
+
+    @classmethod
     def from_hf_checkpoint(cls, path: str, **kw) -> "RerankService":
         """Load a local BertForSequenceClassification checkpoint."""
         import torch  # noqa: PLC0415 — only for checkpoint IO

@@ -65,3 +65,31 @@ def test_rerank_service_shapes_and_determinism():
     assert s1.shape == (7,)
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
     assert svc("q", []).shape == (0,)
+
+
+def test_rerank_service_from_trained_checkpoint(tmp_path):
+    """Trained on-TPU CE checkpoint + BPE tokenizer sidecar round-trips
+    into a serving RerankService (the no-remote-provider default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from super_rag_tpu.models.cross_encoder import CrossEncoder
+    from super_rag_tpu.models.encoder import EncoderConfig
+    from super_rag_tpu.models.encoder_service import save_params
+    from super_rag_tpu.models.subword import train_bpe
+    from super_rag_tpu.service.rerank_service import RerankService
+
+    cfg = EncoderConfig(vocab_size=200, hidden_dim=32, num_layers=1,
+                        num_heads=4, mlp_dim=64, max_len=64,
+                        dtype=jnp.float32)
+    tok = train_bpe(["alpha beta gamma delta epsilon"] * 5, vocab_size=200)
+    model = CrossEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ce")
+    save_params(params, path, cfg)
+    tok.save(path + ".tokenizer.json")
+
+    svc = RerankService.from_checkpoint(path, batch_size=4, max_len=64)
+    scores = svc("alpha beta", ["gamma delta", "beta alpha", "epsilon"])
+    assert scores.shape == (3,)
+    assert type(svc.tokenizer).__name__ == "BPETokenizer"
