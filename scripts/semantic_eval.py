@@ -243,8 +243,14 @@ def main() -> None:
 
         corpus = build_corpus(jnp_.asarray(d_emb_tr), dtype=jnp_.float32)
         top = 20
-        hits10, hits_rr, hits_top = 0, 0, 0
+        hits10, hits_rr, hits_fused, hits_top = 0, 0, 0, 0
         n_eval_rr = len(queries) if on_tpu else 20
+
+        def zs(x):
+            x = np.asarray(x, np.float64)
+            s = x.std()
+            return (x - x.mean()) / (s if s > 1e-9 else 1.0)
+
         for lo in range(0, n_eval_rr, 128):
             qb = jnp_.asarray(q_emb_tr[lo : lo + 128])
             _, ids = dense_search(qb, corpus, k=top)
@@ -261,8 +267,15 @@ def main() -> None:
                     )
                     if g in [cand[i] for i in np.argsort(-s)[:10]]:
                         hits_rr += 1
+                    # serving default: z-scored CE + retriever fusion
+                    # (engine/collection._maybe_rerank)
+                    cos = d_emb_tr[cand] @ q_emb_tr[lo + j]
+                    fused = zs(s) + zs(cos)
+                    if g in [cand[i] for i in np.argsort(-fused)[:10]]:
+                        hits_fused += 1
         rerank_metrics = {
             "rerank_recall_at_10": round(hits_rr / n_eval_rr, 4),
+            "fused_rerank_recall_at_10": round(hits_fused / n_eval_rr, 4),
             "retriever_recall_at_10": round(hits10 / n_eval_rr, 4),
             "retriever_recall_at_20_ceiling": round(hits_top / n_eval_rr, 4),
             "rerank_train_steps": ce_steps,

@@ -236,7 +236,20 @@ class CollectionEngine:
                 if not hits:
                     reranked.append(hits)
                     continue
-                scores = np.asarray(self.reranker(q, [h.text for h in hits]))
+                ce = np.asarray(self.reranker(q, [h.text for h in hits]),
+                                np.float32)
+                # fuse the reranker with the retrieval score it refines:
+                # z-scored sum is at worst the retriever's own ranking
+                # and strictly better whenever the CE adds signal
+                # (remote provider scores also fuse fine — they are
+                # z-normalized per query here)
+                base = np.asarray([h.score for h in hits], np.float32)
+
+                def z(x):
+                    s = float(x.std())
+                    return (x - x.mean()) / (s if s > 1e-6 else 1.0)
+
+                scores = z(ce) + z(base)
                 order = np.argsort(-scores)[:top_k]
                 new = []
                 for pos in order:
