@@ -102,29 +102,31 @@ def _exact_bm25_rescore(
     full doc-term rows before fusion.  Matches _bm25_block slot-level
     semantics exactly (same f32 math on the same gathered rows).
 
-    Cost: one [B, P] row gather + a lax.scan over Q compare-reduce steps,
-    each touching [B, P, L] — ~0.5 ms at B=512, P=200, L=64 on v5e.
+    Cost: one [B, P] row gather + a lax.scan over the L doc slots, each
+    step a [B, P, Q] one-hot einsum — 6.2 ms at B=512, P=304, L=64 on
+    v5e, 1.27x the scan-over-Q layout (scripts/tune_rescore2.py; both
+    bit-exact).  A searchsorted/binary-search variant measured 27x
+    SLOWER — per-element dynamic gathers do not vectorize on the VPU;
+    broadcast compares do.
     """
     safe = jnp.maximum(pool_ids, 0)
     terms = jnp.take(lexical.terms, safe, axis=0)  # [B, P, L]
     tfs = jnp.take(lexical.tfs, safe, axis=0).astype(jnp.float32)
     dl = jnp.take(lexical.doc_len, safe, axis=0).astype(jnp.float32)
-    norm = k1 * (1.0 - b + b * dl[:, :, None]
-                 / jnp.maximum(avgdl.astype(jnp.float32), 1e-6))
-    sat = tfs * (k1 + 1.0) / (tfs + norm)  # [B, P, L]; 0 where tf=0
+    norm = k1 * (1.0 - b + b * dl
+                 / jnp.maximum(avgdl.astype(jnp.float32), 1e-6))  # [B, P]
 
-    # per-query-term compare-and-accumulate scan: Q fused elementwise
-    # passes over [B, P, L].  (A searchsorted/binary-search variant was
-    # measured 27x SLOWER on v5e — per-element dynamic gathers do not
-    # vectorize on the VPU; broadcast compares do.)
     def step(acc, inp):
-        qt, qi = inp  # [B] int32, [B] f32
-        hit = terms == qt[:, None, None]  # [B, P, L]
-        acc = acc + qi[:, None] * jnp.sum(jnp.where(hit, sat, 0.0), axis=-1)
-        return acc, None
+        t_l, f_l = inp  # [B, P] one doc slot across the pool
+        sat = f_l * (k1 + 1.0) / (f_l + norm)  # 0 where tf=0
+        hit = t_l[:, :, None] == query_terms[:, None, :]  # [B, P, Q]
+        w = jnp.einsum("bpq,bq->bp", hit.astype(jnp.float32), query_idf)
+        return acc + w * sat, None
 
     init = jnp.zeros(pool_ids.shape, jnp.float32)
-    scores, _ = jax.lax.scan(step, init, (query_terms.T, query_idf.T))
+    scores, _ = jax.lax.scan(
+        step, init, (jnp.moveaxis(terms, 2, 0), jnp.moveaxis(tfs, 2, 0))
+    )
     return jnp.where(pool_ids >= 0, scores, NEG_INF)
 
 
