@@ -1,9 +1,8 @@
 """10M-chunk single-chip NORTH-STAR benchmark — the full triple in one run.
 
 BASELINE.md gates: recall@10 >= 0.95 vs exact fp32, >= 10k hybrid QPS/chip,
-p50 < 5 ms — simultaneously, at 10M chunks (VERDICT r1 item 3).  Round 1
-measured the pieces separately (flat int8 = recall 0.897; bf16 = 0.969 but
-20 ms); this run serves ONE configuration for every gate:
+p50 < 5 ms — simultaneously, at 10M chunks (VERDICT r2 item 1).  One
+configuration serves every gate:
 
     dense   IVF, residual int8 coding (ops/ivf.py build_ivf_streaming:
             balanced placement, x - centroid[stored] rows, score-exact
@@ -18,7 +17,14 @@ Golds are computed exactly: dense fp32 top-k streamed host-side (the f32
 corpus never exists in one piece), BM25 by untruncated host postings,
 hybrid = RRF of the two — the same definitions bench.py uses at 1M.
 
-Run on TPU: python scripts/bench_10m.py [nprobe ...]
+This host has ONE cpu core, so every expensive phase checkpoints itself
+to .bench10m_cache/ (round 2 lost two multi-hour runs to the wall clock
+with zero output — ROADMAP r3 item 1).  A rerun resumes in minutes.
+
+Usage:
+    python scripts/bench_10m.py --prepare      # host-only phases, CPU —
+                                               # does NOT claim the TPU
+    python scripts/bench_10m.py [nprobe ...]   # full run (TPU)
 """
 
 from __future__ import annotations
@@ -37,16 +43,47 @@ if ROOT not in sys.path:  # `python scripts/...` puts scripts/ first
 CHUNK = 262_144
 N_GOLD = 64
 K1, B = 1.2, 0.75
+CACHE = os.path.join(ROOT, ".bench10m_cache")
+
+T0 = time.perf_counter()
+
+
+def log(msg: str) -> None:
+    print(f"[bench10m +{time.perf_counter() - T0:7.0f}s] {msg}", flush=True)
+
+
+def cached(name: str, builder):
+    """npz phase checkpoint: build once, load on every rerun."""
+    path = os.path.join(CACHE, name + ".npz")
+    if os.path.exists(path):
+        log(f"{name}: cached ({os.path.getsize(path) / 2**20:.0f} MB)")
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    t0 = time.perf_counter()
+    out = builder()
+    os.makedirs(CACHE, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
+    log(f"{name}: built in {time.perf_counter() - t0:.0f}s "
+        f"({os.path.getsize(path) / 2**20:.0f} MB)")
+    return out
 
 
 def main() -> None:
+    argv = sys.argv[1:]
+    prepare_only = "--prepare" in argv
+    full = prepare_only or "--full" in argv
+    nprobe_args = [int(a) for a in argv if not a.startswith("--")]
+
     import jax
 
-    # the axon sitecustomize overrides JAX_PLATFORMS; re-force it so
-    # `JAX_PLATFORMS=cpu python scripts/bench_10m.py` really runs CPU
-    want = os.environ.get("JAX_PLATFORMS")
-    if want:
-        jax.config.update("jax_platforms", want)
+    if prepare_only:
+        # host-only phases: force CPU so the TPU claim stays free (the
+        # axon sitecustomize overrides JAX_PLATFORMS — re-force it)
+        jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from super_rag_tpu.utils.jaxcache import enable_compilation_cache
@@ -54,31 +91,36 @@ def main() -> None:
     enable_compilation_cache()
 
     from super_rag_tpu.ops.bm25 import LexicalCorpus
-    from super_rag_tpu.ops.bm25_inverted import build_inverted
+    from super_rag_tpu.ops.bm25_inverted import InvertedIndex, build_inverted
+    from super_rag_tpu.ops.dense import DenseCorpus
     from super_rag_tpu.ops.fusion import rrf_fuse
     from super_rag_tpu.ops.hybrid import hybrid_search
-    from super_rag_tpu.ops.ivf import build_ivf_streaming
+    from super_rag_tpu.ops.ivf import IVFIndex, build_ivf_streaming
     from super_rag_tpu.ops.pallas_ivf import pallas_ivf_topk
 
     on_tpu = jax.default_backend() != "cpu"
-    if on_tpu:
+    full = full or on_tpu
+    if full:
         n, d, n_centers, nlist = 8192 * 1221, 768, 2048, 8192
         slots, vocab = 48, 1 << 17
         batch, k, cand = 512, 10, 100
         train_sample = 300_000
         postings_per_term = 1024
-        nprobes = [int(a) for a in sys.argv[1:]] or [32, 48, 64]
+        nprobes = nprobe_args or [32, 48, 64, 96, 128]
     else:  # CPU sanity shape
         n, d, n_centers, nlist = 8192 * 4, 128, 64, 64
         slots, vocab = 16, 1 << 14
         batch, k, cand = 64, 10, 50
         train_sample = 8_000
         postings_per_term = 256
-        nprobes = [int(a) for a in sys.argv[1:]] or [8, 16]
+        nprobes = nprobe_args or [8, 16]
+    tag = f"n{n}_d{d}_v{vocab}_s{slots}"
+    log(f"config {tag} nlist={nlist} backend={jax.default_backend()}")
 
-    rng = np.random.default_rng(0)
-    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 3.0
-
+    # every artifact derives from its OWN seeded stream so cached phases
+    # can be skipped without perturbing later ones
+    centers = (np.random.default_rng([7, 0])
+               .standard_normal((n_centers, d)).astype(np.float32) * 3.0)
     n_chunks = -(-n // CHUNK)
 
     def chunk_emb(ci: int) -> np.ndarray:
@@ -91,37 +133,46 @@ def main() -> None:
 
     def chunks():
         for ci in range(n_chunks):
+            if ci % 8 == 0:
+                log(f"  stream chunk {ci}/{n_chunks}")
             yield chunk_emb(ci)
 
-    # -- queries -------------------------------------------------------------
-    q_assign = rng.integers(0, n_centers, batch)
-    q_all = centers[q_assign] + rng.standard_normal((batch, d)).astype(
+    # -- queries --------------------------------------------------------------
+    qrng = np.random.default_rng([7, 1])
+    q_assign = qrng.integers(0, n_centers, batch)
+    q_all = centers[q_assign] + qrng.standard_normal((batch, d)).astype(
         np.float32
     )
     qn = q_all / np.linalg.norm(q_all, axis=1, keepdims=True)
     q_gold = qn[:N_GOLD]
 
     # -- lexical corpus (zipf, as bench.py) -----------------------------------
-    t0 = time.perf_counter()
-    zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
-    terms = ((zipf_raw - 1) % vocab).astype(np.int32)
-    del zipf_raw
-    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
-    pad_mask = rng.random((n, slots)) < 0.2
-    terms[pad_mask] = vocab
-    tfs[pad_mask] = 0.0
-    del pad_mask
-    doc_len = tfs.sum(1) * 2.0 + 1.0
+    def build_lex():
+        rng = np.random.default_rng([7, 2])
+        zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
+        terms = ((zipf_raw - 1) % vocab).astype(np.int32)
+        del zipf_raw
+        tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.uint8)
+        pad_mask = rng.random((n, slots)) < 0.2
+        terms[pad_mask] = vocab
+        tfs[pad_mask] = 0
+        return {"terms": terms, "tfs": tfs}
+
+    lex = cached(f"lex_{tag}", build_lex)
+    terms, tfs_u8 = lex["terms"], lex["tfs"]
+    del lex
+    tfs32 = tfs_u8.astype(np.float32)
+    doc_len = tfs32.sum(1) * 2.0 + 1.0
     avgdl = float(doc_len.mean())
     df = np.bincount(
         terms[terms < vocab].astype(np.int64), minlength=vocab + 1
     )
     idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
-    lex_build_s = time.perf_counter() - t0
+    log("lexical derived stats ready")
 
     # query terms: drawn from corpus rows, deduped, discriminative-df only
     qterms_n = 16
-    q_rows = rng.integers(0, n, batch)
+    q_rows = np.random.default_rng([7, 5]).integers(0, n, batch)
     q_terms = np.full((batch, qterms_n), vocab, np.int32)
     df_cap = max(64, n // 50)
     for bi, row in enumerate(q_rows):
@@ -132,53 +183,64 @@ def main() -> None:
                      0.0).astype(np.float32)
 
     # -- exact dense gold (streamed fp32; top-cand for fusion gold) ----------
-    t0 = time.perf_counter()
-    gold_dv = np.full((N_GOLD, cand), -np.inf, np.float32)
-    gold_di = np.full((N_GOLD, cand), -1, np.int64)
-    for ci in range(n_chunks):
-        chunk = chunk_emb(ci)
-        s = q_gold @ chunk.T
-        kk = min(cand, s.shape[1])
-        loc = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-        lv = np.take_along_axis(s, loc, axis=1)
-        cv = np.concatenate([gold_dv, lv], axis=1)
-        cix = np.concatenate([gold_di, loc + ci * CHUNK], axis=1)
-        sel = np.argpartition(-cv, cand - 1, axis=1)[:, :cand]
-        gold_dv = np.take_along_axis(cv, sel, axis=1)
-        gold_di = np.take_along_axis(cix, sel, axis=1)
-    order = np.argsort(-gold_dv, axis=1)
-    gold_dv = np.take_along_axis(gold_dv, order, axis=1)
-    gold_di = np.take_along_axis(gold_di, order, axis=1)
-    dense_gold_s = time.perf_counter() - t0
+    def build_dense_gold():
+        gold_dv = np.full((N_GOLD, cand), -np.inf, np.float32)
+        gold_di = np.full((N_GOLD, cand), -1, np.int64)
+        for ci in range(n_chunks):
+            chunk = chunk_emb(ci)
+            s = q_gold @ chunk.T
+            kk = min(cand, s.shape[1])
+            loc = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+            lv = np.take_along_axis(s, loc, axis=1)
+            cv = np.concatenate([gold_dv, lv], axis=1)
+            cix = np.concatenate([gold_di, loc + ci * CHUNK], axis=1)
+            sel = np.argpartition(-cv, cand - 1, axis=1)[:, :cand]
+            gold_dv = np.take_along_axis(cv, sel, axis=1)
+            gold_di = np.take_along_axis(cix, sel, axis=1)
+            if ci % 4 == 0:
+                log(f"  dense gold chunk {ci}/{n_chunks}")
+        order = np.argsort(-gold_dv, axis=1)
+        return {"dv": np.take_along_axis(gold_dv, order, axis=1),
+                "di": np.take_along_axis(gold_di, order, axis=1)}
+
+    g = cached(f"dense_gold_{tag}", build_dense_gold)
+    gold_dv, gold_di = g["dv"], g["di"]
 
     # -- exact BM25 gold (untruncated host postings) --------------------------
-    t0 = time.perf_counter()
-    flat_terms = terms.reshape(-1)
-    post_order = np.argsort(flat_terms, kind="stable")
-    sorted_terms = flat_terms[post_order]
-    norm_doc = (K1 * (1.0 - B + B * doc_len / avgdl)).astype(np.float32)
-    gold_lv = np.full((N_GOLD, cand), -np.inf, np.float32)
-    gold_li = np.full((N_GOLD, cand), -1, np.int64)
-    scores = np.zeros(n, np.float32)
-    for qi in range(N_GOLD):
-        scores[:] = 0.0
-        for t, w in zip(q_terms[qi], q_idf[qi]):
-            if t >= vocab:
-                continue
-            lo = np.searchsorted(sorted_terms, t, side="left")
-            hi = np.searchsorted(sorted_terms, t, side="right")
-            pos = post_order[lo:hi]
-            docs = pos // slots
-            tf = tfs.reshape(-1)[pos]
-            sat = tf * (K1 + 1.0) / (tf + norm_doc[docs])
-            np.add.at(scores, docs, w * sat)
-        kk = min(cand, n)
-        loc = np.argpartition(-scores, kk - 1)[:kk]
-        loc = loc[np.argsort(-scores[loc], kind="stable")]
-        gold_lv[qi, : kk] = scores[loc]
-        gold_li[qi, : kk] = loc
-    del flat_terms, post_order, sorted_terms, scores
-    lex_gold_s = time.perf_counter() - t0
+    def build_bm25_gold():
+        flat_terms = terms.reshape(-1)
+        log("  bm25 gold: sorting postings")
+        post_order = np.argsort(flat_terms, kind="stable")
+        sorted_terms = flat_terms[post_order]
+        norm_doc = (K1 * (1.0 - B + B * doc_len / avgdl)).astype(np.float32)
+        gold_lv = np.full((N_GOLD, cand), -np.inf, np.float32)
+        gold_li = np.full((N_GOLD, cand), -1, np.int64)
+        flat_tfs = tfs32.reshape(-1)
+        scores = np.zeros(n, np.float32)
+        for qi in range(N_GOLD):
+            scores[:] = 0.0
+            for t, w in zip(q_terms[qi], q_idf[qi]):
+                if t >= vocab:
+                    continue
+                lo = np.searchsorted(sorted_terms, t, side="left")
+                hi = np.searchsorted(sorted_terms, t, side="right")
+                pos = post_order[lo:hi]
+                docs = pos // slots
+                tf = flat_tfs[pos]
+                sat = tf * (K1 + 1.0) / (tf + norm_doc[docs])
+                np.add.at(scores, docs, w * sat)
+            kk = min(cand, n)
+            loc = np.argpartition(-scores, kk - 1)[:kk]
+            loc = loc[np.argsort(-scores[loc], kind="stable")]
+            gold_lv[qi, :kk] = scores[loc]
+            gold_li[qi, :kk] = loc
+            if qi % 16 == 0:
+                log(f"  bm25 gold query {qi}/{N_GOLD}")
+        return {"lv": gold_lv, "li": gold_li}
+
+    g = cached(f"bm25_gold_{tag}", build_bm25_gold)
+    gold_lv, gold_li = g["lv"], g["li"]
+    del g
 
     # exact hybrid gold = RRF of the two exact branches (bench.py semantics)
     gdi = np.where(np.isfinite(gold_dv), gold_di, -1).astype(np.int32)
@@ -188,29 +250,78 @@ def main() -> None:
     _, gold_hybrid = rrf_fuse(jnp.asarray(gdi), jnp.asarray(gli), k=k)
     gold_hybrid = np.asarray(gold_hybrid)
 
+    # -- inverted postings (host build, native C++ group-by) ------------------
+    def build_inv():
+        inv = build_inverted(terms, tfs32, doc_len, vocab,
+                             postings_per_term=postings_per_term,
+                             avgdl=avgdl)
+        return {"ids": np.asarray(inv.postings_ids),
+                "impact": np.asarray(
+                    inv.postings_impact.astype(jnp.float32)).astype(
+                        np.float16),
+                "num_docs": np.int64(inv.num_docs)}
+
+    inv_np = cached(f"inverted_{tag}_p{postings_per_term}", build_inv)
+
+    if prepare_only:
+        log("prepare done (lex, dense gold, bm25 gold, inverted cached); "
+            "run on TPU next")
+        return
+
     # -- IVF build (streamed, residual int8, balanced placement) -------------
-    t0 = time.perf_counter()
-    ivf = build_ivf_streaming(
-        chunks, nlist=nlist, capacity_factor=1.15, dtype=jnp.int8,
-        kmeans_iters=8, seed=1, train_sample=train_sample,
-        assign_candidates=4,
+    def build_ivf_phase():
+        ivf = build_ivf_streaming(
+            chunks, nlist=nlist, capacity_factor=1.15, dtype=jnp.int8,
+            kmeans_iters=8, seed=1, train_sample=train_sample,
+            assign_candidates=4,
+        )
+        out = {
+            "centroids": np.asarray(ivf.centroids),
+            "values": np.asarray(ivf.values),
+            "scales": np.asarray(ivf.scales),
+            "row_ids": np.asarray(ivf.row_ids),
+            "residual": np.bool_(ivf.residual),
+        }
+        if ivf.overflow is not None:
+            out["of_values"] = np.asarray(ivf.overflow.values)
+            out["of_scales"] = np.asarray(ivf.overflow.scales)
+            out["of_rows"] = np.asarray(ivf.overflow_rows)
+        return out
+
+    iv = cached(f"ivf_{tag}_l{nlist}", build_ivf_phase)
+    overflow = None
+    overflow_rows = None
+    if "of_values" in iv:
+        overflow = DenseCorpus(values=jnp.asarray(iv["of_values"]),
+                               scales=jnp.asarray(iv["of_scales"]))
+        overflow_rows = jnp.asarray(iv["of_rows"])
+    ivf = IVFIndex(
+        centroids=jnp.asarray(iv["centroids"]),
+        values=jnp.asarray(iv["values"]),
+        scales=jnp.asarray(iv["scales"]),
+        row_ids=jnp.asarray(iv["row_ids"]),
+        overflow=overflow,
+        overflow_rows=overflow_rows,
+        residual=bool(iv["residual"]),
     )
-    overflow_n = (int(ivf.overflow_rows.size)
-                  if ivf.overflow_rows is not None else 0)
-    ivf_build_s = time.perf_counter() - t0
+    overflow_n = int(iv["of_rows"].size) if "of_rows" in iv else 0
+    del iv
+    log(f"ivf on device (overflow={overflow_n})")
 
     # -- device lexical + inverted -------------------------------------------
-    t0 = time.perf_counter()
-    inverted = build_inverted(terms, tfs, doc_len, vocab,
-                              postings_per_term=postings_per_term,
-                              avgdl=avgdl)
+    inverted = InvertedIndex(
+        postings_ids=jnp.asarray(inv_np["ids"]),
+        postings_impact=jnp.asarray(inv_np["impact"]).astype(jnp.bfloat16),
+        num_docs=int(inv_np["num_docs"]),
+    )
+    del inv_np
     lexical = LexicalCorpus(
-        terms=jnp.asarray(terms), tfs=jnp.asarray(tfs, jnp.bfloat16),
+        terms=jnp.asarray(terms), tfs=jnp.asarray(tfs32, jnp.bfloat16),
         doc_len=jnp.asarray(doc_len.astype(np.float32)),
     )
-    del terms, tfs
+    del terms, tfs32, tfs_u8
     avgdl_j = jnp.float32(avgdl)
-    inv_build_s = time.perf_counter() - t0
+    log("lexical + inverted on device")
 
     queries = jnp.asarray(qn)
     q_terms_j = jnp.asarray(q_terms)
@@ -236,6 +347,7 @@ def main() -> None:
             _, di = ivf_search(queries[:N_GOLD], ivf, k=k, nprobe=np_)
         r = recall_of(di, gold_di[:, :k])
         dense_recalls[np_] = round(r, 4)
+        log(f"nprobe {np_}: dense recall@10 {r:.4f}")
         if r >= 0.95:
             chosen = np_
             break
@@ -253,9 +365,11 @@ def main() -> None:
     def sync(out):
         np.asarray(out.indices)
 
+    log(f"compiling hybrid program (nprobe={chosen})")
     res = run(queries[:N_GOLD], q_terms_j[:N_GOLD], q_idf_j[:N_GOLD])
     sync(res)
     hybrid_fidelity = recall_of(np.asarray(res.indices), gold_hybrid)
+    log(f"hybrid fidelity {hybrid_fidelity:.4f}")
 
     def timed(fn, lo=4, hi=12):
         def total(depth):
@@ -273,8 +387,10 @@ def main() -> None:
 
     run512 = lambda: run(queries, q_terms_j, q_idf_j)
     run32 = lambda: run(queries[:32], q_terms_j[:32], q_idf_j[:32])
+    log("timing batch 512")
     sync(run512())
     per_call_512 = timed(run512)
+    log("timing batch 32")
     sync(run32())
     per_call_32 = timed(run32)
 
@@ -288,7 +404,7 @@ def main() -> None:
         "qps_gate_10k": qps >= 10_000,
         "p50_gate_5ms": per_call_32 * 1e3 / 1.0 < 5.0,
     }
-    print(json.dumps({
+    result = {
         "metric": "hybrid_north_star_10m_single_chip",
         "value": round(qps, 1),
         "unit": "queries/s",
@@ -302,12 +418,12 @@ def main() -> None:
         "ivf_overflow_rows": overflow_n,
         "gates": gates,
         "all_gates": all(gates.values()),
-        "build_s": {"lexical": round(lex_build_s, 1),
-                    "dense_gold": round(dense_gold_s, 1),
-                    "bm25_gold": round(lex_gold_s, 1),
-                    "ivf": round(ivf_build_s, 1),
-                    "inverted": round(inv_build_s, 1)},
-    }), flush=True)
+    }
+    print(json.dumps(result), flush=True)
+    if full:
+        with open(os.path.join(ROOT, "BENCH_10M.json"), "w") as f:
+            json.dump(result, f, indent=1)
+        log("wrote BENCH_10M.json")
 
 
 if __name__ == "__main__":

@@ -562,6 +562,79 @@ def build_router(ctx: AppContext) -> Router:
             raise HttpError(404, "knowledge graph not enabled")
         return Response.json(ctx.kg.stats(req.path_params["cid"]))
 
+    @router.post("/api/v1/collections/{cid}/graph/search")
+    async def graph_search(req: Request) -> Response:
+        """Combined recipe search: edge/node/episode/community scopes,
+        configurable reranker, point-in-time ``as_of``, BFS origins
+        (graphiti search.py:54-180 recipe surface)."""
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"])
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        body = await req.json()
+        query = (body.get("query") or "").strip()
+        if not query:
+            raise HttpError(400, "query is required")
+        return Response.json(ctx.kg.search_combined(
+            req.path_params["cid"], query,
+            limit=int(body.get("limit", 5)),
+            center_node=body.get("center_node"),
+            rerank=body.get("rerank"),
+            as_of=body.get("as_of"),
+            bfs_origin_nodes=body.get("bfs_origin_nodes"),
+            scopes=body.get("scopes"),
+        ))
+
+    @router.get("/api/v1/collections/{cid}/graph/nodes")
+    async def graph_nodes(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"])
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        q = (req.query.get("q") or "").strip()
+        if not q:
+            raise HttpError(400, "q is required")
+        return Response.json(ctx.kg.search_nodes(
+            req.path_params["cid"], q,
+            top_k=int(req.query.get("limit", "5")),
+            center_node=req.query.get("center_node"),
+            rerank=req.query.get("rerank"),
+        ))
+
+    @router.get("/api/v1/collections/{cid}/graph/episodes")
+    async def graph_episodes(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"])
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        q = (req.query.get("q") or "").strip()
+        if not q:
+            raise HttpError(400, "q is required")
+        return Response.json(ctx.kg.search_episodes(
+            req.path_params["cid"], q,
+            top_k=int(req.query.get("limit", "5")),
+        ))
+
+    @router.get("/api/v1/collections/{cid}/graph/expand")
+    async def graph_expand(req: Request) -> Response:
+        """BFS hop expansion from origin nodes (?node=A&node=B&depth=2)."""
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"])
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        # comma-separated origins: ?node=Alice,Bob (the runtime's query
+        # dict keeps one value per key)
+        origins = [n.strip() for n in (req.query.get("node") or "").split(",")
+                   if n.strip()]
+        if not origins:
+            raise HttpError(400, "node is required")
+        as_of = req.query.get("as_of")
+        return Response.json(ctx.kg.expand(
+            req.path_params["cid"], origins,
+            max_depth=int(req.query.get("depth", "1")),
+            as_of=float(as_of) if as_of else None,
+        ))
+
     # -- marketplace -----------------------------------------------------------------------------
 
     @router.post("/api/v1/collections/{cid}/publish")

@@ -100,6 +100,14 @@ class QueryBatcher:
 
         def done(task):
             self._busy = False
+            if task.cancelled():
+                # loop shutdown: fail waiters instead of raising
+                # CancelledError out of the callback (which would leave
+                # _busy stuck and the waiters unresolved)
+                for f in futures:
+                    if not f.done():
+                        f.cancel()
+                return
             exc = task.exception()
             for i, f in enumerate(futures):
                 if f.done():

@@ -59,6 +59,12 @@ class ShardedDeviceIndex:
         self._ivf = None
         self._ivf_upto = 0
         self._ivf_nprobe = 32
+        # Pallas per-tile extraction cap for the sharded flat path.
+        # Starts at the conservative 8 (not the single-chip 2): the
+        # sharded tier has no serving traffic on this image to observe,
+        # so it keeps full recall until calibrate_per_tile_k — run at
+        # compaction like DeviceIndex — proves a narrower cap lossless.
+        self._per_tile_k = 8
         self._alloc(self._round_cap(spec.min_capacity))
 
     def _clear_tail(self) -> None:
@@ -238,6 +244,57 @@ class ShardedDeviceIndex:
         )
         self._inverted_upto = self.size
         self._clear_tail()
+        # per-tile-cap guard at compaction cadence (mirrors DeviceIndex;
+        # real kernel only — interpret mode at corpus scale is minutes)
+        if (jax.default_backend() == "tpu"
+                and self._capacity // self.n_dev >= 2048):
+            try:
+                self.calibrate_per_tile_k()
+            except Exception:  # noqa: BLE001 — guard is best-effort
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "sharded per_tile_k calibration failed"
+                )
+
+    def calibrate_per_tile_k(self, sample: int = 32, threshold: float = 0.98,
+                             cand: int = 100) -> int:
+        """Serving-time exactness guard for the sharded Pallas extraction
+        cap: compares capped vs exact (blocked-XLA) dense candidates on
+        sampled stored vectors and widens ``_per_tile_k`` until overlap
+        >= threshold.  Dense-only probe: empty query strings keep the
+        lexical branch silent, so the hybrid result IS the dense order."""
+        if self.size < 64:
+            return self._per_tile_k
+        alive = [r for r, m_ in enumerate(self.row_meta) if m_ is not None]
+        if len(alive) < 2:
+            return self._per_tile_k
+        rng = np.random.default_rng(1)
+        pick = rng.choice(len(alive), size=min(sample, len(alive)),
+                          replace=False)
+        idx = jnp.asarray(np.asarray(alive, np.int32)[pick])
+        q = np.asarray(jnp.take(self.emb, idx, axis=0).astype(jnp.float32))
+        if self.scales is not None:
+            q = q * np.asarray(jnp.take(self.scales, idx))[:, None]
+        q = q + 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+        queries = [""] * q.shape[0]
+        kk = min(cand, self.size)
+        gold = self.search_hybrid(q, queries, k=kk, candidates=kk,
+                                  use_pallas=False, rescore=False)
+        gold_sets = [set(x for x in row.tolist() if x >= 0)
+                     for row in np.asarray(gold.indices)]
+        tile = min(2048, self._capacity // self.n_dev)
+        while self._per_tile_k < min(kk, tile):
+            got = self.search_hybrid(q, queries, k=kk, candidates=kk,
+                                     use_pallas=True, rescore=False)
+            overlap = float(np.mean([
+                len(set(x for x in a.tolist() if x >= 0) & g) / max(len(g), 1)
+                for a, g in zip(np.asarray(got.indices), gold_sets)
+            ]))
+            if overlap >= threshold:
+                break
+            self._per_tile_k *= 2
+        return self._per_tile_k
 
     # -- dense compaction (per-shard IVF tier) --------------------------------
 
@@ -409,9 +466,11 @@ class ShardedDeviceIndex:
             use_pallas=use_pallas and ivf is None,
             interpret=not on_tpu,
             dense_tile=2048 if shard_rows >= 2048 else max(256, shard_rows),
-            # measured-lossless extraction cap (kernels.md stage
-            # breakdown; matches the single-chip DeviceIndex default)
-            per_tile_k=2 if (use_pallas and candidates >= 32) else None,
+            # extraction cap, widened/narrowed by calibrate_per_tile_k
+            # at compaction (ADVICE r2: never hardcode below the
+            # calibrated-lossless width on the sharded path)
+            per_tile_k=(self._per_tile_k
+                        if (use_pallas and candidates >= 32) else None),
             int8_queries=use_pallas and self.spec.dtype == jnp.int8,
             rescore=rescore,
             has_ivf=ivf is not None,

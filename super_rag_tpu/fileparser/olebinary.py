@@ -99,7 +99,10 @@ class CompoundFile:
         self.minifat = struct.unpack(f"<{len(minifat) // 4}I", bytes(minifat))
 
     def _sector(self, sid: int) -> bytes:
-        off = 512 + sid * self.sector_size
+        # sector 0 starts right after the 512-byte header for v3 files
+        # AND at offset 4096 for v4 (4096-byte sectors): both are
+        # (sid + 1) * sector_size — the header occupies sector "-1"
+        off = (sid + 1) * self.sector_size
         return self.data[off : off + self.sector_size]
 
     def _read_chain(self, start: int, limit: int = 1 << 26) -> bytes:

@@ -12,6 +12,16 @@ Capabilities mirrored from graphiti: add_episode (extract -> upsert
 nodes/edges, invalidate superseded duplicates), hybrid search with
 center-node distance boost, label listing, subgraph extraction for viz,
 group scoping by collection, delete by episode/group.
+
+Search surface parity (graphiti_core/search/search.py:54-454 and
+search_config_recipes.py): edge, NODE, EPISODE and COMMUNITY sub-searches
+with configurable rerankers (rrf | mmr | cross_encoder | node_distance),
+BFS hop expansion from origin nodes (edge_bfs_search/node_bfs_search,
+search_utils.py:431,773), and point-in-time queries (``as_of``) over the
+bi-temporal valid_at/invalid_at model.  The TPU shape of it: nodes and
+episode previews live in the SAME per-group device engine as edge facts,
+tagged by indexer code, so every scope is served by the one fused
+hybrid kernel with a mask — no second index, no gathers.
 """
 
 from __future__ import annotations
@@ -47,13 +57,32 @@ CREATE TABLE IF NOT EXISTS kg_episode (
 """
 
 
+# indexer tags scoping rows within the per-group engine: edge facts are
+# 'vector' rows, entity nodes 'graph' rows, episode previews 'summary'
+# rows — one device index, scope = a filter mask (engine/index.FilterSpec)
+_SCOPE_FACT = ["vector"]
+_SCOPE_NODE = ["graph"]
+_SCOPE_EPISODE = ["summary"]
+
+
 class KnowledgeGraphService:
     def __init__(self, db: Database, completion: Optional[Callable] = None,
-                 embed_dim: int = 128):
+                 embed_dim: int = 128,
+                 reranker: Optional[Callable] = None):
         self.db = db
         self.completion = completion
         self.embed_dim = embed_dim
+        self.reranker = reranker  # (query, texts) -> scores, for the
+        # cross_encoder reranker recipe (graphiti passes its CE client)
         db._conn.executescript(_KG_SCHEMA)
+        for ddl in (  # columns added after round 2 (existing DBs)
+            "ALTER TABLE kg_node ADD COLUMN row_id INTEGER DEFAULT -1",
+            "ALTER TABLE kg_episode ADD COLUMN row_id INTEGER DEFAULT -1",
+        ):
+            try:
+                db._conn.execute(ddl)
+            except Exception:  # noqa: BLE001 — column already exists
+                pass
         self._engines: dict[str, CollectionEngine] = {}
 
     # -- fact index (device) ----------------------------------------------------
@@ -65,10 +94,13 @@ class KnowledgeGraphService:
                 IndexSpec(dim=self.embed_dim, vocab_size=1 << 14)
             )
             self._engines[group_id] = eng
-            # hydrate from persisted edges (restart path)
+            # hydrate from persisted rows (restart path).  ALL edges are
+            # indexed — including invalidated ones — so point-in-time
+            # (as_of) queries can still retrieve superseded facts; live
+            # searches exclude them by validity filtering.
             rows = self.db.query(
                 "SELECT id, fact FROM kg_edge WHERE group_id=?"
-                " AND invalid_at IS NULL ORDER BY created",
+                " ORDER BY created",
                 (group_id,),
             )
             if rows:
@@ -79,11 +111,44 @@ class KnowledgeGraphService:
                         "UPDATE kg_edge SET row_id=? WHERE id=?",
                         (row_id, r["id"]),
                     )
+            nodes = self.db.query(
+                "SELECT id, name, label FROM kg_node WHERE group_id=?"
+                " ORDER BY created",
+                (group_id,),
+            )
+            if nodes:
+                ids = eng.ingest(
+                    [f"{r['name']} ({r['label']})" for r in nodes],
+                    metadata=[{"node_id": r["id"]} for r in nodes],
+                    indexer="graph",
+                )
+                for r, row_id in zip(nodes, ids):
+                    self.db.execute(
+                        "UPDATE kg_node SET row_id=? WHERE id=?",
+                        (row_id, r["id"]),
+                    )
+            eps = self.db.query(
+                "SELECT id, content_preview FROM kg_episode WHERE group_id=?"
+                " AND content_preview != '' ORDER BY created",
+                (group_id,),
+            )
+            if eps:
+                ids = eng.ingest(
+                    [r["content_preview"] for r in eps],
+                    metadata=[{"episode_id": r["id"]} for r in eps],
+                    indexer="summary",
+                )
+                for r, row_id in zip(eps, ids):
+                    self.db.execute(
+                        "UPDATE kg_episode SET row_id=? WHERE id=?",
+                        (row_id, r["id"]),
+                    )
         return eng
 
     # -- node/edge upserts ----------------------------------------------------------
 
-    def _upsert_node(self, group_id: str, name: str) -> str:
+    def _upsert_node(self, group_id: str, name: str,
+                     label: str = "Entity") -> str:
         norm = " ".join(name.lower().split())
         row = self.db.query_one(
             "SELECT id FROM kg_node WHERE group_id=? AND name_norm=?",
@@ -92,31 +157,50 @@ class KnowledgeGraphService:
         if row:
             return row["id"]
         nid = new_id("kgn")
+        # node-centric search rows (graphiti node_search parity): the
+        # node joins the group engine as a 'graph'-tagged row
+        row_id = self._engine(group_id).ingest(
+            [f"{name} ({label})"], metadata=[{"node_id": nid}],
+            indexer="graph",
+        )[0]
         self.db.execute(
-            "INSERT INTO kg_node (id,group_id,name,name_norm,created)"
-            " VALUES (?,?,?,?,?)",
-            (nid, group_id, name, norm, time.time()),
+            "INSERT INTO kg_node (id,group_id,name,name_norm,label,created,"
+            "row_id) VALUES (?,?,?,?,?,?,?)",
+            (nid, group_id, name, norm, label, time.time(), row_id),
         )
         return nid
+
+    def _insert_episode(self, eng: CollectionEngine, group_id: str,
+                        text: str, source: str, now: float) -> str:
+        eid = new_id("kge")
+        preview = text[:300]
+        row_id = -1
+        if preview:
+            row_id = eng.ingest([preview], metadata=[{"episode_id": eid}],
+                                indexer="summary")[0]
+        self.db.execute(
+            "INSERT INTO kg_episode (id,group_id,source,content_preview,"
+            "created,row_id) VALUES (?,?,?,?,?,?)",
+            (eid, group_id, source, preview, now, row_id),
+        )
+        return eid
 
     def add_episode(self, group_id: str, text: str, source: str = "",
                     triples: Optional[list[Triple]] = None) -> dict:
         """Extract triples and upsert them (graphiti add_episode analog).
 
         A new edge with the same (source, relation, target) invalidates
-        the previous one (temporal supersedence)."""
-        eid = new_id("kge")
-        self.db.execute(
-            "INSERT INTO kg_episode (id,group_id,source,content_preview,created)"
-            " VALUES (?,?,?,?,?)",
-            (eid, group_id, source, text[:300], time.time()),
-        )
+        the previous one (temporal supersedence).  Superseded facts KEEP
+        their device rows: `invalid_at` is recorded, live searches filter
+        them out, and point-in-time queries (``as_of``) can still reach
+        them — graphiti's bi-temporal model."""
+        eng = self._engine(group_id)
+        now = time.time()
+        eid = self._insert_episode(eng, group_id, text, source, now)
         triples = triples if triples is not None else extract(
             text, self.completion
         )
-        eng = self._engine(group_id)
         added = []
-        now = time.time()
         for t in triples:
             sid = self._upsert_node(group_id, t.source)
             tid = self._upsert_node(group_id, t.target)
@@ -130,8 +214,6 @@ class KnowledgeGraphService:
                 self.db.execute(
                     "UPDATE kg_edge SET invalid_at=? WHERE id=?", (now, o["id"])
                 )
-                if o["row_id"] >= 0:
-                    eng.delete([o["row_id"]])
             edge_id = new_id("kged")
             rows = eng.ingest([t.fact], metadata=[{"edge_id": edge_id}])
             self.db.execute(
@@ -155,13 +237,8 @@ class KnowledgeGraphService:
         episode_ids = []
         all_triples: list[tuple[str, Triple]] = []
         for text in texts:
-            eid = new_id("kge")
+            eid = self._insert_episode(eng, group_id, text, source, now)
             episode_ids.append(eid)
-            self.db.execute(
-                "INSERT INTO kg_episode (id,group_id,source,content_preview,"
-                "created) VALUES (?,?,?,?,?)",
-                (eid, group_id, source, text[:300], now),
-            )
             for t in extract(text, self.completion):
                 all_triples.append((eid, t))
 
@@ -198,8 +275,6 @@ class KnowledgeGraphService:
                     "UPDATE kg_edge SET invalid_at=? WHERE id=?",
                     (now, o["id"]),
                 )
-                if o["row_id"] >= 0:
-                    eng.delete([o["row_id"]])
             edge_rows.append((new_id("kged"), sid, tid, t, eid))
 
         if edge_rows:
@@ -231,41 +306,116 @@ class KnowledgeGraphService:
             "SELECT row_id FROM kg_edge WHERE group_id=? AND episode_id=?",
             (group_id, episode_id),
         )
-        eng.delete([r["row_id"] for r in rows if r["row_id"] >= 0])
+        dead = [r["row_id"] for r in rows if r["row_id"] >= 0]
+        ep = self.db.query_one(
+            "SELECT row_id FROM kg_episode WHERE id=?", (episode_id,)
+        )
+        if ep and ep.get("row_id", -1) is not None and ep["row_id"] >= 0:
+            dead.append(ep["row_id"])
+        eng.delete(dead)
         self.db.execute(
             "DELETE FROM kg_edge WHERE group_id=? AND episode_id=?",
             (group_id, episode_id),
         )
+        self.db.execute("DELETE FROM kg_episode WHERE id=?", (episode_id,))
 
     # -- search ----------------------------------------------------------------------
 
+    def _node_id(self, group_id: str, name: str) -> Optional[str]:
+        row = self.db.query_one(
+            "SELECT id FROM kg_node WHERE group_id=? AND name_norm=?",
+            (group_id, " ".join(name.lower().split())),
+        )
+        return row["id"] if row else None
+
+    def _node_distances(self, group_id: str, origin_ids: list[str],
+                        max_depth: int = 3) -> dict[str, int]:
+        """BFS hop distance from any origin over the valid-edge adjacency
+        (graphiti's node_distance reranker uses shortest RELATES_TO path —
+        search_utils.py node_distance; done here as one host BFS over the
+        sqlite adjacency, KG-scale small)."""
+        adj: dict[str, set[str]] = {}
+        for e in self.db.query(
+            "SELECT source_id, target_id FROM kg_edge WHERE group_id=?"
+            " AND invalid_at IS NULL",
+            (group_id,),
+        ):
+            adj.setdefault(e["source_id"], set()).add(e["target_id"])
+            adj.setdefault(e["target_id"], set()).add(e["source_id"])
+        dist = {o: 0 for o in origin_ids}
+        frontier = list(origin_ids)
+        for d in range(1, max_depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    def _valid_at(self, edge: dict, as_of: Optional[float]) -> bool:
+        if as_of is None:
+            return edge["invalid_at"] is None
+        return edge["valid_at"] <= as_of and (
+            edge["invalid_at"] is None or edge["invalid_at"] > as_of
+        )
+
+    def _edge_doc_rows(self, group_id: str,
+                       as_of: Optional[float]) -> Optional[list[int]]:
+        """Device row allowlist for point-in-time search: only edges
+        valid at ``as_of`` score (a mask, not a gather — shapes static)."""
+        if as_of is None:
+            return None
+        rows = self.db.query(
+            "SELECT row_id FROM kg_edge WHERE group_id=? AND row_id>=0"
+            " AND valid_at<=? AND (invalid_at IS NULL OR invalid_at>?)",
+            (group_id, as_of, as_of),
+        )
+        return [r["row_id"] for r in rows]
+
     def search(self, group_id: str, query: str, top_k: int = 5,
                center_node: Optional[str] = None,
-               rerank: Optional[str] = None) -> list[dict]:
-        """Hybrid fact search (+ optional neighbor boost around a node).
+               rerank: Optional[str] = None,
+               as_of: Optional[float] = None,
+               bfs_origin_nodes: Optional[list[str]] = None) -> list[dict]:
+        """Hybrid edge-fact search with graphiti's reranker recipes.
 
-        ``rerank='mmr'`` applies maximal-marginal-relevance diversity over
-        the fact embeddings (graphiti's MMR reranker family,
-        search/search.py:54-454)."""
+        ``rerank``: None (RRF order as retrieved) | 'mmr' (diversity over
+        fact embeddings) | 'cross_encoder' (service reranker refines) |
+        'node_distance' (closer to ``center_node`` ranks higher) —
+        the EdgeReranker family of search_config_recipes.py.
+        ``as_of``: point-in-time query — only facts valid at that
+        timestamp score, including since-superseded ones.
+        ``bfs_origin_nodes``: facts within one hop of these nodes join
+        the candidate pool (edge_bfs_search, search_utils.py:431)."""
         eng = self._engine(group_id)
         if eng.index.size == 0:
             return []
-        hits = eng.search(query, top_k=top_k * 2, mode="hybrid")
+        doc_rows = self._edge_doc_rows(group_id, as_of)
+        if doc_rows is not None and not doc_rows:
+            return []
+        hits = eng.search(query, top_k=top_k * 2, mode="hybrid",
+                          index_types=None if doc_rows else _SCOPE_FACT,
+                          doc_rows=doc_rows)
+        if bfs_origin_nodes:
+            hits = self._merge_bfs_edges(group_id, query, hits,
+                                         bfs_origin_nodes, as_of)
         if rerank == "mmr" and len(hits) > 1:
             hits = self._mmr(query, hits, top_k * 2)
-        boost_ids: set[str] = set()
-        if center_node:
-            node = self.db.query_one(
-                "SELECT id FROM kg_node WHERE group_id=? AND name_norm=?",
-                (group_id, " ".join(center_node.lower().split())),
-            )
-            if node:
-                for e in self.db.query(
-                    "SELECT id FROM kg_edge WHERE group_id=? AND invalid_at IS"
-                    " NULL AND (source_id=? OR target_id=?)",
-                    (group_id, node["id"], node["id"]),
-                ):
-                    boost_ids.add(e["id"])
+        elif rerank == "cross_encoder" and self.reranker and hits:
+            import numpy as np
+
+            ce = np.asarray(self.reranker(query, [h.text for h in hits]),
+                            np.float32)
+            order = np.argsort(-ce)
+            hits = [hits[int(j)] for j in order]
+            for h, s in zip(hits, sorted(ce.tolist(), reverse=True)):
+                h.score = float(s)
+        center_id = self._node_id(group_id, center_node) if center_node \
+            else None
+        dist = (self._node_distances(group_id, [center_id])
+                if center_id else {})
         out = []
         for h in hits:
             edge = self.db.query_one(
@@ -274,16 +424,278 @@ class KnowledgeGraphService:
                 " JOIN kg_node t ON t.id=e.target_id WHERE e.id=?",
                 (h.metadata.get("edge_id", ""),),
             )
-            if edge is None or edge["invalid_at"] is not None:
+            if edge is None or not self._valid_at(edge, as_of):
                 continue
-            score = h.score * (2.0 if edge["id"] in boost_ids else 1.0)
+            score = h.score
+            if center_id:
+                d = min(dist.get(edge["source_id"], 9),
+                        dist.get(edge["target_id"], 9))
+                if rerank == "node_distance":
+                    # graphiti node_distance: rank by 1/(1+hops)
+                    score = 1.0 / (1.0 + d)
+                elif d <= 1:
+                    score = score * 2.0  # legacy adjacency boost
             out.append({
                 "fact": edge["fact"], "score": score,
                 "source": edge["source_name"], "target": edge["target_name"],
                 "relation": edge["relation"], "edge_id": edge["id"],
+                "valid_at": edge["valid_at"], "invalid_at": edge["invalid_at"],
             })
         out.sort(key=lambda r: -r["score"])
         return out[:top_k]
+
+    def _merge_bfs_edges(self, group_id: str, query: str, hits,
+                         origin_names: list[str],
+                         as_of: Optional[float]):
+        """Add one-hop-of-origin facts to the candidate pool, RRF-merged
+        with the retrieved order (the bfs search method of the recipes)."""
+        origin_ids = [i for i in (self._node_id(group_id, n)
+                                  for n in origin_names) if i]
+        if not origin_ids:
+            return hits
+        have = {h.metadata.get("edge_id") for h in hits}
+        ph = ",".join("?" * len(origin_ids))
+        extra = []
+        for e in self.db.query(
+            f"SELECT * FROM kg_edge WHERE group_id=? AND (source_id IN ({ph})"
+            f" OR target_id IN ({ph}))",
+            (group_id, *origin_ids, *origin_ids),
+        ):
+            if e["id"] in have or not self._valid_at(e, as_of):
+                continue
+            if e["row_id"] is None or e["row_id"] < 0:
+                continue
+            from super_rag_tpu.engine.collection import SearchHit
+
+            tail = hits[-1].score if hits else 1.0
+            extra.append(SearchHit(
+                row=e["row_id"], score=tail * 0.5, text=e["fact"],
+                metadata={"edge_id": e["id"]}, recall_type="bfs",
+            ))
+        return hits + extra
+
+    # -- node / episode / combined search (graphiti recipe parity) ---------
+
+    def search_nodes(self, group_id: str, query: str, top_k: int = 5,
+                     center_node: Optional[str] = None,
+                     rerank: Optional[str] = None,
+                     bfs_origin_nodes: Optional[list[str]] = None
+                     ) -> list[dict]:
+        """Node-centric search (node_search, search.py:225-330): hybrid
+        over node rows ⊕ rank aggregation from matching FACTS (a node
+        surfaces when its facts match even if its name doesn't), with the
+        NodeReranker family (rrf | mmr | cross_encoder | node_distance
+        via center_node) and BFS origin expansion."""
+        eng = self._engine(group_id)
+        if eng.index.size == 0:
+            return []
+        # branch 1: direct node-row hits
+        direct = eng.search(query, top_k=top_k * 2, mode="hybrid",
+                            index_types=_SCOPE_NODE)
+        # branch 2: nodes of matching facts (rank-aggregated, RRF-style)
+        fact_hits = eng.search(query, top_k=top_k * 4, mode="hybrid",
+                               index_types=_SCOPE_FACT)
+        node_score: dict[str, float] = {}
+        for rank, h in enumerate(direct):
+            edge = h.metadata.get("node_id")
+            if edge:
+                node_score[edge] = node_score.get(edge, 0.0) \
+                    + 1.0 / (10 + rank)
+        for rank, h in enumerate(fact_hits):
+            e = self.db.query_one(
+                "SELECT source_id, target_id, invalid_at, valid_at FROM"
+                " kg_edge WHERE id=?",
+                (h.metadata.get("edge_id", ""),),
+            )
+            if e is None or e["invalid_at"] is not None:
+                continue
+            for nid in (e["source_id"], e["target_id"]):
+                node_score[nid] = node_score.get(nid, 0.0) + 1.0 / (10 + rank)
+        if bfs_origin_nodes:
+            origin_ids = [i for i in (self._node_id(group_id, n)
+                                      for n in bfs_origin_nodes) if i]
+            if origin_ids:
+                floor = min(node_score.values(), default=0.02)
+                for nid, d in self._node_distances(
+                    group_id, origin_ids, max_depth=1
+                ).items():
+                    if d == 1 and nid not in node_score:
+                        node_score[nid] = floor * 0.5
+        if not node_score:
+            return []
+        center_id = self._node_id(group_id, center_node) if center_node \
+            else None
+        if rerank == "node_distance" and center_id:
+            dist = self._node_distances(group_id, [center_id])
+            for nid in node_score:
+                node_score[nid] = 1.0 / (1.0 + dist.get(nid, 9))
+        ranked = sorted(node_score.items(), key=lambda kv: -kv[1])
+        out = []
+        for nid, score in ranked:
+            n = self.db.query_one("SELECT * FROM kg_node WHERE id=?", (nid,))
+            if n is None:
+                continue
+            facts = self.db.query(
+                "SELECT fact FROM kg_edge WHERE group_id=? AND invalid_at IS"
+                " NULL AND (source_id=? OR target_id=?) LIMIT 3",
+                (group_id, nid, nid),
+            )
+            out.append({
+                "node_id": nid, "name": n["name"], "label": n["label"],
+                "score": round(score, 5),
+                "facts": [f["fact"] for f in facts],
+            })
+            if len(out) >= top_k * 2:
+                break
+        if rerank == "mmr" and len(out) > 1:
+            texts = [f"{o['name']}: {'; '.join(o['facts'])}" for o in out]
+            order = self._mmr_order(query, texts, top_k)
+            out = [out[i] for i in order]
+        elif rerank == "cross_encoder" and self.reranker and out:
+            import numpy as np
+
+            texts = [f"{o['name']}: {'; '.join(o['facts'])}" for o in out]
+            ce = np.asarray(self.reranker(query, texts), np.float32)
+            order = np.argsort(-ce)
+            out = [out[int(j)] for j in order]
+        return out[:top_k]
+
+    def search_episodes(self, group_id: str, query: str,
+                        top_k: int = 5) -> list[dict]:
+        """Episode retrieval (episode_search, search.py:332-387; the
+        recipes use BM25 only for episodes) over preview rows."""
+        eng = self._engine(group_id)
+        if eng.index.size == 0:
+            return []
+        hits = eng.search(query, top_k=top_k, mode="fulltext",
+                          index_types=_SCOPE_EPISODE)
+        out = []
+        for h in hits:
+            ep = self.db.query_one(
+                "SELECT * FROM kg_episode WHERE id=?",
+                (h.metadata.get("episode_id", ""),),
+            )
+            if ep is None:
+                continue
+            out.append({
+                "episode_id": ep["id"], "score": h.score,
+                "source": ep["source"], "preview": ep["content_preview"],
+                "created": ep["created"],
+            })
+        return out
+
+    def search_communities(self, group_id: str, query: str,
+                           top_k: int = 3) -> list[dict]:
+        """Community search (community recipes): cosine over community
+        summary embeddings — communities are few, so this scores host-side
+        with the engine's embedder rather than maintaining device rows."""
+        import numpy as np
+
+        comms = self.communities(group_id)
+        if not comms:
+            return []
+        embedder = self._engine(group_id).embedder
+        texts = [f"{c['summary']} {' '.join(c['members'])}" for c in comms]
+        emb = np.asarray(embedder.embed([query] + texts), np.float32)
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(nrm > 0, nrm, 1.0)
+        scores = emb[1:] @ emb[0]
+        order = np.argsort(-scores)[:top_k]
+        return [{**comms[int(j)], "score": float(scores[int(j)])}
+                for j in order]
+
+    def search_combined(self, group_id: str, query: str, limit: int = 5,
+                        center_node: Optional[str] = None,
+                        rerank: Optional[str] = None,
+                        as_of: Optional[float] = None,
+                        bfs_origin_nodes: Optional[list[str]] = None,
+                        scopes: Optional[list[str]] = None) -> dict:
+        """The COMBINED_HYBRID_SEARCH_* recipe shape (search.py:54-180):
+        edge + node + episode + community sub-searches in one call,
+        sharing the reranker/center/BFS configuration."""
+        scopes = scopes or ["edges", "nodes", "episodes", "communities"]
+        out: dict = {}
+        if "edges" in scopes:
+            out["edges"] = self.search(
+                group_id, query, top_k=limit, center_node=center_node,
+                rerank=rerank, as_of=as_of,
+                bfs_origin_nodes=bfs_origin_nodes,
+            )
+        if "nodes" in scopes:
+            out["nodes"] = self.search_nodes(
+                group_id, query, top_k=limit, center_node=center_node,
+                rerank=rerank, bfs_origin_nodes=bfs_origin_nodes,
+            )
+        if "episodes" in scopes:
+            out["episodes"] = self.search_episodes(group_id, query,
+                                                   top_k=limit)
+        if "communities" in scopes:
+            out["communities"] = self.search_communities(group_id, query,
+                                                         top_k=limit)
+        return out
+
+    def expand(self, group_id: str, origin_nodes: list[str],
+               max_depth: int = 1,
+               as_of: Optional[float] = None) -> dict:
+        """BFS hop expansion from origin nodes: nodes + edges within
+        ``max_depth`` hops (edge_bfs_search/node_bfs_search parity)."""
+        origin_ids = [i for i in (self._node_id(group_id, n)
+                                  for n in origin_nodes) if i]
+        if not origin_ids:
+            return {"nodes": [], "edges": []}
+        dist = self._node_distances(group_id, origin_ids,
+                                    max_depth=max_depth)
+        edges = []
+        for e in self.db.query(
+            "SELECT e.*, s.name AS source_name, t.name AS target_name"
+            " FROM kg_edge e JOIN kg_node s ON s.id=e.source_id"
+            " JOIN kg_node t ON t.id=e.target_id WHERE e.group_id=?",
+            (group_id,),
+        ):
+            if not self._valid_at(e, as_of):
+                continue
+            if e["source_id"] in dist and e["target_id"] in dist:
+                edges.append({
+                    "id": e["id"], "source": e["source_name"],
+                    "target": e["target_name"], "relation": e["relation"],
+                    "fact": e["fact"],
+                    "depth": min(dist[e["source_id"]], dist[e["target_id"]]),
+                })
+        nodes = []
+        for nid, d in sorted(dist.items(), key=lambda kv: kv[1]):
+            n = self.db.query_one("SELECT * FROM kg_node WHERE id=?", (nid,))
+            if n:
+                nodes.append({"id": nid, "name": n["name"],
+                              "label": n["label"], "depth": d})
+        return {"nodes": nodes, "edges": edges}
+
+    def _mmr_order(self, query: str, texts: list[str], k: int,
+                   lam: float = 0.6) -> list[int]:
+        import numpy as np
+
+        embedder = None
+        for e in self._engines.values():
+            embedder = e.embedder
+            break
+        if embedder is None:
+            return list(range(len(texts)))
+        emb = np.asarray(embedder.embed([query] + texts), np.float32)
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(nrm > 0, nrm, 1.0)
+        qv, dv = emb[0], emb[1:]
+        rel = dv @ qv
+        picked: list[int] = []
+        rest = list(range(len(texts)))
+        while rest and len(picked) < k:
+            if not picked:
+                j = int(np.argmax([rel[i] for i in rest]))
+            else:
+                pv = dv[picked]
+                mmr = [lam * rel[i] - (1 - lam) * float((dv[i] @ pv.T).max())
+                       for i in rest]
+                j = int(np.argmax(mmr))
+            picked.append(rest.pop(j))
+        return picked
 
     def _mmr(self, query: str, hits, k: int, lam: float = 0.6):
         """Maximal marginal relevance over fact embeddings: greedy pick

@@ -167,7 +167,8 @@ def build_context(
     if completion_client is not None:
         completion = lambda **kw: completion_client.complete(**kw)  # noqa: E731
 
-    kg = KnowledgeGraphService(db, completion=completion)
+    kg = KnowledgeGraphService(db, completion=completion,
+                               reranker=reranker_factory({}))
     from super_rag_tpu.engine.batcher import QueryBatcher
 
     batcher = QueryBatcher(max_batch=cfg.batch_max,

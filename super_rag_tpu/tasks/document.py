@@ -23,6 +23,34 @@ from super_rag_tpu.store.objectstore import ObjectStore
 logger = logging.getLogger(__name__)
 
 
+def _live_engine_rows(engine, document_id: str, index_type: str) -> list[int]:
+    """All alive engine rows for (document, index_type) by row metadata.
+
+    The index_data spec row can under-report: if a v1 create commits after
+    v2 was claimed, the reconciler's CAS drops v1's completion as stale and
+    its engine rows are never recorded — delete-by-index_data alone would
+    leave them searchable forever.  Scanning live row_meta makes
+    create_index idempotent against ANY orphaned rows of this document.
+    """
+    import numpy as np
+
+    from super_rag_tpu.engine.index import INDEXER_CODES
+
+    idx = engine.index
+    code = INDEXER_CODES.get(index_type)
+    codes = None
+    if code is not None and idx.size:
+        codes = np.asarray(idx.indexer_code[: idx.size])
+    rows = []
+    for r, meta in enumerate(idx.row_meta):
+        if meta is None or meta.get("document_id") != document_id:
+            continue
+        if codes is not None and r < len(codes) and int(codes[r]) != code:
+            continue
+        rows.append(r)
+    return rows
+
+
 class DocumentIndexTask:
     def __init__(self, db: Database, objects: ObjectStore,
                  engines: EngineManager, cfg: Settings):
@@ -75,6 +103,13 @@ class DocumentIndexTask:
         old_rows = []
         if spec_row and spec_row.get("index_data"):
             old_rows = _json.loads(spec_row["index_data"]).get("rows", [])
+        # union with a live-row scan: rows inserted by a superseded version
+        # whose completion lost the CAS race are in the engine but not in
+        # index_data (ADVICE r2) — delete them too or they stay searchable
+        old_rows = sorted(
+            set(old_rows) | set(_live_engine_rows(engine, document_id,
+                                                  index_type))
+        )
         if old_rows:
             engine.delete(old_rows)
 
