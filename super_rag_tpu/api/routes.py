@@ -571,7 +571,7 @@ def build_router(ctx: AppContext) -> Router:
         collections.get(user["username"], req.path_params["cid"])
         if ctx.kg is None:
             raise HttpError(404, "knowledge graph not enabled")
-        body = await req.json()
+        body = req.json()
         query = (body.get("query") or "").strip()
         if not query:
             raise HttpError(400, "query is required")
@@ -1074,8 +1074,11 @@ def build_router(ctx: AppContext) -> Router:
         from super_rag_tpu.websearch.service import WebSearchService
 
         b = parse_body(vm.WebSearchRequest, req.json())
+        if not b.query.strip() and not (b.source or "").strip():
+            raise HttpError(422, "query or source is required")
         svc = req.state.get("web") or WebSearchService()
-        results = svc.search(b.query, max_results=b.max_results)
+        results = svc.search(b.query, max_results=b.max_results,
+                             providers=b.providers, source=b.source)
         return Response.json({"results": results,
                               "offline": len(results) == 0})
 

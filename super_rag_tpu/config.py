@@ -37,6 +37,18 @@ class Settings:
     object_store_type: str = field(
         default_factory=lambda: _env("OBJECT_STORE_TYPE", "local")
     )
+    # s3 backend (object_store_type=s3): any S3-compatible endpoint
+    # (AWS, MinIO, RustFS); credentials fall back to AWS_* env vars
+    s3_bucket: str = field(default_factory=lambda: _env("S3_BUCKET", ""))
+    s3_endpoint: str = field(default_factory=lambda: _env("S3_ENDPOINT", ""))
+    s3_region: str = field(
+        default_factory=lambda: _env("S3_REGION", "us-east-1")
+    )
+    # mirror index snapshots into the object store for durability
+    # (SURVEY.md 5.4; needs object_store_type=s3 to leave the machine)
+    snapshot_to_object_store: bool = field(
+        default_factory=lambda: _env("SNAPSHOT_TO_OBJECT_STORE", "") == "1"
+    )
 
     # chunking (reference defaults: 400/20 — config.py:82-83)
     chunk_size: int = field(default_factory=lambda: _env_int("CHUNK_SIZE", 400))

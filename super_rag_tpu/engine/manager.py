@@ -33,6 +33,10 @@ class EngineManager:
         self._lock = threading.RLock()
         self._embedder_factory = embedder_factory or self._default_embedder
         self._reranker_factory = reranker_factory or (lambda config: None)
+        # optional durability mirror: snapshots also land in an
+        # ObjectStore (set by build_context when
+        # cfg.snapshot_to_object_store; engine/snapshot.py store helpers)
+        self.snapshot_store = None
 
     def _default_embedder(self, config: dict) -> Any:
         dim = int(config.get("embedding", {}).get("dim", self.cfg.embedding_dim))
@@ -66,6 +70,24 @@ class EngineManager:
                 if key in config.get("hybrid", {})
             }
             path = self._snapshot_path(collection_id)
+            if not snapshot_exists(path) and self.snapshot_store is not None:
+                # cold machine: restore from the object-store mirror
+                from super_rag_tpu.engine.snapshot import (
+                    load_index_from_store,
+                    store_snapshot_exists,
+                )
+
+                key = f"snapshots/{collection_id}"
+                if store_snapshot_exists(self.snapshot_store, key):
+                    index = load_index_from_store(self.snapshot_store, key)
+                    eng = CollectionEngine(
+                        index.spec, embedder=embedder,
+                        reranker=self._reranker_factory(config),
+                        hybrid_opts=hybrid_opts,
+                    )
+                    eng.index = index
+                    self._engines[collection_id] = eng
+                    return eng
             if snapshot_exists(path):
                 index = load_index(path)
                 eng = CollectionEngine(
@@ -101,6 +123,11 @@ class EngineManager:
             eng = self._engines.get(collection_id)
         if eng is not None:
             save_index(eng.index, self._snapshot_path(collection_id))
+            if self.snapshot_store is not None:
+                from super_rag_tpu.engine.snapshot import save_index_to_store
+
+                save_index_to_store(eng.index, self.snapshot_store,
+                                    f"snapshots/{collection_id}")
 
     def snapshot_all(self) -> None:
         with self._lock:

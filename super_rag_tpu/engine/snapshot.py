@@ -41,3 +41,35 @@ def load_index(path: str) -> DeviceIndex:
 
 def snapshot_exists(path: str) -> bool:
     return os.path.exists(path + ".npz") and os.path.exists(path + ".json")
+
+
+# -- object-store-backed snapshots (index durability off this machine) -------
+#
+# The reference leans on SeekDB + RustFS for durability; here the same
+# npz+json pair can be mirrored into any ObjectStore (store/objectstore.py
+# — e.g. the SigV4 S3 backend) so a fresh machine can restore HBM state.
+
+
+def save_index_to_store(index: DeviceIndex, store, key_prefix: str) -> None:
+    import io
+
+    arrays, host = index.snapshot_state()
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    store.put(key_prefix + ".npz", buf.getvalue())
+    store.put(key_prefix + ".json", json.dumps(host).encode())
+
+
+def load_index_from_store(store, key_prefix: str) -> DeviceIndex:
+    import io
+
+    with np.load(io.BytesIO(store.get(key_prefix + ".npz"))) as z:
+        arrays = {k: z[k] for k in z.files}
+    host = json.loads(store.get(key_prefix + ".json").decode())
+    return DeviceIndex.from_snapshot(arrays, host)
+
+
+def store_snapshot_exists(store, key_prefix: str) -> bool:
+    return store.exists(key_prefix + ".npz") and store.exists(
+        key_prefix + ".json"
+    )

@@ -278,8 +278,12 @@ class ApiKeyCreate(BaseModel):
 
 
 class WebSearchRequest(BaseModel):
-    query: str = Field(min_length=1)
+    # query may be empty when ``source`` drives llms.txt discovery
+    # (reference WebSearchRequest: query or source required)
+    query: str = Field(default="")
     max_results: int = Field(default=5, ge=1, le=50)
+    source: Optional[str] = None
+    providers: Optional[list] = None
 
 
 class WebReadRequest(BaseModel):

@@ -55,7 +55,15 @@ def build_context(
 ) -> AppContext:
     cfg = cfg or default_settings
     db = Database(cfg.resolved_db_path())
-    objects = LocalObjectStore(cfg.objects_root())
+    if cfg.object_store_type == "s3":
+        from super_rag_tpu.store.objectstore import get_object_store
+
+        objects = get_object_store(
+            "s3", bucket=cfg.s3_bucket,
+            endpoint_url=cfg.s3_endpoint or None, region=cfg.s3_region,
+        )
+    else:
+        objects = LocalObjectStore(cfg.objects_root())
 
     # model resolution: collection config -> provider/model from DB; the
     # on-TPU hash embedder serves when nothing is configured or the
@@ -149,6 +157,8 @@ def build_context(
 
     engines = EngineManager(cfg, embedder_factory=embedder_factory,
                             reranker_factory=reranker_factory)
+    if cfg.snapshot_to_object_store:
+        engines.snapshot_store = objects
     task = DocumentIndexTask(db, objects, engines, cfg)
     reconciler = DocumentIndexReconciler(db)
     scheduler: TaskScheduler = (
