@@ -94,6 +94,11 @@ class Settings:
     ingest_host_workers: int = field(
         default_factory=lambda: _env_int("INGEST_HOST_WORKERS", 4)
     )
+    # 'thread' (default) | 'process': process runs parse/chunk in worker
+    # subprocesses over pipes (the Ray-shaped contract, tasks/worker.py)
+    ingest_backend: str = field(
+        default_factory=lambda: _env("INGEST_BACKEND", "thread")
+    )
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     bm25_slots: int = field(default_factory=lambda: _env_int("BM25_SLOTS", 64))
     vocab_size: int = field(default_factory=lambda: _env_int("VOCAB_SIZE", 1 << 17))

@@ -161,12 +161,20 @@ def build_context(
         engines.snapshot_store = objects
     task = DocumentIndexTask(db, objects, engines, cfg)
     reconciler = DocumentIndexReconciler(db)
-    scheduler: TaskScheduler = (
-        ThreadScheduler(task, reconciler.callbacks,
-                        host_workers=cfg.ingest_host_workers)
-        if background_tasks
-        else InProcessScheduler(task, reconciler.callbacks)
-    )
+    if not background_tasks:
+        scheduler: TaskScheduler = InProcessScheduler(
+            task, reconciler.callbacks
+        )
+    elif cfg.ingest_backend == "process":
+        from super_rag_tpu.tasks.scheduler import ProcessScheduler
+
+        scheduler = ProcessScheduler(
+            task, reconciler.callbacks,
+            process_workers=cfg.ingest_host_workers,
+        )
+    else:
+        scheduler = ThreadScheduler(task, reconciler.callbacks,
+                                    host_workers=cfg.ingest_host_workers)
     reconciler.scheduler = scheduler
     auth = Auth(db, cfg.jwt_secret, cfg.jwt_ttl_hours,
                 oauth_providers=cfg.oauth_providers())

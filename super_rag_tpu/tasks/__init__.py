@@ -1,5 +1,6 @@
 from super_rag_tpu.tasks.scheduler import (
     InProcessScheduler,
+    ProcessScheduler,
     TaskScheduler,
     ThreadScheduler,
 )
@@ -8,6 +9,7 @@ from super_rag_tpu.tasks.reconciler import DocumentIndexReconciler
 __all__ = [
     "TaskScheduler",
     "InProcessScheduler",
+    "ProcessScheduler",
     "ThreadScheduler",
     "DocumentIndexReconciler",
 ]

@@ -2,12 +2,14 @@
 
 The reference fans ingestion out over Ray (config/ray_tasks.py remote
 tasks; tasks/scheduler.py RayTaskScheduler).  Ray is absent from this
-image, so the same ABC fronts two backends: InProcessScheduler (runs the
-workflow synchronously — also the deterministic test path; the reference
-itself runs Ray in local_mode — config/ray_schedule.py:48) and
+image, so the same ABC fronts three backends: InProcessScheduler (runs
+the workflow synchronously — also the deterministic test path; the
+reference itself runs Ray in local_mode — config/ray_schedule.py:48),
 ThreadScheduler (a worker pool feeding the single device: parse/chunk on
-host threads while the TPU runs embed+insert batches).  A Ray backend can
-slot in behind the same interface on images that have it.
+host threads while the TPU runs embed+insert batches), and
+ProcessScheduler (parse/chunk in REAL worker subprocesses speaking
+JSON-lines over pipes — tasks/worker.py — proving the scheduler contract
+serializes across a process boundary so a Ray/RPC backend can drop in).
 """
 
 from __future__ import annotations
@@ -125,11 +127,15 @@ class ThreadScheduler(CallbackScheduler):
             finally:
                 self._q.task_done()
 
+    def _submit_prepare(self, document_id: str, index_type: str):
+        """Kick off the host-side prepare stage; overridden by
+        ProcessScheduler to cross a process boundary."""
+        return self._host.submit(self.task.prepare, document_id, index_type)
+
     def schedule_create_index(self, index_id, document_id, index_type, version):
         fut = None
         if self._host is not None:
-            fut = self._host.submit(self.task.prepare, document_id,
-                                    index_type)
+            fut = self._submit_prepare(document_id, index_type)
         self._q.put(lambda: self._run_create(index_id, document_id,
                                              index_type, version,
                                              prepare_future=fut))
@@ -153,3 +159,92 @@ class ThreadScheduler(CallbackScheduler):
             self._host.shutdown(wait=False)
         for _ in self._workers:
             self._q.put(None)
+
+
+class _Worker:
+    """One ingest worker subprocess with a request/response pipe."""
+
+    def __init__(self):
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        pkg_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ))
+        env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "super_rag_tpu.tasks.worker"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            bufsize=1, env=env,
+        )
+        self.lock = threading.Lock()
+
+    def call(self, req: dict) -> dict:
+        import json
+
+        with self.lock:
+            assert self.proc.stdin and self.proc.stdout
+            self.proc.stdin.write(json.dumps(req) + "\n")
+            self.proc.stdin.flush()
+            line = self.proc.stdout.readline()
+        if not line:
+            raise RuntimeError("ingest worker died")
+        return json.loads(line)
+
+    def stop(self) -> None:
+        try:
+            if self.proc.stdin:
+                self.proc.stdin.close()
+            self.proc.terminate()
+        except Exception:  # noqa: BLE001 — already gone
+            pass
+
+
+class ProcessScheduler(ThreadScheduler):
+    """Pipelined ingest with prepare in SUBPROCESSES (tasks/worker.py).
+
+    Same FIFO device-commit ordering as ThreadScheduler; the parse/chunk
+    stage runs out-of-process and its Parts/Chunks return over a pipe —
+    the Ray-shaped contract (reference tasks/scheduler.py:91-166), with
+    the pipe standing in for Ray's object store.  The device-side commit
+    stays in the parent where the TPU engine lives (SeekDB's role)."""
+
+    def __init__(self, task, callbacks, num_workers: int = 1,
+                 process_workers: int = 2):
+        super().__init__(task, callbacks, num_workers=num_workers,
+                         host_workers=max(process_workers, 1))
+        self._procs = [_Worker() for _ in range(max(process_workers, 1))]
+        self._idle: "queue.Queue[_Worker]" = queue.Queue()
+        for w in self._procs:
+            self._idle.put(w)
+
+    def _remote_prepare(self, document_id: str, index_type: str) -> dict:
+        from super_rag_tpu.tasks.worker import prepared_from_wire
+
+        cfg = self.task.cfg
+        w = self._idle.get()
+        try:
+            resp = w.call({
+                "op": "prepare", "document_id": document_id,
+                "index_type": index_type,
+                "db_path": self.task.db.path,
+                "objects_root": getattr(self.task.objects, "root", ""),
+                "chunk_size": cfg.chunk_size,
+                "chunk_overlap": cfg.chunk_overlap,
+            })
+        finally:
+            self._idle.put(w)
+        if not resp.get("ok"):
+            raise RuntimeError(resp.get("error", "prepare failed"))
+        return prepared_from_wire(resp["prepared"])
+
+    def _submit_prepare(self, document_id: str, index_type: str):
+        return self._host.submit(self._remote_prepare, document_id,
+                                 index_type)
+
+    def shutdown(self) -> None:
+        super().shutdown()
+        for w in self._procs:
+            w.stop()
