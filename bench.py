@@ -77,7 +77,8 @@ def main():
     vocab = (1 << 17) if on_tpu else (1 << 14)
 
     rng = np.random.default_rng(0)
-    emb = rng.standard_normal((n, d)).astype(np.float32)
+    # f32 draw: this host's f64 ziggurat is ~50x slower (measured)
+    emb = rng.standard_normal((n, d), dtype=np.float32)
     dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
     dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
 
@@ -109,7 +110,7 @@ def main():
     df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
     idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
 
-    queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((batch, d), dtype=np.float32))
     # query terms drawn from corpus rows so lexical matches exist; terms
     # are DEDUPED per query (the analyzer's query_entry contract — the
     # inverted path sums postings per occurrence, so duplicates would

@@ -62,12 +62,19 @@ _TOOL_CALL = re.compile(r"\{.*\}", re.S)
 
 @dataclass
 class AgentSession:
-    """One user+chat agent loop with short-term memory."""
+    """One user+chat agent loop with short-term memory.
+
+    ``system_template`` overrides the built-in system prompt (jinja2,
+    variables tool_descriptions/history/query — reference api/chat.py:180
+    bot_config.agent.system_prompt_template); ``language`` selects the
+    en/zh default when no override is set."""
 
     tools: ToolRegistry
     completion: Optional[Callable] = None  # (prompt) -> str | awaitable
     history_limit: int = 4  # reference context_limit=4
     history: list[dict] = field(default_factory=list)
+    system_template: Optional[str] = None
+    language: str = "en-US"
 
     async def run(self, query: str) -> AsyncIterator[dict]:
         """Yields: tool_call, tool_result, delta, done events."""
@@ -80,11 +87,25 @@ class AgentSession:
         transcript: list[str] = []
         answer = ""
         for _ in range(MAX_TOOL_ITERATIONS):
-            prompt = SYSTEM_PROMPT.format(
-                tool_descriptions=self.tools.descriptions(),
-                history=self._render_history(extra=transcript),
-                query=query,
-            )
+            if self.system_template:
+                from super_rag_tpu.llm.prompts import render_template
+
+                prompt = render_template(
+                    self.system_template,
+                    tool_descriptions=self.tools.descriptions(),
+                    history=self._render_history(extra=transcript),
+                    query=query,
+                )
+            else:
+                from super_rag_tpu.llm.prompts import (
+                    get_agent_system_prompt,
+                )
+
+                prompt = get_agent_system_prompt(self.language).format(
+                    tool_descriptions=self.tools.descriptions(),
+                    history=self._render_history(extra=transcript),
+                    query=query,
+                )
             raw = self.completion(prompt=prompt)
             if inspect.isawaitable(raw):
                 raw = await raw

@@ -83,7 +83,8 @@ class AgentSessionManager:
         self._lock = threading.Lock()
 
     def get(self, username: str, chat_id: str,
-            collection_ids: list[str]) -> AgentSession:
+            collection_ids: list[str],
+            agent_config: dict | None = None) -> AgentSession:
         key = (username, chat_id)
         now = time.time()
         with self._lock:
@@ -91,9 +92,14 @@ class AgentSessionManager:
             if entry and now - entry[1] < SESSION_TTL_S:
                 self._sessions[key] = (entry[0], now)
                 return entry[0]
+            # per-agent prompt overrides (reference api/chat.py:180:
+            # bot_config.agent.system_prompt_template / language)
+            acfg = (agent_config or {}).get("agent", agent_config or {})
             session = AgentSession(
                 tools=platform_tools(self.ctx, username, collection_ids),
                 completion=self.ctx.completion,
+                system_template=acfg.get("system_prompt_template"),
+                language=acfg.get("language", "en-US"),
             )
             self._sessions[key] = (session, now)
             return session

@@ -798,6 +798,56 @@ def build_router(ctx: AppContext) -> Router:
         ctx.reconciler.reconcile_all()
         return Response.json({"rebuilt": n})
 
+    # -- prompt templates (reference prompt_template_service) --------------------------------------------
+
+    @router.get("/api/v1/prompt-templates")
+    async def list_prompt_templates_route(req: Request) -> Response:
+        """Builtin role presets for the language + the user's custom
+        templates (reference list_prompt_templates)."""
+        from super_rag_tpu.llm.prompts import list_templates
+
+        user = me(req)
+        language = req.query.get("language", "en-US")
+        return Response.json(list_templates(
+            language, db=ctx.db, username=user["username"]
+        ))
+
+    @router.post("/api/v1/prompt-templates")
+    async def create_prompt_template_route(req: Request) -> Response:
+        user = me(req)
+        b = req.json()
+        if not b.get("name") or not b.get("prompt"):
+            raise HttpError(422, "name and prompt are required")
+        try:
+            row = ctx.db.create_prompt_template(
+                user["username"], b["name"], b["prompt"],
+                description=b.get("description", ""),
+                language=b.get("language", "en-US"),
+            )
+        except Exception as e:  # noqa: BLE001 — unique(user,name,language)
+            raise HttpError(409, f"template exists: {e}") from e
+        return Response.json(row, status=201)
+
+    @router.put("/api/v1/prompt-templates/{pid}")
+    async def update_prompt_template_route(req: Request) -> Response:
+        user = me(req)
+        row = ctx.db.get_prompt_template(req.path_params["pid"])
+        if row is None or row["user"] != user["username"]:
+            raise HttpError(404, "template not found")
+        ctx.db.update_prompt_template(req.path_params["pid"], **req.json())
+        return Response.json(
+            ctx.db.get_prompt_template(req.path_params["pid"])
+        )
+
+    @router.delete("/api/v1/prompt-templates/{pid}")
+    async def delete_prompt_template_route(req: Request) -> Response:
+        user = me(req)
+        row = ctx.db.get_prompt_template(req.path_params["pid"])
+        if row is None or row["user"] != user["username"]:
+            raise HttpError(404, "template not found")
+        ctx.db.delete_prompt_template(req.path_params["pid"])
+        return Response.no_content()
+
     # -- llm providers ------------------------------------------------------------------------------------
 
     @router.get("/api/v1/llm_providers")
@@ -1003,7 +1053,8 @@ def build_router(ctx: AppContext) -> Router:
             await ws.send_json({"event": "error", "data": "chat not found"})
             return
         session = agent_sessions.get(user["username"], chat_id,
-                                     _agent_collections(agent))
+                                     _agent_collections(agent),
+                                     agent_config=agent.get("config"))
         import asyncio as _aio
 
         from super_rag_tpu.api.wsflow import next_message, pump, start_reader
@@ -1063,6 +1114,7 @@ def build_router(ctx: AppContext) -> Router:
         session = agent_sessions.get(
             user["username"], req.path_params["chat_id"],
             _agent_collections(agent),
+            agent_config=agent.get("config"),
         )
         return Response.sse(to_ag_ui(session.run(text)))
 

@@ -26,7 +26,9 @@ def _projection(buckets: int, dim: int, seed: int) -> np.ndarray:
     # NumPy (not jax.random) so the cached table is always concrete —
     # a jax array created under an active trace would leak tracers.
     rng = np.random.default_rng(seed)
-    table = rng.standard_normal((buckets + 1, dim)).astype(np.float32)
+    # f32 draw: numpy's f64 normal path is ~50x slower on this host,
+    # and at vocab 1<<17 x dim 768 the f64 table took minutes per process
+    table = rng.standard_normal((buckets + 1, dim), dtype=np.float32)
     table[buckets] = 0.0  # pad bucket row is zero
     return table
 

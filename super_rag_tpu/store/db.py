@@ -138,6 +138,12 @@ CREATE TABLE IF NOT EXISTS subscription (
   id TEXT PRIMARY KEY, user TEXT NOT NULL, collection_id TEXT NOT NULL,
   created REAL NOT NULL, UNIQUE(user, collection_id)
 );
+CREATE TABLE IF NOT EXISTS prompt_template (
+  id TEXT PRIMARY KEY, user TEXT NOT NULL, name TEXT NOT NULL,
+  prompt TEXT NOT NULL, description TEXT DEFAULT '',
+  language TEXT DEFAULT 'en-US', created REAL NOT NULL, updated REAL,
+  UNIQUE(user, name, language)
+);
 """
 
 
@@ -693,6 +699,51 @@ class Database:
             (provider, user),
         )
         return row["api_key"] if row else None
+
+    # -- prompt templates (reference prompt_template_service CRUD) -------------------------
+
+    def create_prompt_template(self, user: str, name: str, prompt: str,
+                               description: str = "",
+                               language: str = "en-US") -> dict:
+        pid = new_id("ptp")
+        self.execute(
+            "INSERT INTO prompt_template"
+            " (id,user,name,prompt,description,language,created,updated)"
+            " VALUES (?,?,?,?,?,?,?,?)",
+            (pid, user, name, prompt, description, language, _now(), _now()),
+        )
+        return self.get_prompt_template(pid)
+
+    def get_prompt_template(self, pid: str) -> Optional[dict]:
+        return self.query_one(
+            "SELECT * FROM prompt_template WHERE id=?", (pid,)
+        )
+
+    def list_prompt_templates(self, user: str,
+                              language: Optional[str] = None) -> list[dict]:
+        if language:
+            return self.query(
+                "SELECT * FROM prompt_template WHERE user=? AND language=?"
+                " ORDER BY name", (user, language),
+            )
+        return self.query(
+            "SELECT * FROM prompt_template WHERE user=? ORDER BY name",
+            (user,),
+        )
+
+    def update_prompt_template(self, pid: str, **fields) -> None:
+        allowed = {k: v for k, v in fields.items()
+                   if k in ("name", "prompt", "description", "language")}
+        if not allowed:
+            return
+        sets = ", ".join(f"{k}=?" for k in allowed)
+        self.execute(
+            f"UPDATE prompt_template SET {sets}, updated=? WHERE id=?",
+            (*allowed.values(), _now(), pid),
+        )
+
+    def delete_prompt_template(self, pid: str) -> None:
+        self.execute("DELETE FROM prompt_template WHERE id=?", (pid,))
 
     # -- agents (bots) ---------------------------------------------------------------------
 
