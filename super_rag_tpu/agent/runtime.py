@@ -75,10 +75,30 @@ class AgentSession:
     history: list[dict] = field(default_factory=list)
     system_template: Optional[str] = None
     language: str = "en-US"
+    # progressive skills (agent/skills.py SkillLibrary) — listed at L2 in
+    # the prompt, escalated to L3/L4 through the use_skill tool
+    skills: Optional[object] = None
+    # lifecycle observers (agent/planner.py AgentCallback — the
+    # reference agent_pro Callback hooks, llm_agent.py:200-228)
+    callbacks: list = field(default_factory=list)
+
+    def _fire(self, hook: str, *args) -> None:
+        from super_rag_tpu.agent.planner import fire
+
+        fire(self.callbacks, hook, *args)
+
+    def _tool_descriptions(self) -> str:
+        desc = self.tools.descriptions()
+        if self.skills is not None:
+            section = self.skills.prompt_section()
+            if section:
+                desc = desc + "\n\n" + section
+        return desc
 
     async def run(self, query: str) -> AsyncIterator[dict]:
         """Yields: tool_call, tool_result, delta, done events."""
         self.history.append({"role": "user", "text": query})
+        self._fire("on_task_begin", query)
         if self.completion is None:
             async for ev in self._offline_policy(query):
                 yield ev
@@ -92,7 +112,7 @@ class AgentSession:
 
                 prompt = render_template(
                     self.system_template,
-                    tool_descriptions=self.tools.descriptions(),
+                    tool_descriptions=self._tool_descriptions(),
                     history=self._render_history(extra=transcript),
                     query=query,
                 )
@@ -102,7 +122,7 @@ class AgentSession:
                 )
 
                 prompt = get_agent_system_prompt(self.language).format(
-                    tool_descriptions=self.tools.descriptions(),
+                    tool_descriptions=self._tool_descriptions(),
                     history=self._render_history(extra=transcript),
                     query=query,
                 )
@@ -110,6 +130,7 @@ class AgentSession:
             if inspect.isawaitable(raw):
                 raw = await raw
             raw = str(raw).strip()
+            self._fire("on_generate_response", prompt, raw)
             call = self._parse_tool_call(raw)
             if call is None:
                 answer = raw
@@ -117,6 +138,7 @@ class AgentSession:
             name, args = call
             yield {"event": "tool_call", "data": {"tool": name,
                                                   "arguments": args}}
+            self._fire("on_tool_call", name, args)
             tool = self.tools.get(name)
             if tool is None:
                 result = {"error": f"unknown tool {name!r}"}
@@ -125,6 +147,7 @@ class AgentSession:
                     result = await tool.call(args)
                 except Exception as e:  # noqa: BLE001 — feed error back
                     result = {"error": str(e)}
+            self._fire("after_tool_call", name, result)
             yield {"event": "tool_result", "data": {"tool": name,
                                                     "result": result}}
             transcript.append(
@@ -135,6 +158,7 @@ class AgentSession:
             answer = "I could not finish within the tool-call budget."
 
         self.history.append({"role": "assistant", "text": answer})
+        self._fire("on_task_end", answer)
         self._trim_history()
         step = max(1, len(answer) // 4)
         for i in range(0, len(answer), step):

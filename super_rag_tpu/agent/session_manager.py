@@ -95,11 +95,31 @@ class AgentSessionManager:
             # per-agent prompt overrides (reference api/chat.py:180:
             # bot_config.agent.system_prompt_template / language)
             acfg = (agent_config or {}).get("agent", agent_config or {})
+            tools = platform_tools(self.ctx, username, collection_ids)
+            # progressive skills: built-ins (python sandbox, plan-execute
+            # — the agent_pro analogs) + operator .skills/ markdown dir
+            import os
+
+            from super_rag_tpu.agent.skills import (
+                SkillLibrary,
+                builtin_skills,
+            )
+
+            lib = SkillLibrary(builtin_skills(
+                completion=self.ctx.completion, base_tools=tools,
+            ))
+            skills_dir = os.path.join(
+                getattr(self.ctx.cfg, "data_dir", "."), ".skills"
+            )
+            for s in SkillLibrary.from_directory(skills_dir)._skills.values():
+                lib.add(s)
+            tools.add(lib.as_tool(tools))
             session = AgentSession(
-                tools=platform_tools(self.ctx, username, collection_ids),
+                tools=tools,
                 completion=self.ctx.completion,
                 system_template=acfg.get("system_prompt_template"),
                 language=acfg.get("language", "en-US"),
+                skills=lib,
             )
             self._sessions[key] = (session, now)
             return session

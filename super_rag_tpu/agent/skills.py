@@ -63,6 +63,76 @@ def parse_skill_markdown(text: str, default_name: str = "skill") -> AgentSkill:
     )
 
 
+def builtin_skills(completion=None,
+                   base_tools: Optional[ToolRegistry] = None
+                   ) -> list[AgentSkill]:
+    """The built-in L4 skills (reference agent_pro analogs).
+
+    ``python-sandbox`` is the CodeAgent counterpart
+    (agent_pro/code_agent.py:10-47): its run_python tool executes
+    snippets through the resource-limited sandbox.  ``plan-execute`` is
+    the LLMAgent planning lifecycle (llm_agent.py:30): its tool asks the
+    model for a typed JSON plan and executes the steps (code via the
+    sandbox, tool steps via the session registry), returning the full
+    transcript.
+    """
+    from super_rag_tpu.agent.code_runner import run_python as _run
+
+    def run_python(code: str, timeout_s: float = 10.0):
+        return _run(code, timeout_s=min(float(timeout_s), 60.0)).to_dict()
+
+    code_skill = AgentSkill(
+        name="python-sandbox",
+        description="Execute short python programs in a sandbox "
+                    "(compute, parse, transform data)",
+        instructions=(
+            "Call run_python with a complete python program. It runs in "
+            "an isolated subprocess with CPU/memory/file limits and a "
+            "wall-clock timeout; print() anything you need back. Files "
+            "written to the working directory come back in `files`."
+        ),
+        tools=[Tool(
+            "run_python",
+            "Run a python program in the sandbox; returns stdout/stderr",
+            {"type": "object", "properties": {
+                "code": {"type": "string"},
+                "timeout_s": {"type": "number"}},
+             "required": ["code"]},
+            run_python,
+        )],
+    )
+
+    async def plan_execute(task: str, max_steps: int = 5):
+        from super_rag_tpu.agent.planner import execute_plan, make_plan
+
+        plan = make_plan(task, completion, tools=base_tools,
+                         max_steps=int(max_steps))
+        transcript = await execute_plan(plan, tools=base_tools)
+        return {"plan": plan.to_dict(), "transcript": transcript}
+
+    plan_skill = AgentSkill(
+        name="plan-execute",
+        description="Plan a multi-step task and execute the steps "
+                    "(tools and sandboxed code)",
+        instructions=(
+            "Call plan_execute with the task. A typed plan is generated "
+            "(steps = registry tools or sandboxed python) and executed "
+            "sequentially; you get the plan plus each step's result, and "
+            "should synthesize the final answer from the transcript."
+        ),
+        tools=[Tool(
+            "plan_execute",
+            "Generate a step plan for the task and execute it",
+            {"type": "object", "properties": {
+                "task": {"type": "string"},
+                "max_steps": {"type": "integer"}},
+             "required": ["task"]},
+            plan_execute,
+        )],
+    )
+    return [code_skill, plan_skill]
+
+
 class SkillLibrary:
     def __init__(self, skills: Optional[list[AgentSkill]] = None):
         self._skills: dict[str, AgentSkill] = {
@@ -107,6 +177,9 @@ class SkillLibrary:
         for s in self._skills.values():
             lines.append(s.render(3 if s.name in self._engaged else 2))
         return "\n".join(lines)
+
+    def engaged(self) -> set[str]:
+        return set(self._engaged)
 
     def as_tool(self, registry: ToolRegistry) -> Tool:
         """The use_skill tool the agent calls to escalate a skill."""
