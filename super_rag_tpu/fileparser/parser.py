@@ -17,12 +17,16 @@ from super_rag_tpu.fileparser.markdown import MarkdownParser, TextParser
 
 
 def _optional_parsers() -> list[BaseParser]:
+    from super_rag_tpu.fileparser.heavy import heavy_parsers
     from super_rag_tpu.fileparser.office import DocxParser, PptxParser, XlsxParser
     from super_rag_tpu.fileparser.olebinary import LegacyDocParser, LegacyPptParser
     from super_rag_tpu.fileparser.pdf import PdfParser
 
-    return [PdfParser(), DocxParser(), XlsxParser(), PptxParser(),
-            LegacyDocParser(), LegacyPptParser()]
+    # heavy adapters (MinerU, docling — layout/OCR) lead when importable,
+    # mirroring the reference's priority (file_parser.py:47-116); the
+    # built-ins below remain the fallback chain
+    return [*heavy_parsers(), PdfParser(), DocxParser(), XlsxParser(),
+            PptxParser(), LegacyDocParser(), LegacyPptParser()]
 
 
 class DocParser:

@@ -202,11 +202,21 @@ class PdfParser(BaseParser):
         import hashlib
 
         parts: list[Part] = []
+        images = extract_pdf_images(data)
         try:
             parts.append(TextPart(content=extract_pdf_text(data)))
         except ValueError:
-            pass  # image-only (scanned) PDF: fall through to images
-        for j, (mime, blob) in enumerate(extract_pdf_images(data)):
+            # image-only (scanned) PDF: OCR the page images when an
+            # engine exists (fileparser/ocr.py — tesseract/pytesseract);
+            # with none installed the vision caption ladder still
+            # indexes the pages (index/vision.py), as before
+            from super_rag_tpu.fileparser.ocr import default_ocr, ocr_images
+
+            if images and default_ocr() is not None:
+                page_texts = [t for t in ocr_images(images) if t]
+                if page_texts:
+                    parts.append(TextPart(content="\n\n".join(page_texts)))
+        for j, (mime, blob) in enumerate(images):
             asset_id = hashlib.sha256(blob).hexdigest()[:16]
             parts.append(AssetBinPart(data=blob, mime_type=mime,
                                       asset_id=asset_id))
