@@ -708,6 +708,9 @@ class DeviceIndex:
         rrf_k: float = 60.0,
         rescore: bool = True,
         postings_per_query_term: int = 768,
+        lex_deep_terms: int = 0,
+        lex_deep_postings: Optional[int] = None,
+        lex_approx_topk: bool = False,
     ):
         """Dense ⊕ BM25 ⊕ RRF as ONE device program (ops/hybrid.py); uses
         the inverted lexical snapshot when it covers every row.
@@ -762,6 +765,9 @@ class DeviceIndex:
                         if (use_pallas and candidates >= 32) else None),
             rescore=rescore,
             postings_per_query_term=postings_per_query_term,
+            lex_deep_terms=lex_deep_terms,
+            lex_deep_postings=lex_deep_postings,
+            lex_approx_topk=lex_approx_topk,
             int8_queries=use_pallas and self.spec.dtype == jnp.int8,
         )
 

@@ -66,7 +66,9 @@ class EngineManager:
             embedder = self._embedder_factory(config)
             hybrid_opts = {
                 key: config["hybrid"][key]
-                for key in ("rescore", "postings_per_query_term")
+                for key in ("rescore", "postings_per_query_term",
+                            "lex_deep_terms", "lex_deep_postings",
+                            "lex_approx_topk")
                 if key in config.get("hybrid", {})
             }
             path = self._snapshot_path(collection_id)

@@ -146,7 +146,8 @@ def _segment_sum_runs(ids: jax.Array, w: jax.Array):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "has_mask", "postings_per_query_term")
+    jax.jit, static_argnames=("k", "has_mask", "postings_per_query_term",
+                              "deep_terms", "deep_postings", "approx_topk")
 )
 def inverted_bm25_search(
     query_terms: jax.Array,  # [B, Q] int32, pad = vocab_size
@@ -156,6 +157,9 @@ def inverted_bm25_search(
     mask: Optional[jax.Array] = None,  # [N] bool keep-mask
     has_mask: Optional[bool] = None,
     postings_per_query_term: Optional[int] = None,
+    deep_terms: int = 0,
+    deep_postings: Optional[int] = None,
+    approx_topk: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k BM25 via the inverted index; same contract as bm25_search.
 
@@ -163,6 +167,20 @@ def inverted_bm25_search(
     query term contributes at QUERY time (rows are impact-sorted, so the
     cap keeps the highest-impact prefix) — it bounds the aggregation sort
     width to B x (Q * cap) independent of the index's build-time P.
+
+    DF-ADAPTIVE BUDGETS (``deep_terms`` > 0): per query row, the
+    ``deep_terms`` LOWEST-idf terms — highest df, i.e. exactly the terms
+    whose postings the cap truncates — read ``deep_postings`` rows while
+    the rest keep the base cap.  Rare terms' lists are complete well
+    under the cap, so spending the budget where truncation actually
+    happens recovers candidates the uniform cap drops, at a fraction of
+    the sort-width cost of deepening every term (ROADMAP r3 item 3).
+    Static shapes throughout: the split is a per-row idf argsort + two
+    fixed-depth gathers.
+
+    ``approx_topk`` uses lax.approx_max_k for the generation top-k (the
+    candidates feed RRF + exact rescoring downstream, so approximate
+    extraction is fidelity-safe; measured 16.8 -> 14.0 ms at full depth).
     """
     if has_mask is None:
         has_mask = mask is not None
@@ -171,23 +189,42 @@ def inverted_bm25_search(
     if postings_per_query_term is not None:
         p = min(p, postings_per_query_term)
 
-    # gather the B*Q posting rows FIRST, then slice to the query-time cap
-    # (slicing the whole [V, P] table first would copy it every call)
-    ids = jnp.take(index.postings_ids, query_terms, axis=0)[..., :p]
-    imp = jnp.take(index.postings_impact, query_terms, axis=0)[..., :p].astype(
-        jnp.float32
-    )
-    w = imp * query_idf[..., None]  # [B, Q, P]
-    if has_mask:
-        valid = jnp.take(mask, jnp.maximum(ids, 0)) & (ids >= 0)
-        ids = jnp.where(valid, ids, -1)
-        w = jnp.where(valid, w, 0.0)
-    ids = ids.reshape(bsz, q * p)
-    w = w.reshape(bsz, q * p)
+    def weighted_gather(qt, qidf, depth):
+        # gather the posting rows FIRST, then slice to the query-time cap
+        # (slicing the whole [V, P] table first would copy it per call)
+        ids_ = jnp.take(index.postings_ids, qt, axis=0)[..., :depth]
+        imp_ = jnp.take(index.postings_impact, qt,
+                        axis=0)[..., :depth].astype(jnp.float32)
+        w_ = imp_ * qidf[..., None]
+        if has_mask:
+            valid = jnp.take(mask, jnp.maximum(ids_, 0)) & (ids_ >= 0)
+            ids_ = jnp.where(valid, ids_, -1)
+            w_ = jnp.where(valid, w_, 0.0)
+        return ids_.reshape(bsz, -1), w_.reshape(bsz, -1)
+
+    s = min(deep_terms, q)
+    if s > 0:
+        pd = min(deep_postings or index.postings_per_term,
+                 index.postings_per_term)
+        # per-row split by df: pads (idf<=0) sort LAST, high-df (small
+        # positive idf) terms first — those get the deep budget
+        key = jnp.where(query_idf > 0, query_idf, jnp.inf)
+        order = jnp.argsort(key, axis=1)
+        qt_s = jnp.take_along_axis(query_terms, order, axis=1)
+        qi_s = jnp.take_along_axis(query_idf, order, axis=1)
+        ids_d, w_d = weighted_gather(qt_s[:, :s], qi_s[:, :s], pd)
+        ids_r, w_r = weighted_gather(qt_s[:, s:], qi_s[:, s:], p)
+        ids = jnp.concatenate([ids_d, ids_r], axis=1)
+        w = jnp.concatenate([w_d, w_r], axis=1)
+    else:
+        ids, w = weighted_gather(query_terms, query_idf, p)
 
     sorted_ids, totals = _segment_sum_runs(ids, w)
-    k_eff = min(k, q * p)
-    v, pos = jax.lax.top_k(totals, k_eff)
+    k_eff = min(k, ids.shape[1])
+    if approx_topk:
+        v, pos = jax.lax.approx_max_k(totals, k_eff)
+    else:
+        v, pos = jax.lax.top_k(totals, k_eff)
     i = jnp.take_along_axis(sorted_ids, pos, axis=-1)
     i = jnp.where(jnp.isfinite(v) & (v > 0), i, -1)
     v = jnp.where(i >= 0, v, NEG_INF)

@@ -169,6 +169,7 @@ def _rescored_lexical_branch(
         "use_pallas", "dense_tile", "block_size", "bm25_block_size",
         "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
         "tail_offset", "rescore", "lex_gen", "dense_gen", "num_docs",
+        "lex_deep_terms", "lex_deep_postings", "lex_approx_topk",
     ),
 )
 def hybrid_search(
@@ -204,6 +205,9 @@ def hybrid_search(
     lex_gen: Optional[int] = None,
     dense_gen: Optional[int] = None,
     num_docs: Optional[int] = None,
+    lex_deep_terms: int = 0,
+    lex_deep_postings: Optional[int] = None,
+    lex_approx_topk: bool = False,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k).
@@ -264,6 +268,8 @@ def hybrid_search(
             query_terms, query_idf, inverted, k=kg, mask=mask,
             has_mask=mask is not None,
             postings_per_query_term=postings_per_query_term,
+            deep_terms=lex_deep_terms, deep_postings=lex_deep_postings,
+            approx_topk=lex_approx_topk,
         )
         if tail_lexical is not None:
             table = _idf_table(query_terms, query_idf, vocab_size)

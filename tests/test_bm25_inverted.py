@@ -109,3 +109,62 @@ def test_no_match_returns_empty():
     v, i = inverted_bm25_search(jnp.asarray(qt[None]), jnp.asarray(qi[None]),
                                 inv, k=3)
     assert np.all(np.asarray(i) == -1)
+
+
+def test_df_adaptive_budgets_recover_truncation():
+    """Two-tier budgets: a high-df term truncated by the uniform cap
+    recovers its candidates when it gets the deep budget; rare terms are
+    unaffected (they were complete under the cap already)."""
+    rng = np.random.default_rng(3)
+    vocab = 1 << 10
+    n, slots = 400, 8
+    # term 5 is in every doc (high df); terms > 100 are rare
+    terms = rng.integers(100, vocab, (n, slots)).astype(np.int32)
+    terms[:, 0] = 5
+    tfs = rng.integers(1, 4, (n, slots)).astype(np.float32)
+    lens = tfs.sum(1) * 2
+    avgdl = float(lens.mean())
+    inv = build_inverted(terms, tfs, lens, vocab, postings_per_term=n,
+                         avgdl=avgdl)
+    # query: the high-df term + one rare term; idf: low for 5, high rare
+    rare = int(terms[0, 1])
+    qt = jnp.asarray([[5, rare] + [vocab] * 6], jnp.int32)
+    qi = jnp.asarray([[0.05, 3.0] + [0.0] * 6], jnp.float32)
+
+    exact_v, exact_i = inverted_bm25_search(qt, qi, inv, k=50)
+    # uniform shallow cap truncates term 5's postings
+    cap_v, cap_i = inverted_bm25_search(qt, qi, inv, k=50,
+                                        postings_per_query_term=16)
+    # same shallow cap + deep budget on the lowest-idf term
+    da_v, da_i = inverted_bm25_search(qt, qi, inv, k=50,
+                                      postings_per_query_term=16,
+                                      deep_terms=1, deep_postings=n)
+
+    def hits(i, v):
+        return {int(x) for x, s in zip(np.asarray(i)[0], np.asarray(v)[0])
+                if x >= 0 and np.isfinite(s)}
+
+    gold = hits(exact_i, exact_v)
+    assert len(hits(da_i, da_v) & gold) > len(hits(cap_i, cap_v) & gold)
+    # with deep budget covering full df, the top-k equals the exact run
+    top = 10
+    assert np.array_equal(np.asarray(da_i)[0][:top],
+                          np.asarray(exact_i)[0][:top])
+
+
+def test_df_adaptive_lossless_when_budgets_cover(setup):
+    """deep_terms with budgets >= every df is bit-identical to exact."""
+    analyzer, df, terms, tfs, lens = setup
+    inv = build_inverted(terms, tfs, lens, analyzer.vocab_size,
+                         postings_per_term=32, avgdl=df.avgdl)
+    qt, qi = analyzer.query_entry("the quick fox dog", df, 8)
+    qt = jnp.asarray([qt]); qi = jnp.asarray([qi])
+    base_v, base_i = inverted_bm25_search(qt, qi, inv, k=8)
+    da_v, da_i = inverted_bm25_search(qt, qi, inv, k=8, deep_terms=2,
+                                      deep_postings=32,
+                                      postings_per_query_term=32)
+    keep = np.isfinite(np.asarray(base_v)[0])
+    assert np.array_equal(np.asarray(base_i)[0][keep],
+                          np.asarray(da_i)[0][keep])
+    assert np.allclose(np.asarray(base_v)[0][keep],
+                       np.asarray(da_v)[0][keep], rtol=1e-5)
