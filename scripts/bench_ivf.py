@@ -44,7 +44,7 @@ def main() -> None:
     centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 3.0
     assign = rng.integers(0, n_centers, n)
     emb = (centers[assign]
-           + rng.standard_normal((n, d)).astype(np.float32) * 1.0)
+           + rng.standard_normal((n, d), dtype=np.float32) * 1.0)
 
     t0 = time.perf_counter()
     ivf = build_ivf(jnp.asarray(emb), nlist=nlist, dtype=jnp.int8,
@@ -70,7 +70,7 @@ def main() -> None:
     q_assign = rng.integers(0, n_centers, batch)
     queries = jnp.asarray(
         centers[q_assign]
-        + rng.standard_normal((batch, d)).astype(np.float32) * 1.0
+        + rng.standard_normal((batch, d), dtype=np.float32) * 1.0
     )
     q_terms = np.full((batch, 16), vocab, np.int32)
     for bi in range(batch):

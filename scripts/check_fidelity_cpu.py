@@ -28,7 +28,7 @@ n, d, batch, k, cand = 50_000, 64, 64, 10, 100
 slots, qterms_n, vocab = 32, 16, 1 << 14
 
 rng = np.random.default_rng(0)
-emb = rng.standard_normal((n, d)).astype(np.float32)
+emb = rng.standard_normal((n, d), dtype=np.float32)
 dense_i8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
 dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
 
@@ -55,7 +55,7 @@ uniq_flat = sorted_terms[first]
 df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
 idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
 
-queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
+queries = jnp.asarray(rng.standard_normal((batch, d), dtype=np.float32))
 q_rows = rng.integers(0, n, batch)
 q_terms = np.full((batch, qterms_n), vocab, np.int32)
 df_cap = max(64, n // 50)

@@ -9,7 +9,7 @@ from super_rag_tpu.ops.bm25 import LexicalCorpus
 rng = np.random.default_rng(0)
 n, d, k, cand = 1_000_000, 768, 10, 100
 slots, Q, vocab = 64, 16, 1 << 17
-emb = rng.standard_normal((n, d)).astype(np.float32)
+emb = rng.standard_normal((n, d), dtype=np.float32)
 dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
 zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
 terms = ((zipf_raw - 1) % vocab).astype(np.int32)

@@ -10,7 +10,7 @@ from super_rag_tpu.ops.bm25 import LexicalCorpus
 rng = np.random.default_rng(0)
 n, d, batch, k, cand = 1_000_000, 768, 256, 10, 100
 slots, Q, vocab = 64, 16, 1 << 17
-emb = rng.standard_normal((n, d)).astype(np.float32)
+emb = rng.standard_normal((n, d), dtype=np.float32)
 dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
 zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
 terms = ((zipf_raw - 1) % vocab).astype(np.int32)
@@ -21,7 +21,7 @@ dl = tfs.sum(1) * 2 + 1
 lexical = LexicalCorpus(jnp.asarray(terms), jnp.asarray(tfs, jnp.bfloat16), jnp.asarray(dl))
 inverted = build_inverted(terms, tfs, dl, vocab, postings_per_term=2000, avgdl=float(dl.mean()))
 avgdl = jnp.float32(dl.mean())
-queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
+queries = jnp.asarray(rng.standard_normal((batch, d), dtype=np.float32))
 qt = jnp.asarray(rng.integers(0, vocab, (batch, Q)).astype(np.int32))
 qi = jnp.ones((batch, Q), jnp.float32) * 3.0
 

@@ -56,7 +56,7 @@ def main():
     qn = 6
 
     rng = np.random.default_rng(0)
-    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb = rng.standard_normal((n, d), dtype=np.float32)
     dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
     zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
     terms = ((zipf_raw - 1) % vocab).astype(np.int32)
@@ -78,7 +78,7 @@ def main():
     uniq_flat = sorted_terms[first]
     df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
     idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
-    queries = jnp.asarray(rng.standard_normal((batch, d)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((batch, d), dtype=np.float32))
     q_rows = rng.integers(0, n, batch)
     df_cap = max(64, n // 50)
     q_terms = np.full((batch, qn), vocab, np.int32)
