@@ -70,7 +70,10 @@ def main() -> None:
         create_train_state,
         make_train_step,
     )
-    from super_rag_tpu.train.corpus import harvest_docstrings
+    from super_rag_tpu.train.corpus import (
+        DEFAULT_PACKAGES,
+        harvest_docstrings,
+    )
     from super_rag_tpu.train.pairs import Pair, ict_pairs, pairs_to_batches
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -81,7 +84,11 @@ def main() -> None:
     os.makedirs(os.path.dirname(out), exist_ok=True)
 
     rng = np.random.default_rng(0)
-    docs = harvest_docstrings()
+    # SEM_CORPUS=all widens the harvest to every site-packages package
+    # (round-3 scaling run; ~2x the curated-list corpus)
+    docs = harvest_docstrings(
+        packages=None if os.environ.get("SEM_CORPUS") == "all"
+        else DEFAULT_PACKAGES)
     rng.shuffle(docs)
     n_eval = min(1000, len(docs) // 5)
     eval_docs, train_docs = docs[:n_eval], docs[n_eval:]
@@ -219,7 +226,9 @@ def main() -> None:
         # keep CE training under ~one epoch of the mined set: 2500 steps
         # x 16 queries/step = 40k query-groups; a 12k-pair set meant ~4
         # epochs and a memorized CE that generalized below the retriever
-        mine_pairs = pairs[: (40000 if on_tpu else 200)]
+        mine_cap = int(os.environ.get("SEM_MINE_PAIRS",
+                                      str(max(40000, ce_steps * 16))))
+        mine_pairs = pairs[: (mine_cap if on_tpu else 200)]
         t0 = time.time()
         hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=4)
         print(f"mined hard negatives for {len(mine_pairs)} pairs "

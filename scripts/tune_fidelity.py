@@ -136,13 +136,30 @@ def main() -> None:
         thi = min(total(hi) for _ in range(2))
         return (thi - tlo) / (hi - lo)
 
-    for ppq in (256, 512, 1024):
+    # sweep: uniform caps, df-adaptive two-tier budgets (deep budget on
+    # the lowest-idf terms only), approx_max_k generation — all with the
+    # rescore stage on (the headline path)
+    configs = [
+        # (ppq, deep_terms, deep_postings, approx, label)
+        (256, 0, None, False, "uniform256"),
+        (512, 0, None, False, "uniform512"),
+        (1024, 0, None, False, "uniform1024"),
+        (256, 4, 1024, False, "da256+4x1024"),
+        (256, 4, 2000, False, "da256+4x2000"),
+        (128, 4, 1024, False, "da128+4x1024"),
+        (256, 8, 1024, False, "da256+8x1024"),
+        (256, 4, 1024, True, "da256+4x1024+approx"),
+        (1024, 0, None, True, "uniform1024+approx"),
+    ]
+    for ppq, dt, dp, approx, label in configs:
         def run():
             return hybrid_search(
                 queries, q_terms_j, q_idf_j, dense_int8, lexical, avgdl,
                 inverted=inverted, vocab_size=vocab, k=k, candidates=cand,
                 use_pallas=on_tpu, dense_tile=tile,
                 postings_per_query_term=ppq, int8_queries=True, per_tile_k=8,
+                lex_deep_terms=dt, lex_deep_postings=dp,
+                lex_approx_topk=approx,
             )
 
         def sync(out):
@@ -153,7 +170,9 @@ def main() -> None:
         fid = overlap(np.asarray(res.indices)[:sample], gold)
         per_call = timed(run, sync)
         print(json.dumps({
+            "config": label,
             "postings_per_query_term": ppq,
+            "deep_terms": dt, "deep_postings": dp, "approx": approx,
             "hybrid_fidelity": round(fid, 4),
             "qps": round(batch / per_call, 1),
             "batch512_ms": round(per_call * 1e3, 2),

@@ -58,13 +58,34 @@ def _docstrings(path: str, min_chars: int) -> Iterator[str]:
                 yield doc
 
 
+def all_site_packages() -> tuple[str, ...]:
+    """Every importable package directory under purelib — the widest
+    harvest this image supports (round-3 scaling: the curated list tops
+    out near 42k docs; the encoder's recall is still data-bound there)."""
+    site = sysconfig.get_paths()["purelib"]
+    names = []
+    for d in sorted(os.listdir(site)):
+        if d.endswith((".dist-info", ".egg-info", ".pth", ".py", ".so")):
+            continue
+        if d.startswith("_") or d == "__pycache__":
+            continue
+        if os.path.isdir(os.path.join(site, d)):
+            names.append(d)
+    return tuple(names)
+
+
 def harvest_docstrings(
-    packages: tuple[str, ...] = DEFAULT_PACKAGES,
+    packages: tuple[str, ...] | None = DEFAULT_PACKAGES,
     min_chars: int = 240,
     max_files_per_pkg: int = 1_200,
     max_docs: int = 100_000,
 ) -> list[str]:
-    """Deduped docstring paragraphs from installed packages."""
+    """Deduped docstring paragraphs from installed packages.
+
+    ``packages=None`` harvests every package in site-packages
+    (:func:`all_site_packages`)."""
+    if packages is None:
+        packages = all_site_packages()
     site = sysconfig.get_paths()["purelib"]
     seen: set[str] = set()
     out: list[str] = []
