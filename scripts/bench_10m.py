@@ -275,7 +275,13 @@ def main() -> None:
         ivf = build_ivf_streaming(
             chunks, nlist=nlist, capacity_factor=1.15, dtype=jnp.int8,
             kmeans_iters=8, seed=1, train_sample=train_sample,
-            assign_candidates=4,
+            # wide relocation: a row whose best cluster is full goes to a
+            # neighbor scoring within 0.35 cosine instead of the overflow
+            # segment — r3 profiling showed the 15%-of-corpus overflow
+            # scan busting both the p50 and QPS budgets (residual coding
+            # keeps relocated rows' scores exact; only probe probability
+            # shifts, and the union/flat tiers probe supersets anyway)
+            assign_candidates=8, spill_margin=0.35,
         )
         out = {
             "centroids": np.asarray(ivf.centroids),
@@ -288,6 +294,12 @@ def main() -> None:
             out["of_values"] = np.asarray(ivf.overflow.values)
             out["of_scales"] = np.asarray(ivf.overflow.scales)
             out["of_rows"] = np.asarray(ivf.overflow_rows)
+        if ivf.sign_plane is not None:
+            out["sign_plane"] = np.asarray(ivf.sign_plane)
+        if ivf.of_sign_plane is not None:
+            out["of_sign_plane"] = np.asarray(ivf.of_sign_plane)
+        if ivf.of_assign is not None:
+            out["of_assign"] = np.asarray(ivf.of_assign)
         return out
 
     iv = cached(f"ivf_{tag}_l{nlist}", build_ivf_phase)
@@ -305,6 +317,14 @@ def main() -> None:
         overflow=overflow,
         overflow_rows=overflow_rows,
         residual=bool(iv["residual"]),
+        # refinement arrays (scripts/upgrade_10m_cache.py or a fresh
+        # build_ivf_streaming both provide them)
+        sign_plane=(jnp.asarray(iv["sign_plane"])
+                    if "sign_plane" in iv else None),
+        of_sign_plane=(jnp.asarray(iv["of_sign_plane"])
+                       if "of_sign_plane" in iv else None),
+        of_assign=(jnp.asarray(iv["of_assign"])
+                   if "of_assign" in iv else None),
     )
     overflow_n = int(iv["of_rows"].size) if "of_rows" in iv else 0
     del iv
@@ -362,6 +382,10 @@ def main() -> None:
             use_pallas=on_tpu, nprobe=chosen,
             postings_per_query_term=256, rescore=True,
             num_docs=n,
+            # exact final sorts lower to full bitonic sorts that rival
+            # the scans themselves (203 ms vs 3.5 ms at [512, 1M]); the
+            # refine + rescore stages re-rank the pool exactly anyway
+            dense_approx_topk=True,
         )
 
     def sync(out):

@@ -170,6 +170,7 @@ def _rescored_lexical_branch(
         "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
         "tail_offset", "rescore", "lex_gen", "dense_gen", "num_docs",
         "lex_deep_terms", "lex_deep_postings", "lex_approx_topk",
+        "dense_approx_topk",
     ),
 )
 def hybrid_search(
@@ -208,6 +209,7 @@ def hybrid_search(
     lex_deep_terms: int = 0,
     lex_deep_postings: Optional[int] = None,
     lex_approx_topk: bool = False,
+    dense_approx_topk: bool = False,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k).
@@ -235,11 +237,23 @@ def hybrid_search(
     kd = min(max(kc, dense_gen), n) if dense_gen is not None else kc
 
     if ivf is not None:
-        if use_pallas:
+        b = query_emb.shape[0]
+        if b * nprobe >= ivf.nlist:
+            # large-batch tier: the probe union covers the whole index,
+            # so probing saves no bytes — one exact MXU scan of every
+            # cluster tile beats any probe-driven kernel (measured
+            # 54 ms vs 752 ms at b512/10M, scripts/tpu_microbench_flat)
+            from super_rag_tpu.ops.ivf import ivf_flat_topk
+
+            dv, di = ivf_flat_topk(query_emb, ivf, k=kd, metric=metric,
+                                   mask=mask, approx_topk=dense_approx_topk,
+                                   int8_queries=int8_queries)
+        elif use_pallas:
             from super_rag_tpu.ops.pallas_ivf import pallas_ivf_topk
 
             dv, di = pallas_ivf_topk(query_emb, ivf, k=kd, nprobe=nprobe,
-                                     mask=mask, metric=metric)
+                                     mask=mask, metric=metric,
+                                     approx_topk=dense_approx_topk)
         else:
             dv, di = ivf_search(query_emb, ivf, k=kd, nprobe=nprobe,
                                 mask=mask, metric=metric)

@@ -52,17 +52,35 @@ class IVFIndex:
     # is a take_along_axis on the [B, nprobe] probe scores, not a kernel
     # change).  Static pytree metadata so jitted searches can branch on it.
     residual: bool = False
+    # 1-bit error-refinement plane: sign of the int8 quantization error
+    # per element, bit-packed ([nlist, C, D//8] uint8, little bit order).
+    # Search re-scores its candidate pool with codes + 0.25*sign — half
+    # the quantization noise for 1/8 the memory of the codes — entirely
+    # OUTSIDE the streaming kernel (a [B, k, D] gather + einsum on the
+    # tiny pool).  Measured on the 10M north-star corpus: recall@10
+    # 0.945 -> ~0.98 (scripts/diag_10m_recall.py).
+    sign_plane: Optional[jax.Array] = None
+    of_sign_plane: Optional[jax.Array] = None  # [M, D//8] uint8
+    # residual-coded overflow: overflow values store x - centroid[nearest]
+    # and of_assign [M] int32 names that centroid; the probe-score row
+    # q @ C^T (already computed) restores the full dot.  Overflow rows
+    # are the quantization-noisiest segment without this (no residual
+    # shrink): sigma 2.8e-4 vs 8.8e-5 in-cluster on the 10M corpus.
+    of_assign: Optional[jax.Array] = None
 
     def tree_flatten(self):
         return (
             (self.centroids, self.values, self.scales, self.row_ids,
-             self.overflow, self.overflow_rows),
+             self.overflow, self.overflow_rows, self.sign_plane,
+             self.of_sign_plane, self.of_assign),
             self.residual,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, residual=aux)
+        (cen, vals, scl, rid, of, ofr, sp, ofsp, ofa) = children
+        return cls(cen, vals, scl, rid, of, ofr, residual=aux,
+                   sign_plane=sp, of_sign_plane=ofsp, of_assign=ofa)
 
     @property
     def nlist(self) -> int:
@@ -233,15 +251,18 @@ def build_ivf(
     overflow_rows = order[~keep].tolist()
 
     scales = None
+    sign_plane = None
+    use_signs = dtype == jnp.int8 and d % 8 == 0
     if dtype == jnp.int8:
         # quantize on the host: a device-side pass would materialize a
         # [nlist*capacity, d] f32 transient (several GB) next to the
         # training arrays and can OOM HBM during builds
         flat = values.reshape(-1, d)
-        absmax = np.abs(flat).max(axis=-1)
-        s_np = (absmax / 127.0).astype(np.float32)
-        safe = np.where(s_np > 0, s_np, 1.0)
-        q_np = np.clip(np.round(flat / safe[:, None]), -127, 127).astype(np.int8)
+        q_np, s_np = _quant_rows(flat)
+        if use_signs:
+            sign_plane = jnp.asarray(
+                pack_error_signs(flat, q_np, s_np).reshape(
+                    nlist, capacity, d // 8))
         vals = jnp.asarray(q_np.reshape(nlist, capacity, d))
         scales = s_np.reshape(nlist, capacity)
     else:
@@ -249,23 +270,39 @@ def build_ivf(
 
     overflow = None
     overflow_ids = None
+    of_sign = None
+    of_assign = None
     if overflow_rows:
-        of = x_np[np.asarray(overflow_rows)]
+        of_idx = np.asarray(overflow_rows)
+        of = x_np[of_idx]
         if dtype == jnp.int8:
-            oq, os_ = quantize_int8(jnp.asarray(of))
-            overflow = DenseCorpus(values=oq, scales=os_)
+            if residual:
+                # residual-code overflow vs the row's OWN best cluster
+                # (it spilled that cluster's capacity, not its
+                # neighborhood): same noise shrink as in-cluster rows
+                of_assign_np = assign[of_idx].astype(np.int32)
+                of = of - np.asarray(centroids)[of_assign_np]
+                of_assign = jnp.asarray(of_assign_np)
+            oq_np, os_np = _quant_rows(of)
+            if use_signs:
+                of_sign = jnp.asarray(pack_error_signs(of, oq_np, os_np))
+            overflow = DenseCorpus(values=jnp.asarray(oq_np),
+                                   scales=jnp.asarray(os_np))
         else:
             overflow = DenseCorpus(values=jnp.asarray(of, dtype))
-        overflow_ids = jnp.asarray(np.asarray(overflow_rows, np.int32))
+        overflow_ids = jnp.asarray(of_idx.astype(np.int32))
 
     return IVFIndex(
         centroids=centroids,
         values=vals,
         scales=jnp.asarray(scales) if scales is not None else None,
         row_ids=jnp.asarray(row_ids),
-        overflow=overflow,  # overflow stores FULL vectors (scanned flat)
+        overflow=overflow,
         overflow_rows=overflow_ids,
         residual=residual,
+        sign_plane=sign_plane,
+        of_sign_plane=of_sign,
+        of_assign=of_assign,
     )
 
 
@@ -314,6 +351,318 @@ def _quant_rows(stored: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     s = np.where(absmax > 0, absmax, 1.0) / 127.0
     q = np.clip(np.rint(stored / s[:, None]), -127, 127).astype(np.int8)
     return q, s.astype(np.float32)
+
+
+def pack_error_signs(stored: np.ndarray, q: np.ndarray,
+                     s: np.ndarray) -> np.ndarray:
+    """Bit-pack the sign of the quantization error (host build step).
+
+    ``stored/s - q`` is uniform on [-0.5, 0.5]; its sign is one free bit
+    of refinement: dequantizing as ``s * (q + 0.25*sign)`` halves the
+    error std.  Little bit order so the device unpack (shift/and) maps
+    bit b of byte j to element 8j+b.
+    """
+    e = stored / s[:, None] - q
+    return np.packbits(e > 0, axis=-1, bitorder="little")
+
+
+def unpack_signs(codes: jax.Array) -> jax.Array:
+    """[..., D//8] uint8 -> [..., D] float32 in {-1, +1} (device side)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (codes[..., None] >> shifts) & jnp.uint8(1)
+    signs = bits.astype(jnp.float32) * 2.0 - 1.0
+    return signs.reshape(*codes.shape[:-1], codes.shape[-1] * 8)
+
+
+def refine_candidates(
+    q: jax.Array,           # [B, D] f32 (unit-norm already for cosine)
+    cs: jax.Array,          # [B, nlist] probe scores q @ centroids.T
+    index: IVFIndex,
+    fv: jax.Array,          # [B, K] phase-1 scores (sorted desc, -inf pad)
+    fi: jax.Array,          # [B, K] global row ids (-1 invalid)
+    loc: jax.Array,         # [B, K] candidate location codes:
+                            #   in-cluster: cluster*cap + slot
+                            #   overflow:   nlist*cap + overflow_idx
+) -> tuple[jax.Array, jax.Array]:
+    """Re-score the candidate pool with the 1-bit error-refinement plane.
+
+    Phase 1 (kernel / blocked scan) ranks by the raw int8 dequant — its
+    noise only has to keep the true top-k INSIDE the pool, which holds
+    with huge margin (pool-boundary score gaps are ~30x the noise at the
+    10M operating point).  This stage re-derives each pooled candidate's
+    score from its codes + error signs + exact centroid correction, then
+    re-sorts.  Cost: two [B, K, D] gathers and einsums — microseconds
+    next to the streaming kernel.
+    """
+    nlist, cap, d = index.values.shape
+    split = nlist * cap
+    in_cl = loc < split
+    lc = jnp.clip(loc, 0, split - 1)
+    vals = jnp.take(index.values.reshape(split, d), lc, axis=0)
+    scl = jnp.take(index.scales.reshape(split), lc, axis=0)
+    sgn = unpack_signs(
+        jnp.take(index.sign_plane.reshape(split, d // 8), lc, axis=0))
+    cl_of_loc = lc // cap
+    if index.overflow is not None:
+        m = index.overflow.size
+        oc = jnp.clip(loc - split, 0, m - 1)
+        vals_of = jnp.take(index.overflow.values, oc, axis=0)
+        scl_of = jnp.take(index.overflow.scales, oc, axis=0)
+        vals = jnp.where(in_cl[..., None], vals, vals_of)
+        scl = jnp.where(in_cl, scl, scl_of)
+        if index.of_sign_plane is not None:
+            sgn_of = unpack_signs(jnp.take(index.of_sign_plane, oc, axis=0))
+            sgn = jnp.where(in_cl[..., None], sgn, sgn_of)
+        if index.of_assign is not None:
+            cl_of_loc = jnp.where(in_cl, cl_of_loc,
+                                  jnp.take(index.of_assign, oc))
+    qf = q.astype(jnp.float32)
+    dots = jnp.einsum("bkd,bd->bk", vals.astype(jnp.float32), qf)
+    dots = dots + 0.25 * jnp.einsum("bkd,bd->bk", sgn, qf)
+    scores = dots * scl
+    if index.residual:
+        corr = jnp.take_along_axis(cs, cl_of_loc, axis=1)
+        if index.of_assign is None and index.overflow is not None:
+            # overflow rows store FULL vectors (legacy layout): no add-back
+            corr = jnp.where(in_cl, corr, 0.0)
+        scores = scores + corr
+    scores = jnp.where(fi >= 0, scores, NEG_INF)
+    k = fv.shape[1]
+    rv, pos = jax.lax.top_k(scores, k)
+    ri = jnp.take_along_axis(fi, pos, axis=-1)
+    return rv, jnp.where(jnp.isfinite(rv), ri, -1)
+
+
+def overflow_topk(
+    q: jax.Array,            # [B, D] f32
+    cs: Optional[jax.Array],  # [B, nlist] probe scores (residual add-back)
+    index: IVFIndex,
+    k: int,
+    mask: Optional[jax.Array] = None,  # [N] bool over GLOBAL rows
+    block_size: int = 65536,
+    approx: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-k over the overflow segment; returns (scores, global ids,
+    LOCAL overflow indices).  Residual-coded overflow (``of_assign``) adds
+    the stored-centroid probe score back per block — the [B, M] bias is
+    never materialized whole."""
+    of = index.overflow
+    m = of.size
+    k_eff = min(k, m)
+    assign = index.of_assign
+    use_bias = assign is not None and cs is not None
+
+    pad = (-m) % block_size
+    values = jnp.pad(of.values, ((0, pad), (0, 0)))
+    scales = jnp.pad(of.scales, (0, pad)) if of.scales is not None else None
+    keep = jnp.ones((m,), jnp.bool_) if mask is None else jnp.take(
+        mask, index.overflow_rows)
+    keep = jnp.pad(keep, (0, pad), constant_values=False)
+    assign_p = (jnp.pad(assign, (0, pad)) if use_bias
+                else jnp.zeros((m + pad,), jnp.int32))
+    nb = values.shape[0] // block_size
+    d = values.shape[1]
+
+    def body(carry, inp):
+        bvals, bscales, bkeep, bassign, base = inp
+        v = bvals.astype(jnp.bfloat16) if bvals.dtype == jnp.int8 else bvals
+        s = jax.lax.dot_general(
+            q.astype(v.dtype), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bscales is not None:
+            s = s * bscales[None, :]
+        if use_bias:
+            s = s + jnp.take(cs, bassign, axis=1)
+        s = jnp.where(bkeep[None, :], s, NEG_INF)
+        kb = min(k_eff, block_size)
+        if approx and kb < block_size:
+            # the exact form is a full bitonic sort per block — at the
+            # 10M overflow scale (~24 blocks) that alone busts the p50
+            # budget; the refine stage re-scores the pool exactly anyway
+            v_, i_ = jax.lax.approx_max_k(s, kb)
+        else:
+            v_, i_ = jax.lax.top_k(s, kb)
+        return carry, (v_, i_.astype(jnp.int32) + base)
+
+    has_scales = scales is not None
+
+    def body_wrapped(carry, inp):
+        bvals, bscales, bkeep, bassign, base = inp
+        return body(carry, (bvals, bscales if has_scales else None,
+                            bkeep, bassign, base))
+
+    _, (vals_, idxs_) = jax.lax.scan(
+        body_wrapped, None,
+        (values.reshape(nb, block_size, d),
+         (scales.reshape(nb, block_size) if has_scales
+          else jnp.zeros((nb, 0))),
+         keep.reshape(nb, block_size),
+         assign_p.reshape(nb, block_size),
+         jnp.arange(nb, dtype=jnp.int32) * block_size),
+    )
+    kb = vals_.shape[-1]
+    b = q.shape[0]
+    vals_ = jnp.moveaxis(vals_, 0, 1).reshape(b, nb * kb)
+    idxs_ = jnp.moveaxis(idxs_, 0, 1).reshape(b, nb * kb)
+    ov, pos = jax.lax.top_k(vals_, k_eff)
+    oi_local = jnp.take_along_axis(idxs_, pos, axis=-1)
+    oi = jnp.take(index.overflow_rows, oi_local)
+    return ov, oi, oi_local
+
+
+def attach_overflow_and_refine(
+    q: jax.Array,
+    cs: Optional[jax.Array],
+    index: IVFIndex,
+    fv: jax.Array,   # [B, K] in-cluster phase scores
+    fi: jax.Array,   # [B, K] global row ids
+    floc: jax.Array,  # [B, K] location codes (cluster*cap + slot)
+    k: int,
+    mask: Optional[jax.Array] = None,
+    approx: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Shared tail of every dense-tier search: merge the overflow
+    segment's exact top-k into the in-cluster candidates, then re-score
+    the pool with the 1-bit sign plane (refine_candidates)."""
+    split = index.nlist * index.capacity
+    if index.overflow is not None:
+        if index.of_assign is not None:
+            ov, oi, oi_local = overflow_topk(q, cs, index, k, mask=mask,
+                                             approx=approx)
+        else:
+            ov, oi_local = dense_search(
+                q, index.overflow, k=min(k, index.overflow.size),
+                metric=Metric.DOT,  # rows already unit-norm
+                mask=(jnp.take(mask, index.overflow_rows)
+                      if mask is not None else None),
+            )
+            oi = jnp.take(index.overflow_rows, oi_local)
+        fv = jnp.concatenate([fv, ov], axis=1)
+        fi = jnp.concatenate([fi, oi], axis=1)
+        floc = jnp.concatenate(
+            [floc, split + oi_local.astype(jnp.int32)], axis=1)
+        fv, pos = jax.lax.top_k(fv, k)
+        fi = jnp.take_along_axis(fi, pos, axis=-1)
+        floc = jnp.take_along_axis(floc, pos, axis=-1)
+    if index.sign_plane is not None:
+        fv, fi = refine_candidates(q, cs, index, fv, fi, floc)
+    return fv, fi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "approx_topk", "block_clusters",
+                     "int8_queries"),
+)
+def ivf_flat_topk(
+    queries: jax.Array,
+    index: IVFIndex,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    mask: Optional[jax.Array] = None,
+    approx_topk: bool = True,
+    block_clusters: Optional[int] = None,
+    int8_queries: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Large-batch tier: exact scan of every cluster tile, MXU-shaped.
+
+    When B * nprobe approaches nlist the probe union covers the whole
+    index, so probing saves no bytes — but a per-query (or even
+    per-tile) kernel still starves the MXU.  This tier reads the
+    [nlist, C, D] array ONCE per batch as big [B, D] @ [D, block]
+    matmuls (block = whole cluster tiles, so the residual add-back is a
+    broadcast over the [B, clusters, C] view that XLA fuses into the
+    matmul epilogue), takes per-block approx_max_k, merges, then runs
+    the shared overflow + sign-refine tail.  Equivalent of the
+    reference's brute-force/batch path (seekdb_connector.py:98) but
+    quantization-refined and single-program.
+    """
+    metric = Metric(metric)
+    q = jnp.asarray(queries, jnp.float32)
+    if metric == Metric.COSINE:
+        nrm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / jnp.where(nrm > 0, nrm, 1.0)
+    b = q.shape[0]
+    nlist, cap, d = index.values.shape
+    cs = q @ index.centroids.T  # [B, nlist]
+
+    if block_clusters is None:
+        # largest divisor of nlist whose block stays near 512k rows
+        target = max(1, (1 << 19) // cap)
+        block_clusters = 1
+        for c in range(1, nlist + 1):
+            if nlist % c == 0 and c <= target:
+                block_clusters = c
+    cpb = block_clusters
+    nb = nlist // cpb
+    blk = cpb * cap
+    k_blk = min(k, blk)
+
+    has_scales = index.scales is not None
+    cs_blocks = jnp.moveaxis(cs.reshape(b, nb, cpb), 1, 0)  # [nb, B, cpb]
+
+    use_int8 = int8_queries and index.values.dtype == jnp.int8
+    if use_int8:
+        # phase-1 ranking runs the int8 MXU mode (2x bf16 throughput);
+        # the refine stage re-scores the pool against f32 queries, so
+        # query-quantization noise never reaches the returned scores
+        q_abs = jnp.abs(q).max(axis=-1)
+        sq = jnp.where(q_abs > 0, q_abs, 1.0) / 127.0
+        q_i8 = jnp.clip(jnp.round(q / sq[:, None]), -127, 127).astype(
+            jnp.int8)
+
+    def body(carry, inp):
+        bvals, bscales, brow, bcs, base = inp
+        v2 = bvals.reshape(blk, d)
+        if use_int8:
+            sc = jax.lax.dot_general(
+                q_i8, v2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * sq[:, None]
+        else:
+            cdt = (jnp.float32 if index.values.dtype == jnp.float32
+                   else jnp.bfloat16)
+            sc = jax.lax.dot_general(
+                q.astype(cdt), v2.astype(cdt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, blk]
+        if has_scales:
+            sc = sc * bscales.reshape(blk)[None, :]
+        if index.residual:
+            sc = (sc.reshape(b, cpb, cap)
+                  + bcs[:, :, None]).reshape(b, blk)
+        keep = brow.reshape(blk) >= 0
+        if mask is not None:
+            keep &= jnp.take(mask, jnp.maximum(brow.reshape(blk), 0))
+        sc = jnp.where(keep[None, :], sc, NEG_INF)
+        if approx_topk:
+            v_, p_ = jax.lax.approx_max_k(sc, k_blk)
+        else:
+            v_, p_ = jax.lax.top_k(sc, k_blk)
+        return carry, (v_, p_.astype(jnp.int32) + base)
+
+    _, (vs, locs) = jax.lax.scan(
+        body, None,
+        (index.values.reshape(nb, cpb, cap, d),
+         (index.scales.reshape(nb, cpb, cap) if has_scales
+          else jnp.zeros((nb, 0))),
+         index.row_ids.reshape(nb, cpb, cap),
+         cs_blocks,
+         jnp.arange(nb, dtype=jnp.int32) * blk),
+    )
+    vs = jnp.moveaxis(vs, 0, 1).reshape(b, nb * k_blk)
+    locs = jnp.moveaxis(locs, 0, 1).reshape(b, nb * k_blk)
+    k_eff = min(k, nb * k_blk)
+    fv, pos = jax.lax.top_k(vs, k_eff)
+    floc = jnp.take_along_axis(locs, pos, axis=-1)
+    fi = jnp.take(index.row_ids.reshape(nlist * cap), floc)
+    fi = jnp.where(jnp.isfinite(fv), fi, -1)
+    return attach_overflow_and_refine(q, cs, index, fv, fi, floc, k_eff,
+                                      mask=mask, approx=approx_topk)
 
 
 def build_ivf_streaming(
@@ -392,9 +741,12 @@ def build_ivf_streaming(
     capacity = -(-capacity // 64) * 64  # VMEM-tile-friendly (pallas_ivf)
 
     store_int8 = dtype == jnp.int8
+    use_signs = store_int8 and cen_np.shape[1] % 8 == 0
     if store_int8:
         values = np.zeros((nlist, capacity, cen_np.shape[1]), np.int8)
         scales = np.zeros((nlist, capacity), np.float32)
+        signs = (np.zeros((nlist, capacity, cen_np.shape[1] // 8), np.uint8)
+                 if use_signs else None)
     else:
         import ml_dtypes
 
@@ -407,6 +759,8 @@ def build_ivf_streaming(
     of_vals: list[np.ndarray] = []
     of_scales: list[np.ndarray] = []
     of_rows: list[np.ndarray] = []
+    of_signs: list[np.ndarray] = []
+    of_assign_l: list[np.ndarray] = []
 
     # pass 2: assign + balanced fill
     base = 0
@@ -427,15 +781,24 @@ def build_ivf_streaming(
             q, s = _quant_rows(stored)
             values[cl[ok], slot[ok]] = q
             scales[cl[ok], slot[ok]] = s
+            if use_signs:
+                signs[cl[ok], slot[ok]] = pack_error_signs(stored, q, s)
         else:
             values[cl[ok], slot[ok]] = stored.astype(values.dtype)
         row_ids[cl[ok], slot[ok]] = (base + np.flatnonzero(ok)).astype(np.int32)
         if spill.size:
             sv = chunk[spill]
+            if store_int8 and residual:
+                # residual-code spilled rows vs their BEST centroid —
+                # the probe-score row restores the full dot at search
+                sv = sv - cen_np[cand[spill, 0]]
+                of_assign_l.append(cand[spill, 0].astype(np.int32))
             if store_int8:
                 q, s = _quant_rows(sv)
                 of_vals.append(q)
                 of_scales.append(s)
+                if use_signs:
+                    of_signs.append(pack_error_signs(sv, q, s))
             else:
                 of_vals.append(sv.astype(values.dtype))
             of_rows.append((base + spill).astype(np.int32))
@@ -443,12 +806,18 @@ def build_ivf_streaming(
 
     overflow = None
     overflow_ids = None
+    of_sign = None
+    of_assign = None
     if of_vals:
         if store_int8:
             overflow = DenseCorpus(
                 values=jnp.asarray(np.concatenate(of_vals)),
                 scales=jnp.asarray(np.concatenate(of_scales)),
             )
+            if use_signs:
+                of_sign = jnp.asarray(np.concatenate(of_signs))
+            if of_assign_l:
+                of_assign = jnp.asarray(np.concatenate(of_assign_l))
         else:
             overflow = DenseCorpus(values=jnp.asarray(np.concatenate(of_vals)))
         overflow_ids = jnp.asarray(np.concatenate(of_rows))
@@ -461,6 +830,9 @@ def build_ivf_streaming(
         overflow=overflow,
         overflow_rows=overflow_ids,
         residual=residual,
+        sign_plane=jnp.asarray(signs) if use_signs else None,
+        of_sign_plane=of_sign,
+        of_assign=of_assign,
     )
 
 
@@ -515,15 +887,20 @@ def _ivf_search_core(
         kk = min(k, nprobe * cap)
         v_top, pos = jax.lax.top_k(s, kk)
         i_top = jnp.take_along_axis(ids, pos, axis=-1)
-        return None, (v_top, i_top)
+        # candidate location (cluster*cap + slot) for the refine stage
+        cl_top = jnp.take_along_axis(probes, pos // cap, axis=1)
+        loc_top = cl_top.astype(jnp.int32) * cap + (pos % cap).astype(
+            jnp.int32)
+        return None, (v_top, i_top, loc_top)
 
-    _, (vals_, ids_) = jax.lax.scan(
+    _, (vals_, ids_, locs_) = jax.lax.scan(
         per_block, None, qp.reshape(nqb, query_block, d)
     )
     kk = vals_.shape[-1]
     vals_ = vals_.reshape(nqb * query_block, kk)[:b]
     ids_ = ids_.reshape(nqb * query_block, kk)[:b]
-    return vals_, ids_
+    locs_ = locs_.reshape(nqb * query_block, kk)[:b]
+    return vals_, ids_, locs_
 
 
 def ivf_search(
@@ -541,21 +918,12 @@ def ivf_search(
         nrm = jnp.linalg.norm(q, axis=-1, keepdims=True)
         q = q / jnp.where(nrm > 0, nrm, 1.0)
     nprobe = min(nprobe, index.nlist)
-    v, i = _ivf_search_core(
+    v, i, loc = _ivf_search_core(
         q, index.centroids, index.values, index.scales, index.row_ids,
         mask, k=k, nprobe=nprobe, query_block=min(query_block, q.shape[0]),
         has_mask=mask is not None, residual=index.residual,
     )
-    if index.overflow is not None:
-        ov, oi_local = dense_search(
-            q, index.overflow, k=min(k, index.overflow.size),
-            metric=Metric.DOT,  # rows already unit-norm
-            mask=(jnp.take(mask, index.overflow_rows)
-                  if mask is not None else None),
-        )
-        oi = jnp.take(index.overflow_rows, oi_local)
-        v = jnp.concatenate([v, ov], axis=1)
-        i = jnp.concatenate([i, oi], axis=1)
-        v, pos = jax.lax.top_k(v, k)
-        i = jnp.take_along_axis(i, pos, axis=-1)
-    return v, i
+    cs = None
+    if index.residual or index.sign_plane is not None:
+        cs = q @ index.centroids.T
+    return attach_overflow_and_refine(q, cs, index, v, i, loc, k, mask=mask)

@@ -230,10 +230,18 @@ def test_residual_pallas_matches_xla(rng):
     index = build_ivf(jnp.asarray(x), nlist=16, dtype=jnp.int8,
                       kmeans_iters=4, seed=1, residual=True)
     q = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
-    xv, xi = ivf_search(q, index, k=10, nprobe=8)
-    pv, pi = pallas_ivf_topk(q, index, k=10, nprobe=8, interpret=True)
+    # nprobe=nlist: candidate sets coincide, so parity must be exact.
+    # (At nprobe < nlist the pallas tile-parallel path scans the probe
+    # UNION of the whole batch — a superset of each query's own probes —
+    # so its results legitimately dominate the per-query XLA path.)
+    xv, xi = ivf_search(q, index, k=10, nprobe=16)
+    pv, pi = pallas_ivf_topk(q, index, k=10, nprobe=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(xi), np.asarray(pi))
     np.testing.assert_allclose(np.asarray(xv), np.asarray(pv), rtol=1e-4)
+    # subset-probe run: the union path may only improve scores
+    uv, _ = pallas_ivf_topk(q, index, k=10, nprobe=8, interpret=True)
+    assert float(np.asarray(uv).sum()) >= float(np.asarray(
+        ivf_search(q, index, k=10, nprobe=8)[0]).sum()) - 1e-3
 
 
 def test_streaming_build_matches_search(clustered_data, rng):
@@ -348,3 +356,132 @@ def test_engine_streamed_ivf_build(rng, monkeypatch):
         len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(gi, fi)
     ])
     assert recall >= 0.8, recall
+
+
+# ---- 1-bit sign-plane refinement + residual-coded overflow (round 3) ----
+
+
+def test_pack_unpack_signs_roundtrip(rng):
+    from super_rag_tpu.ops.ivf import (_quant_rows, pack_error_signs,
+                                       unpack_signs)
+
+    x = rng.standard_normal((16, 64)).astype(np.float32)
+    q, s = _quant_rows(x)
+    packed = pack_error_signs(x, q, s)
+    assert packed.shape == (16, 8)
+    signs = np.asarray(unpack_signs(jnp.asarray(packed)))
+    e = x / s[:, None] - q
+    want = np.where(e > 0, 1.0, -1.0)
+    assert np.array_equal(signs, want)
+
+
+def test_sign_plane_built_and_reduces_score_error(rng):
+    """Refined int8 scores must sit closer to exact-f32 than raw int8."""
+    import dataclasses as dc
+
+    x = rng.standard_normal((4000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    index = build_ivf(jnp.asarray(x), nlist=16, dtype=jnp.int8,
+                      kmeans_iters=4, seed=0)
+    assert index.sign_plane is not None
+    q = jnp.asarray(x[rng.choice(4000, 32)])
+    # nprobe=nlist: candidate sets identical, only scoring differs
+    rv, ri = ivf_search(q, index, k=10, nprobe=16)
+    plain = dc.replace(index, sign_plane=None, of_sign_plane=None)
+    pv, pi = ivf_search(q, plain, k=10, nprobe=16)
+    exact = np.asarray(q) @ x.T
+    err_r = np.abs(np.take_along_axis(exact, np.asarray(ri), 1)
+                   - np.asarray(rv)).mean()
+    err_p = np.abs(np.take_along_axis(exact, np.asarray(pi), 1)
+                   - np.asarray(pv)).mean()
+    assert err_r < err_p * 0.75, (err_r, err_p)
+
+
+def test_residual_overflow_rows_exactly_scored(rng):
+    """Overflow rows are residual-coded vs their own best centroid; with
+    the probe-score add-back their scores must match exact within int8
+    noise, and overflow rows must still be findable."""
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    index = build_ivf(jnp.asarray(x), nlist=4, capacity_factor=0.5,
+                      dtype=jnp.int8, kmeans_iters=3, seed=0)
+    assert index.overflow is not None and index.overflow.size > 0
+    assert index.of_assign is not None
+    assert index.of_sign_plane is not None
+    row = int(np.asarray(index.overflow_rows)[0])
+    v, ids = ivf_search(jnp.asarray(x[row:row + 1]), index, k=3, nprobe=4)
+    ids = np.asarray(ids)[0].tolist()
+    assert row in ids
+    # score of the self-match must be ~1.0 (unit vectors)
+    self_score = float(np.asarray(v)[0][ids.index(row)])
+    assert abs(self_score - 1.0) < 5e-3, self_score
+
+
+def test_overflow_topk_respects_mask(rng):
+    from super_rag_tpu.ops.ivf import overflow_topk
+
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    index = build_ivf(jnp.asarray(x), nlist=4, capacity_factor=0.4,
+                      dtype=jnp.int8, kmeans_iters=3, seed=0)
+    of_rows = np.asarray(index.overflow_rows)
+    keep = np.zeros(400, bool)
+    keep[of_rows[: of_rows.size // 2]] = True
+    q = jnp.asarray(x[:8])
+    cs = q @ index.centroids.T
+    ov, oi, _ = overflow_topk(q, cs, index, k=5, mask=jnp.asarray(keep))
+    oi = np.asarray(oi)
+    valid = np.isfinite(np.asarray(ov))
+    assert np.all(keep[oi[valid]])
+
+
+def test_streaming_build_carries_sign_plane(rng):
+    from super_rag_tpu.ops.ivf import build_ivf_streaming
+
+    x = rng.standard_normal((3000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    idx = build_ivf_streaming(
+        lambda: iter([x[:1500], x[1500:]]), nlist=8, dtype=jnp.int8, seed=0)
+    assert idx.sign_plane is not None
+    if idx.overflow is not None and idx.overflow.size:
+        assert idx.of_sign_plane is not None
+        assert idx.of_assign is not None
+    q = jnp.asarray(x[rng.choice(3000, 16)])
+    exact = build_corpus(jnp.asarray(x), dtype=jnp.float32)
+    _, gi = dense_search(q, exact, k=10)
+    _, ai = ivf_search(q, idx, k=10, nprobe=8)
+    assert recall_at_k(ai, gi, 10) >= 0.95
+
+
+def test_ivf_flat_topk_matches_full_probe_search(rng):
+    """The large-batch flat tier is an exact scan of the same arrays, so
+    it must rank exactly like ivf_search at nprobe=nlist."""
+    from super_rag_tpu.ops.ivf import ivf_flat_topk
+
+    x = rng.standard_normal((3000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    index = build_ivf(jnp.asarray(x), nlist=16, capacity_factor=0.9,
+                      dtype=jnp.int8, kmeans_iters=4, seed=0)
+    assert index.overflow is not None  # exercise the overflow merge too
+    q = jnp.asarray(x[rng.choice(3000, 24)])
+    fv, fi = ivf_flat_topk(q, index, k=10, approx_topk=False)
+    sv, si = ivf_search(q, index, k=10, nprobe=16)
+    assert np.array_equal(np.asarray(fi), np.asarray(si))
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(sv),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_flat_topk_mask(rng):
+    from super_rag_tpu.ops.ivf import ivf_flat_topk
+
+    x = rng.standard_normal((2000, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    index = build_ivf(jnp.asarray(x), nlist=8, dtype=jnp.int8,
+                      kmeans_iters=3, seed=0)
+    keep = np.zeros(2000, bool)
+    keep[:200] = True
+    _, ids = ivf_flat_topk(jnp.asarray(x[:4]), index, k=5,
+                           mask=jnp.asarray(keep), approx_topk=False)
+    ids = np.asarray(ids)
+    assert np.all((ids < 200) | (ids < 0))
