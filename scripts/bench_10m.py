@@ -380,7 +380,10 @@ def main() -> None:
             inverted=inverted, ivf=ivf,
             vocab_size=vocab, k=k, candidates=cand,
             use_pallas=on_tpu, nprobe=chosen,
-            postings_per_query_term=256, rescore=True,
+            # the 1M fidelity frontier (docs/design/kernels.md): deeper
+            # per-term postings budgets + exact-pool rescore recover what
+            # truncation costs; P_q=768 of the stored 1024
+            postings_per_query_term=768, rescore=True, lex_gen=250,
             num_docs=n,
             # exact final sorts lower to full bitonic sorts that rival
             # the scans themselves (203 ms vs 3.5 ms at [512, 1M]); the

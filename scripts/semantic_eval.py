@@ -237,7 +237,10 @@ def main() -> None:
         ce_model = CrossEncoder(enc_cfg)
         ce_cfg = RerankTrainConfig(
             total_steps=ce_steps, warmup_steps=max(10, ce_steps // 20),
-            n_negatives=7, learning_rate=2e-4,
+            n_negatives=7,
+            # warm-started backbone: the r2 default 2e-4 left CE accuracy
+            # noise-bound at ~0.35 (8-way); fine-tune-scale lr trains
+            learning_rate=float(os.environ.get("SEM_CE_LR", "7e-5")),
         )
         ce_state = create_ce_state(ce_model, jax.random.PRNGKey(1), ce_cfg,
                                    backbone_params=state.params["backbone"])
@@ -245,9 +248,12 @@ def main() -> None:
         done_ce, ce_last = 0, {}
         crng = np.random.default_rng(2)
         while done_ce < ce_steps:
+            # max_len 160 matches rerank_with_ce's serving-time window —
+            # the r2 train/serve mismatch (128 vs 160) truncated training
+            # pairs short of what the CE sees at eval
             for batch in ce_batches(mine_pairs, hard, tok, crng, ce_cfg,
                                     batch_queries=16 if on_tpu else 4,
-                                    max_len=128):
+                                    max_len=160):
                 ce_state, m = ce_step(
                     ce_state, {k: jnp.asarray(v) for k, v in batch.items()}
                 )
