@@ -769,6 +769,10 @@ class DeviceIndex:
             lex_deep_postings=lex_deep_postings,
             lex_approx_topk=lex_approx_topk,
             int8_queries=use_pallas and self.spec.dtype == jnp.int8,
+            # exact final sorts lower to full bitonic sorts on TPU whose
+            # cost rivals the scans at >=1M rows; the refine + rescore
+            # stages re-rank the pool exactly anyway (kernels.md r3)
+            dense_approx_topk=use_pallas,
         )
 
     # -- snapshot / restore ----------------------------------------------------
