@@ -385,6 +385,9 @@ def main() -> None:
             # truncation costs; P_q=768 of the stored 1024
             postings_per_query_term=768, rescore=True, lex_gen=250,
             num_docs=n,
+            # native int8 MXU phase-1 on the flat tier (2x bf16 rate);
+            # the sign-refine stage re-scores the pool with f32 queries
+            int8_queries=True,
             # exact final sorts lower to full bitonic sorts that rival
             # the scans themselves (203 ms vs 3.5 ms at [512, 1M]); the
             # refine + rescore stages re-rank the pool exactly anyway
