@@ -73,14 +73,20 @@ def cached(name: str, builder):
 def main() -> None:
     argv = sys.argv[1:]
     prepare_only = "--prepare" in argv
-    full = prepare_only or "--full" in argv
+    prepare_ivf = "--prepare-ivf" in argv
+    full = prepare_only or prepare_ivf or "--full" in argv
     nprobe_args = [int(a) for a in argv if not a.startswith("--")]
 
     import jax
 
-    if prepare_only:
+    if prepare_only or prepare_ivf:
         # host-only phases: force CPU so the TPU claim stays free (the
-        # axon sitecustomize overrides JAX_PLATFORMS — re-force it)
+        # axon sitecustomize overrides JAX_PLATFORMS — re-force it).
+        # --prepare-ivf runs the IVF build here too: k-means/assignment
+        # matmuls are ~30% slower than on-chip, but the ~10 GB result
+        # never crosses the relay (whose big transfers can wedge — the
+        # r3 first rebuild died exactly there) and the TPU claim stays
+        # free for concurrent training runs.
         jax.config.update("jax_platforms", "cpu")
     elif os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
@@ -282,6 +288,7 @@ def main() -> None:
             # keeps relocated rows' scores exact; only probe probability
             # shifts, and the union/flat tiers probe supersets anyway)
             assign_candidates=8, spill_margin=0.35,
+            host_arrays=True,  # cache-only result; skip relay transfers
         )
         out = {
             "centroids": np.asarray(ivf.centroids),
@@ -303,6 +310,9 @@ def main() -> None:
         return out
 
     iv = cached(f"ivf_{tag}_l{nlist}", build_ivf_phase)
+    if prepare_ivf:
+        log("prepare-ivf done (IVF cached); run on TPU next")
+        return
     overflow = None
     overflow_rows = None
     if "of_values" in iv:

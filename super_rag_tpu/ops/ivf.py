@@ -677,6 +677,7 @@ def build_ivf_streaming(
     residual: Optional[bool] = None,
     assign_candidates: int = 4,
     spill_margin: float = 0.15,
+    host_arrays: bool = False,
 ) -> IVFIndex:
     """Corpus-scale IVF build that never materializes the f32 matrix.
 
@@ -804,6 +805,13 @@ def build_ivf_streaming(
             of_rows.append((base + spill).astype(np.int32))
         base += m
 
+    # ``host_arrays`` keeps the result in host numpy: builders that only
+    # want to CACHE the index skip two ~10 GB relay transfers (device-put
+    # here + device-get in the caller) — on this image's remote TPU a
+    # transfer that size can wedge indefinitely (CLAUDE.md), and the
+    # build phase itself never searches the arrays it just wrote.
+    put = (lambda a: a) if host_arrays else jnp.asarray
+
     overflow = None
     overflow_ids = None
     of_sign = None
@@ -811,26 +819,26 @@ def build_ivf_streaming(
     if of_vals:
         if store_int8:
             overflow = DenseCorpus(
-                values=jnp.asarray(np.concatenate(of_vals)),
-                scales=jnp.asarray(np.concatenate(of_scales)),
+                values=put(np.concatenate(of_vals)),
+                scales=put(np.concatenate(of_scales)),
             )
             if use_signs:
-                of_sign = jnp.asarray(np.concatenate(of_signs))
+                of_sign = put(np.concatenate(of_signs))
             if of_assign_l:
-                of_assign = jnp.asarray(np.concatenate(of_assign_l))
+                of_assign = put(np.concatenate(of_assign_l))
         else:
-            overflow = DenseCorpus(values=jnp.asarray(np.concatenate(of_vals)))
-        overflow_ids = jnp.asarray(np.concatenate(of_rows))
+            overflow = DenseCorpus(values=put(np.concatenate(of_vals)))
+        overflow_ids = put(np.concatenate(of_rows))
 
     return IVFIndex(
-        centroids=centroids,
-        values=jnp.asarray(values),
-        scales=jnp.asarray(scales) if scales is not None else None,
-        row_ids=jnp.asarray(row_ids),
+        centroids=np.asarray(centroids) if host_arrays else centroids,
+        values=put(values),
+        scales=put(scales) if scales is not None else None,
+        row_ids=put(row_ids),
         overflow=overflow,
         overflow_rows=overflow_ids,
         residual=residual,
-        sign_plane=jnp.asarray(signs) if use_signs else None,
+        sign_plane=put(signs) if use_signs else None,
         of_sign_plane=of_sign,
         of_assign=of_assign,
     )
