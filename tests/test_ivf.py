@@ -485,3 +485,32 @@ def test_ivf_flat_topk_mask(rng):
                            mask=jnp.asarray(keep), approx_topk=False)
     ids = np.asarray(ids)
     assert np.all((ids < 200) | (ids < 0))
+
+
+def test_ivf_flat_topk_int8_queries(rng):
+    """Native int8 phase-1: query quantization may only perturb the
+    candidate POOL; refined scores come from f32 queries, so top-10
+    quality stays within noise of the bf16 path."""
+    from super_rag_tpu.ops.ivf import ivf_flat_topk
+
+    x = rng.standard_normal((4000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    index = build_ivf(jnp.asarray(x), nlist=16, dtype=jnp.int8,
+                      kmeans_iters=4, seed=0)
+    q = jnp.asarray(x[rng.choice(4000, 32)])
+    bv, bi = ivf_flat_topk(q, index, k=10, approx_topk=False,
+                           int8_queries=False)
+    iv_, ii = ivf_flat_topk(q, index, k=10, approx_topk=False,
+                            int8_queries=True)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(np.asarray(ii), np.asarray(bi))
+    ])
+    assert overlap >= 0.9, overlap
+    # refined scores of common candidates must agree to f32 accuracy
+    # (both paths re-score the pool with f32 queries + sign planes)
+    common = set(np.asarray(ii)[0].tolist()) & set(np.asarray(bi)[0].tolist())
+    sb = {int(i): float(v) for i, v in zip(np.asarray(bi)[0], np.asarray(bv)[0])}
+    si = {int(i): float(v) for i, v in zip(np.asarray(ii)[0], np.asarray(iv_)[0])}
+    for c in common:
+        assert abs(sb[c] - si[c]) < 1e-5
