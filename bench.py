@@ -60,7 +60,29 @@ def main():
     from super_rag_tpu.ops.fusion import rrf_fuse
     from super_rag_tpu.ops.hybrid import hybrid_search
 
+    # The remote-TPU claim can wedge externally (a killed client's
+    # half-sent transfer leaves the single-threaded relay waiting
+    # forever; observed r3) — in that state jax backend init blocks
+    # indefinitely.  Emit an honest failure line instead of hanging the
+    # driver: a watchdog fires if init takes >10 min (first compile of
+    # the session takes ~5; claim acquisition is normally seconds).
+    import threading
+
+    def _claim_watchdog():
+        print(json.dumps({
+            "metric": "hybrid top-10 QPS/chip (TPU claim unavailable)",
+            "value": 0.0, "unit": "queries/sec", "vs_baseline": 0.0,
+            "error": "jax backend init exceeded 600s — remote TPU claim "
+                     "wedged; see CLAUDE.md relay notes",
+        }), flush=True)
+        import os as _os
+        _os._exit(3)
+
+    _wd = threading.Timer(600.0, _claim_watchdog)
+    _wd.daemon = True
+    _wd.start()
     backend = jax.default_backend()
+    _wd.cancel()
     on_tpu = backend not in ("cpu",)
 
     import os

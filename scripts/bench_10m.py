@@ -107,7 +107,14 @@ def main() -> None:
     on_tpu = jax.default_backend() != "cpu"
     full = full or on_tpu
     if full:
-        n, d, n_centers, nlist = 8192 * 1221, 768, 2048, 8192
+        n, d, n_centers = 8192 * 1221, 768, 2048
+        # nlist 16384 (not 8192): the corpus's 2048 generation centers
+        # map to ~8 k-means cells each at this nlist; centers that got
+        # only ceil-1 cells at 8192 HAD to overflow ~15% of the corpus
+        # (all in-margin relocation candidates full — capacity
+        # quantization, not margin).  Finer cells also halve the bytes
+        # the latency-tier union kernel streams per probe.
+        nlist = int(os.environ.get("BENCH_NLIST", "16384"))
         slots, vocab = 48, 1 << 17
         batch, k, cand = 512, 10, 100
         train_sample = 300_000
