@@ -140,14 +140,12 @@ def main() -> None:
     # the lowest-idf terms only), approx_max_k generation — all with the
     # rescore stage on (the headline path)
     configs = [
-        # (ppq, deep_terms, deep_postings, approx, label)
+        # (ppq, deep_terms, deep_postings, approx, label) — trimmed to 6:
+        # each config is a fresh multi-minute remote compile
         (256, 0, None, False, "uniform256"),
-        (512, 0, None, False, "uniform512"),
         (1024, 0, None, False, "uniform1024"),
         (256, 4, 1024, False, "da256+4x1024"),
         (256, 4, 2000, False, "da256+4x2000"),
-        (128, 4, 1024, False, "da128+4x1024"),
-        (256, 8, 1024, False, "da256+8x1024"),
         (256, 4, 1024, True, "da256+4x1024+approx"),
         (1024, 0, None, True, "uniform1024+approx"),
     ]
