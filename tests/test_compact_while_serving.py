@@ -41,9 +41,13 @@ def test_search_during_compact_and_churn():
                 )
                 # delete a few of the fresh rows again
                 kill = rows[::3]
-                idx.delete(kill)
+                # record BEFORE deleting: a searcher that observes the
+                # engine-side tombstone between delete() and the record
+                # would otherwise flag a false phantom (test-side race,
+                # seen ~1/30 full-suite runs)
                 with deleted_lock:
                     deleted.update(kill)
+                idx.delete(kill)
                 idx.compact_lexical(postings_per_term=64)
                 if round_ % 2 == 0:
                     idx.compact_dense(nlist=8, nprobe=4)
