@@ -229,15 +229,21 @@ def main() -> None:
         mine_cap = int(os.environ.get("SEM_MINE_PAIRS",
                                       str(max(40000, ce_steps * 16))))
         mine_pairs = pairs[: (mine_cap if on_tpu else 200)]
+        # train the CE on the SERVING distribution: groups are the
+        # retriever's own top candidates (1 pos + n hard wrong answers),
+        # the exact 20-way task it faces at rerank time.  r3's 4-hard +
+        # 3-random groups trained an 8-way classifier dominated by easy
+        # negatives and it generalized below the retriever.
+        n_negs = int(os.environ.get("SEM_CE_NEGS", "19" if on_tpu else "7"))
         t0 = time.time()
-        hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=4)
-        print(f"mined hard negatives for {len(mine_pairs)} pairs "
+        hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=n_negs)
+        print(f"mined {n_negs} hard negatives for {len(mine_pairs)} pairs "
               f"({time.time() - t0:.0f}s)", flush=True)
 
         ce_model = CrossEncoder(enc_cfg)
         ce_cfg = RerankTrainConfig(
             total_steps=ce_steps, warmup_steps=max(10, ce_steps // 20),
-            n_negatives=7,
+            n_negatives=n_negs,
             # warm-started backbone: the r2 default 2e-4 left CE accuracy
             # noise-bound at ~0.35 (8-way); fine-tune-scale lr trains
             learning_rate=float(os.environ.get("SEM_CE_LR", "7e-5")),
@@ -247,13 +253,15 @@ def main() -> None:
         ce_step = make_ce_train_step(ce_model, ce_cfg)
         done_ce, ce_last = 0, {}
         crng = np.random.default_rng(2)
+        # ONE pair length everywhere (train = eval = serving): the
+        # backbone position table is Embed(cfg.max_len) and XLA clips
+        # OOB gathers, so any longer tokenization silently reuses the
+        # last position embedding — r3 trained at 160 over a 128 table.
+        ce_len = enc_cfg.max_len
+        bq = max(1, (160 if on_tpu else 32) // (1 + n_negs))
         while done_ce < ce_steps:
-            # max_len 160 matches rerank_with_ce's serving-time window —
-            # the r2 train/serve mismatch (128 vs 160) truncated training
-            # pairs short of what the CE sees at eval
             for batch in ce_batches(mine_pairs, hard, tok, crng, ce_cfg,
-                                    batch_queries=16 if on_tpu else 4,
-                                    max_len=160):
+                                    batch_queries=bq, max_len=ce_len):
                 ce_state, m = ce_step(
                     ce_state, {k: jnp.asarray(v) for k, v in batch.items()}
                 )
@@ -294,7 +302,8 @@ def main() -> None:
                 if g in cand:
                     s = rerank_with_ce(
                         ce_model, ce_state.params, tok, queries[lo + j],
-                        [eval_corpus_texts[c] for c in cand], max_len=128,
+                        [eval_corpus_texts[c] for c in cand],
+                        max_len=ce_len,
                     )
                     if g in [cand[i] for i in np.argsort(-s)[:10]]:
                         hits_rr += 1

@@ -64,7 +64,10 @@ def run_python(
         resource.setrlimit(resource.RLIMIT_FSIZE,
                            (max_file_bytes, max_file_bytes))
         resource.setrlimit(resource.RLIMIT_NPROC, (32, 32))
-        os.setsid()  # own process group: timeout kill reaps children
+        # own session/pgroup so the parent can killpg the WHOLE tree on
+        # timeout (subprocess.run's TimeoutExpired kills only the direct
+        # child — a forking snippet would otherwise outlive the sandbox)
+        os.setsid()
 
     with tempfile.TemporaryDirectory(prefix="agent-code-") as workdir:
         env = {
@@ -76,23 +79,32 @@ def run_python(
         }
         t0 = time.perf_counter()
         timed_out = False
+        proc = subprocess.Popen(
+            [sys.executable, "-I", "-c", code],
+            cwd=workdir, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, preexec_fn=limits,
+        )
         try:
-            proc = subprocess.run(
-                [sys.executable, "-I", "-c", code],
-                cwd=workdir, env=env, capture_output=True, text=True,
-                timeout=timeout_s, preexec_fn=limits,
-            )
-            exit_code, out, err = proc.returncode, proc.stdout, proc.stderr
-        except subprocess.TimeoutExpired as e:
+            out, err = proc.communicate(timeout=timeout_s)
+            exit_code = proc.returncode
+        except subprocess.TimeoutExpired:
             timed_out = True
             exit_code = -1
-            out = (e.stdout or b"")
-            err = (e.stderr or b"")
-            if isinstance(out, bytes):
-                out = out.decode("utf-8", "replace")
-            if isinstance(err, bytes):
-                err = err.decode("utf-8", "replace")
-            err += f"\n[killed: exceeded {timeout_s}s wall clock]"
+            # kill the whole session group, not just the direct child:
+            # grandchildren forked by the snippet live in the same group
+            # (os.setsid above) and must not survive the wall clock
+            import signal
+
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError, OSError):
+                proc.kill()
+            try:
+                out, err = proc.communicate(timeout=5)
+            except subprocess.TimeoutExpired:  # pragma: no cover
+                out, err = "", ""
+            out = out or ""
+            err = (err or "") + f"\n[killed: exceeded {timeout_s}s wall clock]"
         duration = time.perf_counter() - t0
 
         files: dict[str, str] = {}

@@ -363,10 +363,30 @@ class KnowledgeGraphService:
 
     def _edge_doc_rows(self, group_id: str,
                        as_of: Optional[float]) -> Optional[list[int]]:
-        """Device row allowlist for point-in-time search: only edges
-        valid at ``as_of`` score (a mask, not a gather — shapes static)."""
+        """Device row allowlist for temporal search: only edges valid at
+        ``as_of`` score (a mask, not a gather — shapes static).
+
+        For live searches (``as_of=None``) the allowlist is the
+        currently-valid rows — superseded edges keep their device rows
+        for as_of queries, so without this a frequently-updated group
+        fills the top_k*2 candidate pool with invalidated facts and the
+        post-filter returns fewer than top_k results (ADVICE r3 #4).
+        Returns None when nothing is invalidated (common case: no
+        allowlist needed, index_types scoping suffices)."""
         if as_of is None:
-            return None
+            n_dead = self.db.query_one(
+                "SELECT COUNT(*) AS n FROM kg_edge WHERE group_id=?"
+                " AND row_id>=0 AND invalid_at IS NOT NULL",
+                (group_id,),
+            )
+            if not n_dead or not n_dead["n"]:
+                return None
+            rows = self.db.query(
+                "SELECT row_id FROM kg_edge WHERE group_id=? AND row_id>=0"
+                " AND invalid_at IS NULL",
+                (group_id,),
+            )
+            return [r["row_id"] for r in rows]
         rows = self.db.query(
             "SELECT row_id FROM kg_edge WHERE group_id=? AND row_id>=0"
             " AND valid_at<=? AND (invalid_at IS NULL OR invalid_at>?)",

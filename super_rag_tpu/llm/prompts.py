@@ -142,11 +142,18 @@ def get_agent_system_prompt(language: str = "en-US",
 def render_template(template_str: str, **variables) -> str:
     """Render a jinja2 template (the reference's engine for custom
     templates — prompt_template_service.py:349); falls back to simple
-    ``{{name}}`` substitution if jinja2 is unavailable."""
-    try:
-        from jinja2 import Template
+    ``{{name}}`` substitution if jinja2 is unavailable.
 
-        return Template(template_str).render(**variables)
+    Templates here include USER-CONTROLLED strings (prompt_template CRUD
+    rows, per-agent system_prompt_template), so rendering must go through
+    jinja2's SandboxedEnvironment: a plain Template exposes the full
+    attribute graph (``cycler.__init__.__globals__.os``…) and is
+    in-process RCE for any authenticated user."""
+    try:
+        from jinja2.sandbox import SandboxedEnvironment
+
+        env = SandboxedEnvironment(autoescape=False)
+        return env.from_string(template_str).render(**variables)
     except ImportError:  # pragma: no cover — jinja2 is baked in
         out = template_str
         for k, v in variables.items():

@@ -15,6 +15,7 @@ import time
 from typing import Any, Callable, Optional
 
 import jinja2
+import jinja2.sandbox
 from pydantic import BaseModel
 
 from super_rag_tpu.nodeflow.models import (
@@ -42,7 +43,11 @@ class NodeflowError(Exception):
 class NodeflowEngine:
     def __init__(self, on_event: Optional[Callable[[dict], Any]] = None):
         self.on_event = on_event
-        self._jinja = jinja2.Environment(undefined=jinja2.Undefined)
+        # workflow graphs arrive from the public API, so `{{ }}` exprs are
+        # user-controlled — render them only inside the jinja2 sandbox
+        self._jinja = jinja2.sandbox.SandboxedEnvironment(
+            undefined=jinja2.Undefined
+        )
 
     # -- scheduling --------------------------------------------------------
 

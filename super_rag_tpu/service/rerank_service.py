@@ -48,7 +48,10 @@ class RerankService:
             else self.model.init_params(jax.random.PRNGKey(seed))
         )
         self.tokenizer = tokenizer or HashTokenizer(vocab_size=self.cfg.vocab_size)
-        self.max_len = max_len
+        # never tokenize past the position table: Embed(cfg.max_len) is
+        # gather-clipped by XLA, so tokens beyond it silently all share
+        # the last position embedding (train/serve skew, r4 fix)
+        self.max_len = min(max_len, self.cfg.max_len)
         self.batch_size = batch_size
 
     @classmethod

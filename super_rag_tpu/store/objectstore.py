@@ -18,10 +18,17 @@ import hmac
 import os
 import shutil
 from typing import BinaryIO, Iterator, Optional
-from urllib.parse import quote, urlsplit
+from urllib.parse import quote, unquote, urlsplit
 
 
 class ObjectStore:
+    def wire_config(self) -> Optional[dict]:
+        """kwargs for :func:`get_object_store` that reconstruct this
+        store in another process (the ProcessScheduler ships it to
+        ingest workers); None when the store is not reconstructible
+        (e.g. a test transport) — callers must then prepare in-process."""
+        return None
+
     def put(self, path: str, data: bytes | BinaryIO) -> None:
         raise NotImplementedError
 
@@ -50,6 +57,9 @@ class LocalObjectStore(ObjectStore):
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
+
+    def wire_config(self) -> Optional[dict]:
+        return {"store_type": "local", "root": self.root}
 
     def _fs(self, path: str) -> str:
         full = os.path.abspath(os.path.join(self.root, path.lstrip("/")))
@@ -155,17 +165,24 @@ def sigv4_headers(
     )
     signed_headers = ";".join(signed_names)
 
-    # canonical query: sorted by key then value, strict URI encoding
+    # canonical query: decode each name/value, re-encode exactly once,
+    # sort by (key, value).  parts.query arrives percent-encoded from the
+    # caller; encoding it again would sign '%20' as '%2520'.
     q_pairs = []
     if parts.query:
         for pair in parts.query.split("&"):
             k, _, v = pair.partition("=")
-            q_pairs.append((_uri_encode(k), _uri_encode(v)))
+            q_pairs.append((_uri_encode(unquote(k)), _uri_encode(unquote(v))))
     canonical_query = "&".join(f"{k}={v}" for k, v in sorted(q_pairs))
 
+    # canonical URI: for the s3 service the path is used VERBATIM —
+    # it is already single-percent-encoded by the caller and S3 forbids
+    # the double-encoding other services apply (re-encoding '%' would
+    # sign '/a%20b' as '/a%2520b' → SignatureDoesNotMatch on any key
+    # that needs encoding).
     canonical_request = "\n".join([
         method.upper(),
-        _uri_encode(parts.path or "/", is_key=True),
+        parts.path or "/",
         canonical_query,
         canonical_headers,
         signed_headers,
@@ -223,7 +240,16 @@ class S3ObjectStore(ObjectStore):
         self.endpoint = (endpoint_url
                          or f"https://s3.{self.region}.amazonaws.com"
                          ).rstrip("/")
+        self._custom_transport = transport is not None
         self._client = httpx.Client(transport=transport, timeout=30.0)
+
+    def wire_config(self) -> Optional[dict]:
+        if self._custom_transport:  # test stub — not reconstructible
+            return None
+        return {"store_type": "s3", "bucket": self.bucket,
+                "endpoint_url": self.endpoint, "region": self.region,
+                "access_key": self.access_key,
+                "secret_key": self.secret_key}
 
     def _url(self, key: str, query: str = "") -> str:
         path = f"/{self.bucket}/" + _uri_encode(key.lstrip("/"), is_key=True)

@@ -224,13 +224,22 @@ class ProcessScheduler(ThreadScheduler):
         from super_rag_tpu.tasks.worker import prepared_from_wire
 
         cfg = self.task.cfg
+        store_cfg = self.task.objects.wire_config()
+        if store_cfg is None:
+            # store not reconstructible in a subprocess (e.g. a test
+            # transport): prepare in this host thread instead of handing
+            # workers a store they can't open (ADVICE r3 #5)
+            logger.warning(
+                "object store %s is not wire-serializable; preparing "
+                "in-process", type(self.task.objects).__name__)
+            return self.task.prepare(document_id, index_type)
         w = self._idle.get()
         try:
             resp = w.call({
                 "op": "prepare", "document_id": document_id,
                 "index_type": index_type,
                 "db_path": self.task.db.path,
-                "objects_root": getattr(self.task.objects, "root", ""),
+                "object_store": store_cfg,
                 "chunk_size": cfg.chunk_size,
                 "chunk_overlap": cfg.chunk_overlap,
             })

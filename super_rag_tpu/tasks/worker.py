@@ -29,7 +29,7 @@ from super_rag_tpu.chunk.chunking import Chunk, Rechunker
 from super_rag_tpu.fileparser.base import AssetBinPart, Part
 from super_rag_tpu.fileparser.parser import DocParser
 from super_rag_tpu.store.db import Database
-from super_rag_tpu.store.objectstore import LocalObjectStore
+from super_rag_tpu.store.objectstore import LocalObjectStore, get_object_store
 
 
 # -- wire format (JSON-safe Parts/Chunks) ------------------------------------
@@ -95,7 +95,11 @@ def handle(req: dict) -> dict:
     if op == "prepare":
         db = Database(req["db_path"])
         try:
-            objects = LocalObjectStore(req["objects_root"])
+            store_cfg = req.get("object_store")
+            if store_cfg:
+                objects = get_object_store(**store_cfg)
+            else:  # pre-wire_config clients
+                objects = LocalObjectStore(req["objects_root"])
             doc = db.get_document(req["document_id"])
             if doc is None:
                 raise ValueError(f"document {req['document_id']} not found")

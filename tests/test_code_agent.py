@@ -37,6 +37,31 @@ def test_run_python_wall_clock_kill():
     assert r.timed_out and "killed" in r.stderr
 
 
+def test_run_python_timeout_kills_grandchildren(tmp_path):
+    """A forking snippet must not survive the wall clock: the timeout
+    path killpg's the whole session group (ADVICE r3 #3)."""
+    beat = tmp_path / "beat"
+    code = f"""
+import os, time
+pid = os.fork()
+if pid == 0:  # grandchild: heartbeat forever
+    while True:
+        with open({str(beat)!r}, 'a') as f:
+            f.write('x')
+        time.sleep(0.1)
+time.sleep(60)
+"""
+    r = run_python(code, timeout_s=1.5)
+    assert r.timed_out
+    import time
+
+    time.sleep(0.5)  # allow any survivor to beat again
+    n1 = beat.stat().st_size if beat.exists() else 0
+    time.sleep(1.0)
+    n2 = beat.stat().st_size if beat.exists() else 0
+    assert n2 == n1, "grandchild survived the sandbox kill"
+
+
 def test_run_python_cpu_limit():
     r = run_python("while True: pass", timeout_s=30.0, cpu_seconds=1)
     assert r.exit_code != 0  # SIGXCPU, not the 30s wall clock

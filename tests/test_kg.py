@@ -76,6 +76,28 @@ def test_supersedence(kg):
     assert kg.stats("c")["edges"] == 1
 
 
+def test_live_search_not_crowded_by_superseded(kg):
+    """Heavy churn: superseded edges keep device rows for as_of queries,
+    but live search must still fill top_k with valid facts — the pool
+    is an allowlist of currently-valid rows (ADVICE r3 #4)."""
+    for i in range(8):
+        kg.add_episode("c", "", triples=[
+            Triple("Acme", "employs", f"P{i}",
+                   f"Acme employs P{i} as engineer.")
+        ])
+    # supersede every employment fact several times → many dead rows
+    for gen in ("senior", "staff", "principal"):
+        for i in range(8):
+            kg.add_episode("c", "", triples=[
+                Triple("Acme", "employs", f"P{i}",
+                       f"Acme employs P{i} as {gen}.")
+            ])
+    hits = kg.search("c", "acme employs engineer principal", top_k=5)
+    assert len(hits) == 5, f"pool crowded by superseded rows: {len(hits)}"
+    assert all(h["invalid_at"] is None for h in hits)
+    assert all("principal" in h["fact"] for h in hits)
+
+
 def test_episode_delete(kg):
     r = kg.add_episode("c", TEXT, source="doc1")
     kg.delete_episode("c", r["episode_id"])

@@ -132,6 +132,64 @@ def test_worker_survives_bad_request(stack):
     assert w.call({"op": "ping"})["ok"]
 
 
+def test_wire_config_ships_store_type():
+    """ProcessScheduler ships the object-store config over the wire; a
+    non-reconstructible store (test transport) falls back to in-process
+    prepare instead of handing workers root='' (ADVICE r3 #5)."""
+    import httpx
+
+    from super_rag_tpu.store.objectstore import S3ObjectStore
+
+    local = LocalObjectStore("/tmp/wirecfg-test")
+    assert local.wire_config() == {"store_type": "local",
+                                   "root": "/tmp/wirecfg-test"}
+    s3 = S3ObjectStore("b", endpoint_url="https://s3.test", access_key="AK",
+                       secret_key="SK", region="r1")
+    cfg = s3.wire_config()
+    assert cfg["store_type"] == "s3" and cfg["bucket"] == "b" \
+        and cfg["endpoint_url"] == "https://s3.test" \
+        and cfg["secret_key"] == "SK"
+    stub = S3ObjectStore(
+        "b", endpoint_url="https://s3.test", access_key="AK",
+        secret_key="SK",
+        transport=httpx.MockTransport(lambda r: httpx.Response(200)),
+    )
+    assert stub.wire_config() is None
+
+
+def test_s3_backed_process_scheduler_falls_back_in_process(tmp_path):
+    """End-to-end: ingest_backend=process + a stub S3 store still
+    indexes (prepare runs in the parent thread, not a broken worker)."""
+    import httpx
+
+    from super_rag_tpu.store.objectstore import S3ObjectStore
+    from tests.test_s3 import StubS3
+
+    cfg = Settings(data_dir=str(tmp_path), embedding_dim=64,
+                   index_dtype="float32", vocab_size=1 << 14)
+    db = Database(cfg.resolved_db_path())
+    stub = StubS3()
+    objects = S3ObjectStore("b", endpoint_url="https://s3.test",
+                            access_key="AK", secret_key="SK",
+                            transport=httpx.MockTransport(stub.handler))
+    engines = EngineManager(cfg)
+    task = DocumentIndexTask(db, objects, engines, cfg)
+    reconciler = DocumentIndexReconciler(db)
+    sched = ProcessScheduler(task, reconciler.callbacks, process_workers=1)
+    reconciler.scheduler = sched
+    try:
+        coll = db.create_collection("kb", "alice")
+        doc = _create_doc(db, objects, coll)
+        assert reconciler.reconcile_all() == 1
+        assert sched.wait_idle(30)
+        idx = _wait_active(db, doc["id"])
+        assert idx["status"] == IndexStatus.ACTIVE.value
+        eng = engines.get(coll["id"], coll["config"])
+        assert eng.search("alpha bravo", top_k=2, mode="hybrid")
+    finally:
+        sched.shutdown()
+
+
 def test_missing_document_fails_index(stack):
     cfg, db, objects, engines, rec, sched = stack
     coll = db.create_collection("kb", "alice")

@@ -109,3 +109,33 @@ def test_agent_session_zh_default():
 
     asyncio.run(run())
     assert "可用工具" in seen["prompt"]
+
+
+def test_render_template_sandboxed_against_ssti():
+    """User-controlled templates (prompt_template CRUD, agent
+    system_prompt_template) must render in the jinja2 sandbox: the
+    attribute-graph escape that reaches os.popen raises SecurityError
+    instead of executing (ADVICE r3 #1)."""
+    import pytest
+
+    from jinja2.exceptions import SecurityError
+
+    from super_rag_tpu.llm.prompts import render_template
+
+    # benign templates still render
+    assert render_template("hi {{ name }}", name="x") == "hi x"
+    assert render_template(
+        "{% if xs %}{{ xs | join(',') }}{% endif %}", xs=["a", "b"]
+    ) == "a,b"
+    evil = ("{{ cycler.__init__.__globals__.os.popen('echo pwned')"
+            ".read() }}")
+    with pytest.raises(SecurityError):
+        render_template(evil, query="q")
+
+
+def test_nodeflow_template_env_sandboxed():
+    from super_rag_tpu.nodeflow.engine import NodeflowEngine
+    import jinja2.sandbox
+
+    eng = NodeflowEngine()
+    assert isinstance(eng._jinja, jinja2.sandbox.SandboxedEnvironment)
