@@ -384,18 +384,27 @@ class ShardedDeviceIndex:
         """Validity AND metadata filters as one sharded [N] mask (same
         masked-scoring semantics as DeviceIndex._mask; elementwise ops
         preserve the row sharding, so each chip filters its own rows)."""
-        if flt is None or (flt.indexers is None and flt.chat_hash is None):
+        if flt is None or (flt.indexers is None and flt.chat_hash is None
+                           and flt.doc_rows is None):
             return self.valid
         bits = 0
         if flt.indexers is not None:
             for c in flt.indexers:
                 bits |= 1 << c
-        return _filter_mask(
+        m = _filter_mask(
             self.valid, self.indexer_code, self.chat_code,
             jnp.uint32(bits), jnp.int32(flt.chat_hash or 0),
             has_chat=flt.chat_hash is not None,
             has_indexers=flt.indexers is not None,
         )
+        if flt.doc_rows is not None:
+            # row allowlist (KG as_of / live-search pools): same semantics
+            # as DeviceIndex._mask; the AND preserves the row sharding
+            dm = np.zeros(self._capacity, bool)
+            rows = np.asarray(list(flt.doc_rows), np.int64)
+            dm[rows[rows < self._capacity]] = True
+            m = m & jnp.asarray(dm)
+        return m
 
     def _tail_arrays(self, flt: Optional[FilterSpec]):
         """Replicated fresh-tail arrays (rows added since compact_lexical),
@@ -424,6 +433,8 @@ class ShardedDeviceIndex:
                 keep[:m] &= np.isin(codes[:, 0], list(flt.indexers))
             if flt.chat_hash is not None:
                 keep[:m] &= (codes[:, 1] == flt.chat_hash) | (codes[:, 1] == 0)
+            if flt.doc_rows is not None:
+                keep[:m] &= np.isin(rows, list(flt.doc_rows))
         return (jnp.asarray(tt), jnp.asarray(tf_), jnp.asarray(tdl),
                 jnp.asarray(trow), jnp.asarray(keep))
 

@@ -138,6 +138,47 @@ def test_sharded_filters(eight_devices):
     assert 51 not in ids  # chat-1's row is invisible to chat-2
 
 
+def test_sharded_doc_rows_filter(eight_devices):
+    """FilterSpec.doc_rows (KG as_of / live-pool allowlists) must apply
+    on the sharded engine — r4 dryrun caught it being silently ignored —
+    including on the fresh tail after compaction, and must match the
+    single-device engine."""
+    from super_rag_tpu.engine.index import FilterSpec
+
+    mesh = corpus_mesh(eight_devices)
+    spec = IndexSpec(dim=64, dtype=jnp.float32, vocab_size=1 << 14,
+                     min_capacity=2048)
+    emb = HashEmbedder(dim=64)
+    vectors = np.asarray(emb.embed(DOCS))
+    sharded = ShardedDeviceIndex(spec, mesh)
+    sharded.add(vectors, DOCS)
+    local = DeviceIndex(spec)
+    local.add(vectors, DOCS)
+
+    q = np.asarray(emb.embed(["fox jumping"]))
+    allow = tuple(range(0, len(DOCS), 3))  # every 3rd row only
+    flt = FilterSpec(doc_rows=allow)
+    sres = sharded.search_hybrid(q, ["fox jumping"], k=5, flt=flt)
+    lres = local.search_hybrid(jnp.asarray(q), ["fox jumping"], k=5, flt=flt)
+    s_ids = [i for i in np.asarray(sres.indices)[0].tolist() if i >= 0]
+    l_ids = [i for i in np.asarray(lres.indices)[0].tolist() if i >= 0]
+    assert s_ids == l_ids
+    assert all(i in allow for i in s_ids)
+
+    # fresh tail: compact, then add rows NOT in the allowlist
+    sharded.compact_lexical(postings_per_term=64)
+    tail_docs = ["fresh fox tail row", "another fresh fox row"]
+    sharded.add(np.asarray(emb.embed(tail_docs)), tail_docs)
+    res2 = sharded.search_hybrid(q, ["fox jumping"], k=5, flt=flt)
+    ids2 = [i for i in np.asarray(res2.indices)[0].tolist() if i >= 0]
+    assert all(i in allow for i in ids2), "tail leaked through doc_rows"
+    # and with the tail rows allowed, they surface
+    flt2 = FilterSpec(doc_rows=allow + (len(DOCS), len(DOCS) + 1))
+    res3 = sharded.search_hybrid(q, ["fox jumping"], k=5, flt=flt2)
+    ids3 = [i for i in np.asarray(res3.indices)[0].tolist() if i >= 0]
+    assert len(DOCS) in ids3 or len(DOCS) + 1 in ids3
+
+
 def test_sharded_snapshot_roundtrip(pair, eight_devices):
     sharded, _, emb = pair
     mesh = corpus_mesh(eight_devices)
