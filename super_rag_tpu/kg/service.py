@@ -32,6 +32,14 @@ from typing import Callable, Optional
 
 from super_rag_tpu.engine.collection import CollectionEngine
 from super_rag_tpu.engine.index import IndexSpec
+from super_rag_tpu.kg.construct import (
+    combine_summaries,
+    label_propagation,
+    resolve_edge,
+    resolve_node,
+    summarize_node,
+    trigram_similarity,
+)
 from super_rag_tpu.kg.extract import Triple, extract
 from super_rag_tpu.store.db import Database, new_id
 
@@ -78,6 +86,8 @@ class KnowledgeGraphService:
         for ddl in (  # columns added after round 2 (existing DBs)
             "ALTER TABLE kg_node ADD COLUMN row_id INTEGER DEFAULT -1",
             "ALTER TABLE kg_episode ADD COLUMN row_id INTEGER DEFAULT -1",
+            # round 4: graphiti-style node summaries (construction depth)
+            "ALTER TABLE kg_node ADD COLUMN summary TEXT DEFAULT ''",
         ):
             try:
                 db._conn.execute(ddl)
@@ -147,8 +157,36 @@ class KnowledgeGraphService:
 
     # -- node/edge upserts ----------------------------------------------------------
 
+    def _node_candidates(self, group_id: str, name: str,
+                         limit: int = 8) -> list[dict]:
+        """Dedupe candidates for a new entity name: the group's most
+        string-similar node names (host trigram screen) plus the
+        embedding-nearest node rows from the device engine (the
+        reference gathers candidates the same two ways —
+        node_operations.py:195 _collect_candidate_nodes)."""
+        rows = self.db.query(
+            "SELECT id, name, label, summary FROM kg_node WHERE group_id=?",
+            (group_id,),
+        )
+        if not rows:
+            return []
+        scored = sorted(rows,
+                        key=lambda r: -trigram_similarity(name, r["name"]))
+        cands = {r["id"]: r for r in scored[:limit]
+                 if trigram_similarity(name, r["name"]) > 0.2}
+        eng = self._engines.get(group_id)
+        if eng is not None and eng.index.size:
+            by_id = {r["id"]: r for r in rows}
+            for h in eng.search(name, top_k=limit, mode="hybrid",
+                                index_types=_SCOPE_NODE):
+                nid = h.metadata.get("node_id")
+                if nid and nid in by_id:
+                    cands.setdefault(nid, by_id[nid])
+        return list(cands.values())
+
     def _upsert_node(self, group_id: str, name: str,
-                     label: str = "Entity") -> str:
+                     label: str = "Entity",
+                     context: str = "") -> str:
         norm = " ".join(name.lower().split())
         row = self.db.query_one(
             "SELECT id FROM kg_node WHERE group_id=? AND name_norm=?",
@@ -156,6 +194,24 @@ class KnowledgeGraphService:
         )
         if row:
             return row["id"]
+        # graphiti-style resolution before creating a node: offline
+        # string/acronym tier always, LLM tier when a client exists
+        cands = self._node_candidates(group_id, name)
+        dup = resolve_node(name, cands, self.completion, context=context)
+        if dup is not None:
+            match = next(c for c in cands if c["name"] == dup)
+            # keep the most complete display name (reference
+            # dedupe_nodes: 'most complete and descriptive name');
+            # name_norm moves with it unless another node owns that norm
+            if len(name) > len(match["name"]) and not name.isupper():
+                try:
+                    self.db.execute(
+                        "UPDATE kg_node SET name=?, name_norm=? WHERE id=?",
+                        (name, norm, match["id"]),
+                    )
+                except Exception:  # noqa: BLE001 — norm taken: keep old
+                    pass
+            return match["id"]
         nid = new_id("kgn")
         # node-centric search rows (graphiti node_search parity): the
         # node joins the group engine as a 'graph'-tagged row
@@ -201,30 +257,82 @@ class KnowledgeGraphService:
             text, self.completion
         )
         added = []
+        touched: set[str] = set()
         for t in triples:
-            sid = self._upsert_node(group_id, t.source)
-            tid = self._upsert_node(group_id, t.target)
-            # supersede older identical-relation edges
-            old = self.db.query(
-                "SELECT id, row_id FROM kg_edge WHERE group_id=? AND source_id=?"
-                " AND target_id=? AND relation=? AND invalid_at IS NULL",
-                (group_id, sid, tid, t.relation),
+            sid = self._upsert_node(group_id, t.source, context=text)
+            tid = self._upsert_node(group_id, t.target, context=text)
+            edge_id = self._resolve_and_insert_edge(
+                eng, group_id, sid, tid, t, eid, now
             )
-            for o in old:
-                self.db.execute(
-                    "UPDATE kg_edge SET invalid_at=? WHERE id=?", (now, o["id"])
-                )
-            edge_id = new_id("kged")
-            rows = eng.ingest([t.fact], metadata=[{"edge_id": edge_id}])
-            self.db.execute(
-                "INSERT INTO kg_edge (id,group_id,source_id,target_id,relation,"
-                "fact,episode_id,row_id,valid_at,created)"
-                " VALUES (?,?,?,?,?,?,?,?,?,?)",
-                (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
-                 rows[0], now, now),
-            )
-            added.append(edge_id)
+            if edge_id is not None:
+                added.append(edge_id)
+                touched.update((sid, tid))
+        self._refresh_node_summaries(group_id, touched)
         return {"episode_id": eid, "edges": added, "triples": len(added)}
+
+    def _resolve_and_insert_edge(self, eng: CollectionEngine, group_id: str,
+                                 sid: str, tid: str, t: Triple,
+                                 eid: str, now: float) -> Optional[str]:
+        """Edge resolution before insert (reference edge_operations.py:449
+        resolve_extracted_edge): an exact duplicate of a live fact is
+        dropped (re-indexing an episode is idempotent), contradicted
+        facts get ``invalid_at`` stamped — including different-target
+        edges of functional relations and whatever the LLM tier flags —
+        and only then does the new fact join the device index."""
+        pair = self.db.query(
+            "SELECT id, fact FROM kg_edge WHERE group_id=? AND source_id=?"
+            " AND target_id=? AND relation=? AND invalid_at IS NULL",
+            (group_id, sid, tid, t.relation),
+        )
+        other = self.db.query(
+            "SELECT id, fact FROM kg_edge WHERE group_id=? AND source_id=?"
+            " AND relation=? AND target_id!=? AND invalid_at IS NULL",
+            (group_id, sid, t.relation, tid),
+        )
+        cand = [(i, r["fact"]) for i, r in enumerate(pair)]
+        cand_other = [(len(pair) + i, r["fact"]) for i, r in enumerate(other)]
+        by_idx = {i: r for i, r in enumerate(pair)}
+        by_idx.update({len(pair) + i: r for i, r in enumerate(other)})
+        res = resolve_edge(t.fact, t.relation, cand, cand_other,
+                           self.completion)
+        if res.duplicates:
+            return None  # live identical fact already in the graph
+        for idx in res.contradictions:
+            self.db.execute(
+                "UPDATE kg_edge SET invalid_at=? WHERE id=?",
+                (now, by_idx[idx]["id"]),
+            )
+        edge_id = new_id("kged")
+        rows = eng.ingest([t.fact], metadata=[{"edge_id": edge_id}])
+        self.db.execute(
+            "INSERT INTO kg_edge (id,group_id,source_id,target_id,relation,"
+            "fact,episode_id,row_id,valid_at,created)"
+            " VALUES (?,?,?,?,?,?,?,?,?,?)",
+            (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
+             rows[0], now, now),
+        )
+        return edge_id
+
+    def _refresh_node_summaries(self, group_id: str,
+                                node_ids: set[str]) -> None:
+        """Regenerate entity summaries from live facts (reference
+        node_operations.py:539 _extract_entity_summaries_batch)."""
+        for nid in node_ids:
+            n = self.db.query_one(
+                "SELECT name FROM kg_node WHERE id=?", (nid,)
+            )
+            if n is None:
+                continue
+            facts = [r["fact"] for r in self.db.query(
+                "SELECT fact FROM kg_edge WHERE group_id=? AND invalid_at"
+                " IS NULL AND (source_id=? OR target_id=?)"
+                " ORDER BY valid_at DESC LIMIT 12",
+                (group_id, nid, nid),
+            )]
+            self.db.execute(
+                "UPDATE kg_node SET summary=? WHERE id=?",
+                (summarize_node(n["name"], facts, self.completion), nid),
+            )
 
     def add_episode_bulk(self, group_id: str, texts: list[str],
                          source: str = "") -> dict:
@@ -262,19 +370,38 @@ class KnowledgeGraphService:
                 seen_keys[key] = len(kept)
                 kept.append((eid, t))
         edge_rows = []
+        touched: set[str] = set()
         for eid, t in kept:
             sid = node_ids[" ".join(t.source.lower().split())]
             tid = node_ids[" ".join(t.target.lower().split())]
-            for o in self.db.query(
-                "SELECT id, row_id FROM kg_edge WHERE group_id=? AND"
+            pair = self.db.query(
+                "SELECT id, fact FROM kg_edge WHERE group_id=? AND"
                 " source_id=? AND target_id=? AND relation=? AND"
                 " invalid_at IS NULL",
                 (group_id, sid, tid, t.relation),
-            ):
+            )
+            other = self.db.query(
+                "SELECT id, fact FROM kg_edge WHERE group_id=? AND"
+                " source_id=? AND relation=? AND target_id!=? AND"
+                " invalid_at IS NULL",
+                (group_id, sid, t.relation, tid),
+            )
+            by_idx = {i: r for i, r in enumerate(pair)}
+            by_idx.update({len(pair) + i: r for i, r in enumerate(other)})
+            res = resolve_edge(
+                t.fact, t.relation,
+                [(i, r["fact"]) for i, r in enumerate(pair)],
+                [(len(pair) + i, r["fact"]) for i, r in enumerate(other)],
+                self.completion,
+            )
+            if res.duplicates:
+                continue  # live identical fact: idempotent re-index
+            for idx in res.contradictions:
                 self.db.execute(
                     "UPDATE kg_edge SET invalid_at=? WHERE id=?",
-                    (now, o["id"]),
+                    (now, by_idx[idx]["id"]),
                 )
+            touched.update((sid, tid))
             edge_rows.append((new_id("kged"), sid, tid, t, eid))
 
         if edge_rows:
@@ -290,6 +417,7 @@ class KnowledgeGraphService:
                     (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
                      row_id, now, now),
                 )
+        self._refresh_node_summaries(group_id, touched)
         return {"episode_ids": episode_ids,
                 "edges": [e[0] for e in edge_rows],
                 "triples": len(edge_rows)}
@@ -326,6 +454,11 @@ class KnowledgeGraphService:
             "SELECT id FROM kg_node WHERE group_id=? AND name_norm=?",
             (group_id, " ".join(name.lower().split())),
         )
+        if row is None:  # display name may have moved past the norm key
+            row = self.db.query_one(
+                "SELECT id FROM kg_node WHERE group_id=? AND name=?",
+                (group_id, name),
+            )
         return row["id"] if row else None
 
     def _node_distances(self, group_id: str, origin_ids: list[str],
@@ -751,9 +884,13 @@ class KnowledgeGraphService:
     # -- communities ---------------------------------------------------------------------
 
     def communities(self, group_id: str, max_members: int = 8) -> list[dict]:
-        """Connected-component communities over the valid-edge graph with
-        degree-ranked members and a summary line (graphiti community
-        nodes analog; LLM summary when a completion client exists)."""
+        """Label-propagation communities over the valid-edge graph with
+        degree-ranked members (reference community_operations.py:92
+        label_propagation — unlike connected components it splits big
+        weakly-joined components into dense clusters).  The community
+        summary is the graphiti map-reduce: member entity summaries
+        combined pairwise (summarize_pair semantics), LLM-written when a
+        completion client exists, deterministic offline otherwise."""
         edges = self.db.query(
             "SELECT source_id, target_id FROM kg_edge WHERE group_id=?"
             " AND invalid_at IS NULL",
@@ -761,46 +898,34 @@ class KnowledgeGraphService:
         )
         if not edges:
             return []
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
+        adj: dict[str, set[str]] = {}
         degree: dict[str, int] = {}
         for e in edges:
-            a, b = find(e["source_id"]), find(e["target_id"])
-            if a != b:
-                parent[a] = b
+            adj.setdefault(e["source_id"], set()).add(e["target_id"])
+            adj.setdefault(e["target_id"], set()).add(e["source_id"])
             degree[e["source_id"]] = degree.get(e["source_id"], 0) + 1
             degree[e["target_id"]] = degree.get(e["target_id"], 0) + 1
-        groups: dict[str, list[str]] = {}
-        for nid in degree:
-            groups.setdefault(find(nid), []).append(nid)
-        names = {
-            r["id"]: r["name"] for r in self.db.query(
-                "SELECT id, name FROM kg_node WHERE group_id=?", (group_id,)
+        clusters = label_propagation(adj)
+        rows = {
+            r["id"]: r for r in self.db.query(
+                "SELECT id, name, summary FROM kg_node WHERE group_id=?",
+                (group_id,),
             )
         }
         out = []
-        for j, (root, members) in enumerate(
-            sorted(groups.items(), key=lambda kv: -len(kv[1]))
-        ):
-            members.sort(key=lambda n: -degree.get(n, 0))
-            top = [names.get(n, n) for n in members[:max_members]]
-            summary = f"Community of {len(members)} entities around " \
-                      f"{', '.join(top[:3])}"
-            if self.completion is not None:
-                try:
-                    summary = str(self.completion(
-                        prompt="Summarize in one sentence the theme of a "
-                               "knowledge-graph community containing: "
-                               + ", ".join(top)
-                    )).strip() or summary
-                except Exception:  # noqa: BLE001 — offline fallback
-                    pass
+        for j, members in enumerate(clusters):
+            members = sorted(members, key=lambda n: -degree.get(n, 0))
+            top = [rows[n]["name"] if n in rows else n
+                   for n in members[:max_members]]
+            # reduce member summaries pairwise into one community summary
+            summary = ""
+            for n in members[:max_members]:
+                s = (rows.get(n) or {}).get("summary") or ""
+                if s:
+                    summary = combine_summaries(summary, s, self.completion)
+            if not summary:
+                summary = (f"Community of {len(members)} entities around "
+                           f"{', '.join(top[:3])}")
             out.append({
                 "id": f"community-{j}", "size": len(members),
                 "members": top, "summary": summary,

@@ -108,6 +108,66 @@ Text:
 JSON:"""
 
 
+# -- knowledge graph construction (kg/construct.py) ---------------------------
+# Ports the SEMANTICS of graphiti's construction prompts
+# (graphiti_core/prompts/dedupe_nodes.py, dedupe_edges.py,
+# summarize_nodes.py) — texts are original.
+
+KG_DEDUPE_NODE = """Decide whether NEW ENTITY refers to the same
+real-world object or concept as one of the EXISTING ENTITIES.
+
+Entities are duplicates ONLY if they denote the same thing (name
+variants, abbreviations, acronyms, descriptive labels of a named
+entity). Related-but-distinct entities, or similar names for separate
+instances, are NOT duplicates.
+
+NEW ENTITY: {name}
+CONTEXT: {context}
+
+EXISTING ENTITIES:
+{candidates}
+
+Reply with JSON only:
+{{"duplicate_name": "<exact existing name, or empty string if none>"}}
+"""
+
+KG_RESOLVE_EDGE = """You maintain a temporal knowledge graph. Given a
+NEW FACT and numbered EXISTING FACTS about the same entities, decide:
+
+1. duplicates: idx values of existing facts stating the SAME factual
+   information as the new fact (similar facts with key differences —
+   especially numbers, dates, roles — are NOT duplicates).
+2. contradictions: idx values of existing facts the new fact
+   contradicts or supersedes (a fact can be both duplicate and
+   contradicted when the new fact restates and updates it).
+
+NEW FACT: {fact}
+
+EXISTING FACTS:
+{existing}
+
+Reply with JSON only:
+{{"duplicates": [idx, ...], "contradictions": [idx, ...]}}
+"""
+
+KG_SUMMARIZE_NODE = """Summarize what is known about the entity from
+its facts in under 250 characters. Plain prose, no preamble.
+
+Entity: {name}
+Facts:
+{facts}
+
+Summary:"""
+
+KG_COMBINE_SUMMARIES = """Synthesize these two summaries into one
+succinct summary under 250 characters. Plain prose, no preamble.
+
+1. {a}
+2. {b}
+
+Combined summary:"""
+
+
 # -- language-variant agent system prompts ------------------------------------
 # (reference prompt_template_service.py get_agent_system_prompt en/zh)
 
