@@ -47,7 +47,14 @@ def timed(run, sync, k_lo: int = 8, k_hi: int = 24) -> float:
 
 
 def main():
+    import os as _os
+
     import jax
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize overrides JAX_PLATFORMS; re-force it so
+        # `JAX_PLATFORMS=cpu python bench.py` really is the CPU sanity run
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from super_rag_tpu.utils.jaxcache import enable_compilation_cache
@@ -157,10 +164,31 @@ def main():
     # restores exact lexical ranks over it (ops/hybrid.py).  Defaults
     # are the measured >=0.92-fidelity operating point from
     # scripts/tune_qterms.py + tune_stages.py (kernels.md frontier).
+    # operating point: tuned sweep winner (BENCH_CONFIG.json, written by
+    # scripts/tune_fidelity.py on TPU) < env overrides < defaults
+    tuned: dict = {}
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_CONFIG.json")
+    if os.path.exists(cfg_path):
+        try:
+            with open(cfg_path) as f:
+                tuned = json.load(f)
+        except (OSError, ValueError):
+            tuned = {}
     rescore = os.environ.get("BENCH_RESCORE", "1") != "0"
     lex_gen = int(os.environ.get("BENCH_LEX_GEN", "250"))
-    pq = int(os.environ.get("BENCH_PQ", "768"))
+    pq = int(os.environ.get(
+        "BENCH_PQ", str(tuned.get("postings_per_query_term", 768))))
     ptk = int(os.environ.get("BENCH_PTK", "2"))
+    deep_terms = int(os.environ.get(
+        "BENCH_DEEP_TERMS", str(tuned.get("lex_deep_terms", 0))))
+    _dp = tuned.get("lex_deep_postings")
+    deep_postings = os.environ.get("BENCH_DEEP_POSTINGS",
+                                   "" if _dp is None else str(_dp))
+    deep_postings = int(deep_postings) if deep_postings else None
+    approx_topk = os.environ.get(
+        "BENCH_APPROX_TOPK",
+        "1" if tuned.get("lex_approx_topk") else "0") == "1"
 
     def make_run(rescore, lex_gen, pq, ptk):
         def run():
@@ -175,6 +203,9 @@ def main():
                 int8_queries=on_tpu,
                 per_tile_k=ptk if on_tpu else None,
                 rescore=rescore, lex_gen=lex_gen if rescore else None,
+                lex_deep_terms=deep_terms,
+                lex_deep_postings=deep_postings,
+                lex_approx_topk=approx_topk,
             )
         return run
 
@@ -294,6 +325,9 @@ def main():
                 postings_per_query_term=pq, int8_queries=True,
                 per_tile_k=ptk, rescore=rescore,
                 lex_gen=lex_gen if rescore else None,
+                lex_deep_terms=deep_terms,
+                lex_deep_postings=deep_postings,
+                lex_approx_topk=approx_topk,
             )
 
         sync(run32())
@@ -333,6 +367,10 @@ def main():
             "lex_gen": lex_gen,
             "postings_per_query_term": pq,
             "per_tile_k": ptk,
+            "lex_deep_terms": deep_terms,
+            "lex_deep_postings": deep_postings,
+            "lex_approx_topk": approx_topk,
+            "tuned_config": bool(tuned),
             "query_terms": qterms_n,
             "qps_norescore": round(qps_norescore, 1) if qps_norescore
             else None,

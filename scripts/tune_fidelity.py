@@ -20,7 +20,14 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize overrides JAX_PLATFORMS; re-force it so
+        # `JAX_PLATFORMS=cpu` really runs the CPU sanity shapes
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from super_rag_tpu.utils.jaxcache import enable_compilation_cache
@@ -149,6 +156,7 @@ def main() -> None:
         (256, 4, 1024, True, "da256+4x1024+approx"),
         (1024, 0, None, True, "uniform1024+approx"),
     ]
+    results = []
     for ppq, dt, dp, approx, label in configs:
         def run():
             return hybrid_search(
@@ -167,14 +175,42 @@ def main() -> None:
         sync(res)
         fid = overlap(np.asarray(res.indices)[:sample], gold)
         per_call = timed(run, sync)
-        print(json.dumps({
+        row = {
             "config": label,
             "postings_per_query_term": ppq,
             "deep_terms": dt, "deep_postings": dp, "approx": approx,
             "hybrid_fidelity": round(fid, 4),
             "qps": round(batch / per_call, 1),
             "batch512_ms": round(per_call * 1e3, 2),
-        }), flush=True)
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # promote the winner to the bench headline (bench.py reads
+    # BENCH_CONFIG.json): best QPS among configs meeting the 0.95
+    # fidelity bar, else the highest-fidelity config.  TPU only — CPU
+    # sanity numbers must not set the chip's operating point.
+    if on_tpu and results:
+        eligible = [r for r in results if r["hybrid_fidelity"] >= 0.95]
+        best = (max(eligible, key=lambda r: r["qps"]) if eligible
+                else max(results, key=lambda r: r["hybrid_fidelity"]))
+        cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_CONFIG.json",
+        )
+        with open(cfg_path, "w") as f:
+            json.dump({
+                "source": "scripts/tune_fidelity.py sweep",
+                "postings_per_query_term": best["postings_per_query_term"],
+                "lex_deep_terms": best["deep_terms"],
+                "lex_deep_postings": best["deep_postings"],
+                "lex_approx_topk": best["approx"],
+                "swept_fidelity": best["hybrid_fidelity"],
+                "swept_qps": best["qps"],
+                "all_results": results,
+            }, f, indent=1)
+        print(json.dumps({"promoted": best["config"], "to": cfg_path}),
+              flush=True)
 
 
 if __name__ == "__main__":
