@@ -195,7 +195,7 @@ def main() -> None:
     recompact_ms = timed_batch()
     recompact_fid = fidelity()
 
-    print(json.dumps({
+    result = {
         "metric": "churn_bench_1m",
         "value": round(quiescent_ms, 2),
         "unit": "ms_batch32",
@@ -207,7 +207,11 @@ def main() -> None:
         "recompact_s": round(recompact_s, 1),
         "recompacted": {"batch32_ms": round(recompact_ms, 2),
                         "fidelity": round(recompact_fid, 4)},
-    }), flush=True)
+    }
+    print(json.dumps(result), flush=True)
+    if on_tpu:  # persist the record (CPU sanity must not clobber it)
+        with open(os.path.join(ROOT, "BENCH_CHURN_1M.json"), "w") as f:
+            json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -94,11 +94,15 @@ class Settings:
     ingest_host_workers: int = field(
         default_factory=lambda: _env_int("INGEST_HOST_WORKERS", 4)
     )
-    # 'thread' (default) | 'process': process runs parse/chunk in worker
-    # subprocesses over pipes (the Ray-shaped contract, tasks/worker.py)
+    # 'thread' (default) | 'process' | 'ray': process runs parse/chunk in
+    # worker subprocesses over pipes (the Ray-shaped contract,
+    # tasks/worker.py); ray runs the same body as Ray remote tasks when
+    # ray is installed (falls back to process otherwise — PARITY.md
+    # provider boundary)
     ingest_backend: str = field(
         default_factory=lambda: _env("INGEST_BACKEND", "thread")
     )
+    ray_address: str = field(default_factory=lambda: _env("RAY_ADDRESS", ""))
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     bm25_slots: int = field(default_factory=lambda: _env_int("BM25_SLOTS", 64))
     vocab_size: int = field(default_factory=lambda: _env_int("VOCAB_SIZE", 1 << 17))

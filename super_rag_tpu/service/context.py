@@ -165,6 +165,27 @@ def build_context(
         scheduler: TaskScheduler = InProcessScheduler(
             task, reconciler.callbacks
         )
+    elif cfg.ingest_backend == "ray":
+        try:
+            from super_rag_tpu.tasks.scheduler import RayTaskScheduler
+
+            scheduler = RayTaskScheduler(
+                task, reconciler.callbacks,
+                ray_workers=cfg.ingest_host_workers,
+                ray_address=cfg.ray_address or None,
+            )
+        except ImportError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "INGEST_BACKEND=ray but ray is not installed; falling "
+                "back to the process scheduler (same wire contract)")
+            from super_rag_tpu.tasks.scheduler import ProcessScheduler
+
+            scheduler = ProcessScheduler(
+                task, reconciler.callbacks,
+                process_workers=cfg.ingest_host_workers,
+            )
     elif cfg.ingest_backend == "process":
         from super_rag_tpu.tasks.scheduler import ProcessScheduler
 

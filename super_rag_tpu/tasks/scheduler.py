@@ -202,6 +202,61 @@ class _Worker:
             pass
 
 
+class RayTaskScheduler(ThreadScheduler):
+    """Ray-backed ingest (reference tasks/scheduler.py RayTaskScheduler +
+    config/ray_tasks.py:330-480): the parse/chunk stage runs as Ray
+    remote tasks executing :func:`tasks.worker.prepare_on_host` — the
+    same jax-free body the pipe workers run — while embed+insert stays
+    FIFO on the in-process device worker (the TPU engine cannot move).
+
+    Ray is NOT installable in this build image (zero egress; see
+    PARITY.md provider boundary), so this adapter is exercised only on
+    hosts that have it: construction raises ImportError otherwise, and
+    the context factory falls back to ProcessScheduler with a warning.
+    The contract it relies on (prepare serializes to the Parts/Chunks
+    wire format, store config ships by value) is proven cross-process by
+    ProcessScheduler's test suite."""
+
+    def __init__(self, task, callbacks, num_workers: int = 1,
+                 ray_workers: int = 4, ray_address: Optional[str] = None):
+        import ray  # ImportError here = fall back to ProcessScheduler
+
+        super().__init__(task, callbacks, num_workers=num_workers,
+                         host_workers=max(ray_workers, 1))
+        self._ray = ray
+        if not ray.is_initialized():
+            ray.init(address=ray_address, ignore_reinit_error=True,
+                     include_dashboard=False)
+        from super_rag_tpu.tasks.worker import prepare_on_host
+
+        self._remote_fn = ray.remote(prepare_on_host)
+
+    def _remote_prepare(self, document_id: str, index_type: str):
+        from super_rag_tpu.tasks.worker import prepared_from_wire
+
+        store_cfg = self.task.objects.wire_config()
+        if store_cfg is None:
+            logger.warning(
+                "object store %s is not wire-serializable; preparing "
+                "in-process", type(self.task.objects).__name__)
+            return self.task.prepare(document_id, index_type)
+        cfg = self.task.cfg
+        ref = self._remote_fn.remote(
+            document_id, index_type, self.task.db.path,
+            object_store=store_cfg,
+            chunk_size=cfg.chunk_size, chunk_overlap=cfg.chunk_overlap,
+        )
+        return prepared_from_wire(self._ray.get(ref))
+
+    def _submit_prepare(self, document_id: str, index_type: str):
+        return self._host.submit(self._remote_prepare, document_id,
+                                 index_type)
+
+    def shutdown(self) -> None:
+        super().shutdown()
+        # leave ray itself running: other schedulers/process may share it
+
+
 class ProcessScheduler(ThreadScheduler):
     """Pipelined ingest with prepare in SUBPROCESSES (tasks/worker.py).
 

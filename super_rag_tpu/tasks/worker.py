@@ -23,7 +23,7 @@ from __future__ import annotations
 import base64
 import json
 import sys
-from typing import Any
+from typing import Any, Optional
 
 from super_rag_tpu.chunk.chunking import Chunk, Rechunker
 from super_rag_tpu.fileparser.base import AssetBinPart, Part
@@ -88,36 +88,57 @@ def prepared_from_wire(d: dict) -> dict:
 # -- worker body --------------------------------------------------------------
 
 
+def prepare_on_host(
+    document_id: str,
+    index_type: str,
+    db_path: str,
+    object_store: Optional[dict] = None,
+    objects_root: str = "",
+    chunk_size: int = 400,
+    chunk_overlap: int = 20,
+) -> dict:
+    """The remote-task body (reference config/ray_tasks.py parse/chunk
+    stage): object fetch -> parse -> chunk, returning the JSON-safe wire
+    dict.  Module-level and jax-free so ANY execution plane can run it —
+    the pipe worker below, a Ray remote (RayTaskScheduler), or an RPC
+    handler."""
+    db = Database(db_path)
+    try:
+        if object_store:
+            objects = get_object_store(**object_store)
+        else:  # pre-wire_config clients
+            objects = LocalObjectStore(objects_root)
+        doc = db.get_document(document_id)
+        if doc is None:
+            raise ValueError(f"document {document_id} not found")
+        data = objects.get(doc["object_path"])
+        parts = DocParser().parse_file(doc["name"], data)
+        chunker = Rechunker(int(chunk_size), int(chunk_overlap))
+        chunks = chunker.rechunk(
+            parts, metadata={"document_id": document_id}
+        )
+        return prepared_to_wire({
+            "document_id": document_id,
+            "index_type": index_type,
+            "doc_hash": doc.get("content_hash"),
+            "parts": parts, "chunks": chunks,
+        })
+    finally:
+        db.close()
+
+
 def handle(req: dict) -> dict:
     op = req.get("op")
     if op == "ping":
         return {"ok": True, "pong": True}
     if op == "prepare":
-        db = Database(req["db_path"])
-        try:
-            store_cfg = req.get("object_store")
-            if store_cfg:
-                objects = get_object_store(**store_cfg)
-            else:  # pre-wire_config clients
-                objects = LocalObjectStore(req["objects_root"])
-            doc = db.get_document(req["document_id"])
-            if doc is None:
-                raise ValueError(f"document {req['document_id']} not found")
-            data = objects.get(doc["object_path"])
-            parts = DocParser().parse_file(doc["name"], data)
-            chunker = Rechunker(int(req.get("chunk_size", 400)),
-                                int(req.get("chunk_overlap", 20)))
-            chunks = chunker.rechunk(
-                parts, metadata={"document_id": req["document_id"]}
-            )
-            return {"ok": True, "prepared": prepared_to_wire({
-                "document_id": req["document_id"],
-                "index_type": req["index_type"],
-                "doc_hash": doc.get("content_hash"),
-                "parts": parts, "chunks": chunks,
-            })}
-        finally:
-            db.close()
+        return {"ok": True, "prepared": prepare_on_host(
+            req["document_id"], req["index_type"], req["db_path"],
+            object_store=req.get("object_store"),
+            objects_root=req.get("objects_root", ""),
+            chunk_size=int(req.get("chunk_size", 400)),
+            chunk_overlap=int(req.get("chunk_overlap", 20)),
+        )}
     return {"ok": False, "error": f"unknown op: {op}"}
 
 

@@ -201,3 +201,47 @@ def test_missing_document_fails_index(stack):
     idx = _wait_active(db, doc["id"])
     assert idx["status"] == IndexStatus.FAILED.value
     assert idx["error_message"]
+
+
+def test_ray_backend_falls_back_without_ray(tmp_path, caplog):
+    """INGEST_BACKEND=ray on a ray-less image must degrade to the
+    ProcessScheduler (same wire contract), not crash (PARITY provider
+    boundary)."""
+    import importlib.util
+
+    from super_rag_tpu.service.context import build_context
+
+    cfg = Settings(data_dir=str(tmp_path), embedding_dim=64,
+                   index_dtype="float32", vocab_size=1 << 14,
+                   ingest_backend="ray")
+    ctx = build_context(cfg, background_tasks=True)
+    try:
+        name = type(ctx.scheduler).__name__
+        if importlib.util.find_spec("ray") is None:
+            assert name == "ProcessScheduler"
+        else:  # pragma: no cover — image has ray
+            assert name == "RayTaskScheduler"
+    finally:
+        ctx.scheduler.shutdown()
+
+
+def test_prepare_on_host_is_remote_shaped(tmp_path):
+    """prepare_on_host (the Ray remote body) returns the pure wire dict
+    given only serializable args — no live objects cross the boundary."""
+    from super_rag_tpu.tasks.worker import prepare_on_host, prepared_from_wire
+
+    cfg = Settings(data_dir=str(tmp_path), embedding_dim=64,
+                   index_dtype="float32", vocab_size=1 << 14)
+    db = Database(cfg.resolved_db_path())
+    objects = LocalObjectStore(cfg.objects_root())
+    coll = db.create_collection("kb", "alice")
+    doc = _create_doc(db, objects, coll)
+    wire = prepare_on_host(doc["id"], "vector", db.path,
+                           object_store=objects.wire_config(),
+                           chunk_size=400, chunk_overlap=20)
+    import json as _json
+
+    _json.dumps(wire)  # JSON-serializable end to end
+    prepared = prepared_from_wire(wire)
+    assert prepared["document_id"] == doc["id"]
+    assert prepared["chunks"] and prepared["parts"]
