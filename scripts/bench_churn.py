@@ -54,7 +54,7 @@ def main() -> None:
     else:
         n, dim, batch_add = 20_000, 64, 4096
         churn_rounds, churn_size = 2, 1024
-        n_q, k = 8, 10
+        n_q, k = 32, 10  # 8 queries = 1.25-pt fidelity granularity: too noisy
 
     rng = np.random.default_rng(0)
     # realistic shape: zipf word draws (a uniform draw ties half the

@@ -410,6 +410,14 @@ class DeviceIndex:
             nlist = max(16, int(np.sqrt(n)))
         ivf_dtype = (self.spec.dtype if self.spec.dtype != jnp.bfloat16
                      else jnp.bfloat16)
+        # build over LIVE rows only: dead rows are masked at query time,
+        # but in the build they waste cluster capacity/overflow and probe
+        # bandwidth forever (churn decay, found by bench_churn r4)
+        valid_np = np.asarray(self.valid[:n])
+        live = np.flatnonzero(valid_np).astype(np.int32)
+        if live.size == 0:
+            return
+        all_live = live.size == n
         if n * self.spec.dim * 4 > IVF_STREAM_BUILD_BYTES:
             # corpus-scale build: the f32 transient would not fit HBM
             # next to the live index — stream host chunks instead
@@ -425,19 +433,25 @@ class DeviceIndex:
                     )
                     if scales_np is not None:
                         block = block * scales_np[lo:hi, None]
-                    yield block
+                    if not all_live:
+                        block = block[valid_np[lo:hi]]
+                    if len(block):
+                        yield block
 
             self._ivf = build_ivf_streaming(
                 chunks, nlist=nlist, dtype=ivf_dtype,
                 metric=self.spec.metric, kmeans_iters=kmeans_iters,
+                ids=None if all_live else live,
             )
         else:
-            emb = self.emb[:n]
+            rows = slice(0, n) if all_live else jnp.asarray(live)
+            emb = self.emb[rows]
             if self.scales is not None:
-                emb = emb.astype(jnp.float32) * self.scales[:n, None]
+                emb = emb.astype(jnp.float32) * self.scales[rows][:, None]
             self._ivf = build_ivf(
                 emb.astype(jnp.float32), nlist=nlist, dtype=ivf_dtype,
                 metric=self.spec.metric, kmeans_iters=kmeans_iters,
+                ids=None if all_live else live,
             )
         self._ivf_upto = n
         self._ivf_nprobe = nprobe
@@ -589,9 +603,22 @@ class DeviceIndex:
         n = self.size
         if n == 0:
             return
+        # dead rows are EXCLUDED from the snapshot (terms padded, tf
+        # zeroed): they are masked at query time anyway, but left in the
+        # build they occupy impact-ordered posting slots and displace
+        # live postings from truncated lists — fidelity decays
+        # permanently under churn (found by bench_churn r4)
+        terms_np = np.asarray(self.terms[:n])
+        tfs_np = np.asarray(self.tfs[:n].astype(jnp.float32))
+        dead = ~np.asarray(self.valid[:n])
+        if dead.any():
+            terms_np = terms_np.copy()
+            tfs_np = tfs_np.copy()
+            terms_np[dead] = self.spec.vocab_size
+            tfs_np[dead] = 0.0
         self._inverted = build_inverted(
-            np.asarray(self.terms[:n]),
-            np.asarray(self.tfs[:n].astype(jnp.float32)),
+            terms_np,
+            tfs_np,
             np.asarray(self.doc_len[:n]),
             self.spec.vocab_size,
             postings_per_term=postings_per_term,

@@ -221,6 +221,14 @@ class ShardedDeviceIndex:
         terms_np = np.asarray(self.terms)
         tfs_np = np.asarray(self.tfs.astype(jnp.float32))
         dl_np = np.asarray(self.doc_len)
+        # exclude dead rows from posting budgets (mirrors
+        # DeviceIndex.compact_lexical — churn fidelity decay otherwise)
+        dead = ~np.asarray(self.valid)
+        if dead.any():
+            terms_np = terms_np.copy()
+            tfs_np = tfs_np.copy()
+            terms_np[dead] = self.spec.vocab_size
+            tfs_np[dead] = 0.0
         avgdl = self.df.avgdl
         ids_blocks, imp_blocks = [], []
         for dev in range(self.n_dev):
@@ -316,17 +324,29 @@ class ShardedDeviceIndex:
         ).astype(np.float32)
         if self.scales is not None:
             emb_np = emb_np * np.asarray(self.scales)[:, None]
+        valid_np = np.asarray(self.valid)
         per = []
         for dev in range(self.n_dev):
             lo = dev * shard_rows
             shard_emb = emb_np[lo: lo + shard_rows]
+            # live rows only (local ids) — dead rows would waste cluster
+            # capacity + probe bandwidth (mirrors DeviceIndex, r4)
+            loc = np.flatnonzero(valid_np[lo: lo + shard_rows])
+            loc = loc.astype(np.int32)
+            if loc.size and loc.size < shard_emb.shape[0]:
+                shard_emb = shard_emb[loc]
+                ids = loc
+            else:
+                # empty shard: keep the (all-masked) full slice so the
+                # stacked arrays stay uniformly shaped
+                ids = None
             per.append(build_ivf(
                 jnp.asarray(shard_emb), nlist=nlist,
                 capacity_factor=capacity_factor,
                 dtype=self.spec.dtype if self.spec.dtype == jnp.int8
                 else jnp.float32,
                 metric=self.spec.metric, kmeans_iters=kmeans_iters,
-                seed=dev,
+                seed=dev, ids=ids,
             ))
         cap = max(p.capacity for p in per)
         m_of = max(

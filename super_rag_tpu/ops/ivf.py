@@ -209,9 +209,17 @@ def build_ivf(
     seed: int = 0,
     sample: Optional[int] = 200_000,
     residual: Optional[bool] = None,  # default: on for int8
+    ids: Optional[np.ndarray] = None,  # original row id per input row
 ) -> IVFIndex:
+    """``ids``: maps input positions to caller row ids (defaults to
+    arange).  Lets mutable engines build over LIVE rows only — deleted
+    rows would otherwise occupy cluster capacity and probe bandwidth
+    forever (churn fidelity decay, found by bench_churn r4)."""
     x = jnp.asarray(embeddings, jnp.float32)
     n, d = x.shape
+    ids_arr = (np.arange(n, dtype=np.int32) if ids is None
+               else np.asarray(ids, np.int32))
+    assert ids_arr.shape == (n,), "ids must map every input row"
     if metric == Metric.COSINE:
         nrm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         x = x / jnp.where(nrm > 0, nrm, 1.0)
@@ -247,8 +255,8 @@ def build_ivf(
     if residual:
         stored = stored - np.asarray(centroids)[sorted_assign[keep]]
     values[sorted_assign[keep], rank[keep]] = stored
-    row_ids[sorted_assign[keep], rank[keep]] = order[keep].astype(np.int32)
-    overflow_rows = order[~keep].tolist()
+    row_ids[sorted_assign[keep], rank[keep]] = ids_arr[order[keep]]
+    overflow_rows = order[~keep].tolist()  # positions into x_np/assign
 
     scales = None
     sign_plane = None
@@ -290,7 +298,7 @@ def build_ivf(
                                    scales=jnp.asarray(os_np))
         else:
             overflow = DenseCorpus(values=jnp.asarray(of, dtype))
-        overflow_ids = jnp.asarray(of_idx.astype(np.int32))
+        overflow_ids = jnp.asarray(ids_arr[of_idx])
 
     return IVFIndex(
         centroids=centroids,
@@ -678,6 +686,7 @@ def build_ivf_streaming(
     assign_candidates: int = 4,
     spill_margin: float = 0.15,
     host_arrays: bool = False,
+    ids: Optional[np.ndarray] = None,  # original row id per streamed row
 ) -> IVFIndex:
     """Corpus-scale IVF build that never materializes the f32 matrix.
 
@@ -764,6 +773,9 @@ def build_ivf_streaming(
     of_assign_l: list[np.ndarray] = []
 
     # pass 2: assign + balanced fill
+    ids_arr = None if ids is None else np.asarray(ids, np.int32)
+    if ids_arr is not None:
+        assert ids_arr.shape == (n,), "ids must map every streamed row"
     base = 0
     cand_c = min(assign_candidates, nlist)
     for chunk in chunks():
@@ -786,7 +798,10 @@ def build_ivf_streaming(
                 signs[cl[ok], slot[ok]] = pack_error_signs(stored, q, s)
         else:
             values[cl[ok], slot[ok]] = stored.astype(values.dtype)
-        row_ids[cl[ok], slot[ok]] = (base + np.flatnonzero(ok)).astype(np.int32)
+        pos = base + np.flatnonzero(ok)
+        row_ids[cl[ok], slot[ok]] = (
+            ids_arr[pos] if ids_arr is not None else pos.astype(np.int32)
+        )
         if spill.size:
             sv = chunk[spill]
             if store_int8 and residual:
@@ -802,7 +817,9 @@ def build_ivf_streaming(
                     of_signs.append(pack_error_signs(sv, q, s))
             else:
                 of_vals.append(sv.astype(values.dtype))
-            of_rows.append((base + spill).astype(np.int32))
+            sp = base + spill
+            of_rows.append(ids_arr[sp] if ids_arr is not None
+                           else sp.astype(np.int32))
         base += m
 
     # ``host_arrays`` keeps the result in host numpy: builders that only

@@ -514,3 +514,56 @@ def test_ivf_flat_topk_int8_queries(rng):
     si = {int(i): float(v) for i, v in zip(np.asarray(ii)[0], np.asarray(iv_)[0])}
     for c in common:
         assert abs(sb[c] - si[c]) < 1e-5
+
+
+def test_build_ivf_with_explicit_ids(clustered_data):
+    """ids= maps positions to caller row ids in both the cluster lists
+    and the overflow segment (the live-rows-only build contract)."""
+    ids = (np.arange(len(clustered_data), dtype=np.int32) * 7 + 3)
+    index = build_ivf(jnp.asarray(clustered_data), nlist=16,
+                      capacity_factor=1.0, dtype=jnp.float32,
+                      kmeans_iters=4, ids=ids)
+    got = set(np.asarray(index.row_ids).reshape(-1).tolist()) - {-1}
+    if index.overflow_rows is not None:
+        got |= set(np.asarray(index.overflow_rows).tolist())
+    assert got == set(ids.tolist())
+
+
+def test_compaction_excludes_deleted_rows(rng):
+    """Deleted rows must not occupy IVF cluster slots or inverted
+    posting budgets after recompaction — under churn they displace live
+    entries from truncated lists and fidelity decays permanently
+    (found by bench_churn r4)."""
+    import jax.numpy as jnp_
+    from super_rag_tpu.engine.collection import CollectionEngine
+    from super_rag_tpu.engine.index import IndexSpec
+
+    eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp_.float32,
+                                     vocab_size=1 << 14))
+    # one shared rare term; dead rows get MANY repetitions (highest
+    # impact) so an unmasked build would fill the truncated posting
+    # list exclusively with dead rows
+    docs = []
+    for i in range(64):
+        reps = 8 if i < 32 else 1
+        docs.append(" ".join(["zebrafish"] * reps) + f" filler{i}")
+    eng.ingest(docs)
+    eng.index.delete(list(range(32)))  # all the high-impact rows
+    eng.index.compact_lexical(postings_per_term=16)
+    hits = eng.search("zebrafish", top_k=16, mode="fulltext")
+    rows = {h.row for h in hits}
+    assert rows, "live rows displaced from truncated postings by dead rows"
+    assert all(r >= 32 for r in rows)
+    assert len(rows) == 16  # the full truncation budget serves live rows
+
+    # dense: dead rows must not appear in cluster lists or overflow
+    eng.index.compact_dense(nlist=8, nprobe=8, kmeans_iters=4)
+    ivf = eng.index._ivf
+    dead = set(range(32))
+    in_lists = set(np.asarray(ivf.row_ids).reshape(-1).tolist()) - {-1}
+    assert not (in_lists & dead)
+    if ivf.overflow_rows is not None:
+        assert not (set(np.asarray(ivf.overflow_rows).tolist()) & dead)
+    # and search still finds the live winners exactly
+    flat = eng.search("anything filler40", top_k=5, mode="dense")
+    assert all(h.row >= 32 for h in flat)
