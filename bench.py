@@ -76,13 +76,31 @@ def main():
     import threading
 
     def _claim_watchdog():
+        # wedged claim: report an honest zero, but carry the most recent
+        # REAL TPU measurement alongside (clearly labeled as prior) so
+        # the round's record distinguishes 'infra down' from 'no result'
+        prior = None
+        import os as _os
+
+        here = _os.path.dirname(_os.path.abspath(__file__))
+        for rec in ("BENCH_r03.json", "BENCH_r02.json", "BENCH_r01.json"):
+            try:
+                with open(_os.path.join(here, rec)) as fh:
+                    parsed = json.load(fh).get("parsed") or {}
+                if parsed.get("value", 0) > 0:
+                    prior = {"record": rec, "metric": parsed.get("metric"),
+                             "value": parsed.get("value"),
+                             "unit": parsed.get("unit")}
+                    break
+            except (OSError, ValueError):
+                continue
         print(json.dumps({
             "metric": "hybrid top-10 QPS/chip (TPU claim unavailable)",
             "value": 0.0, "unit": "queries/sec", "vs_baseline": 0.0,
             "error": "jax backend init exceeded 600s — remote TPU claim "
                      "wedged; see CLAUDE.md relay notes",
+            "last_known_good_tpu_run": prior,
         }), flush=True)
-        import os as _os
         _os._exit(3)
 
     _wd = threading.Timer(600.0, _claim_watchdog)
