@@ -1,10 +1,15 @@
 #!/bin/bash
 # Final stage: commit whatever measurement records the TPU stages wrote
-# (BENCH_10M.json, BENCH_CONFIG.json, SEMANTIC_EVAL.json, BENCH_P50_1M.json,
-# BENCH_CHURN_1M.json, checkpoints) so a late wedge cannot lose them.
+# so a late wedge cannot lose them.  Files are added ONE AT A TIME:
+# `git add a missing-b c` aborts on the first unmatched pathspec and
+# stages nothing (all-or-nothing), which would silently drop the
+# records that WERE produced.
 cd /root/repo
-git add BENCH_10M.json BENCH_CONFIG.json SEMANTIC_EVAL.json \
-  BENCH_P50_1M.json BENCH_CHURN_1M.json checkpoints 2>/dev/null
+for f in BENCH_10M.json BENCH_CONFIG.json SEMANTIC_EVAL.json \
+         BENCH_P50_1M.json BENCH_CHURN_1M.json; do
+  [ -e "$f" ] && git add "$f"
+done
+[ -d checkpoints ] && git add checkpoints
 if ! git diff --cached --quiet; then
   git commit -m "Record round-4 TPU measurements (queue stages 10-50)"
   echo "committed measurement records"

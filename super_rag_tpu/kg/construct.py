@@ -191,12 +191,15 @@ def resolve_edge(
     cons = [int(i) for i in data.get("contradictions", [])
             if isinstance(i, (int, float)) and int(i) in valid]
     # LLM verdict REPLACES the heuristic (it saw the actual fact texts);
-    # keep the exact-text duplicate — that one is certain
+    # keep the exact-text duplicate — that one is certain.  duplicates
+    # and contradictions may OVERLAP: the prompt invites 'duplicate AND
+    # contradicted' for restate-and-update facts, and the caller treats
+    # that as supersede-then-insert, not skip.
     exact_dups = [i for i in res.duplicates
                   if any(idx == i for idx, f in same_pair_same_rel
                          if " ".join(f.lower().split()) == fn)]
     res.duplicates = sorted(set(dups) | set(exact_dups))
-    res.contradictions = sorted(set(cons) - set(res.duplicates))
+    res.contradictions = sorted(set(cons))
     return res
 
 
@@ -221,6 +224,41 @@ def summarize_node(
             pass
     out = "; ".join(dict.fromkeys(f.strip().rstrip(".") for f in facts))
     return out[:max_chars]
+
+
+def summarize_nodes_batch(
+    entities: Sequence[tuple[str, Sequence[str]]],
+    completion: Optional[Callable] = None,
+    max_chars: int = 250,
+) -> dict[str, str]:
+    """Summaries for many entities in ONE completion call (reference
+    node_operations.py:539 _extract_entity_summaries_batch — per-node
+    calls in the ingest path cost a network round-trip per entity).
+    Offline tier / parse failures fall back to the deterministic
+    per-node join."""
+    out: dict[str, str] = {}
+    if completion is not None and entities:
+        from super_rag_tpu.llm.prompts import KG_SUMMARIZE_NODES_BATCH
+
+        blocks = []
+        for name, facts in entities[:32]:
+            lines = "\n".join(f"- {f}" for f in list(facts)[:12])
+            blocks.append(f"Entity: {name}\nFacts:\n{lines}")
+        try:
+            raw = completion(prompt=KG_SUMMARIZE_NODES_BATCH.format(
+                entities="\n\n".join(blocks)
+            ))
+            data = _parse_json(raw) or {}
+            for k, v in (data.get("summaries") or {}).items():
+                if isinstance(v, str) and v.strip():
+                    out[str(k)] = v.strip()[:max_chars]
+        except Exception:  # noqa: BLE001 — offline tier below
+            pass
+    for name, facts in entities:
+        if name not in out:
+            out[name] = summarize_node(name, list(facts), None,
+                                       max_chars=max_chars)
+    return out
 
 
 def combine_summaries(a: str, b: str,

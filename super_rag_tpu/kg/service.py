@@ -37,7 +37,7 @@ from super_rag_tpu.kg.construct import (
     label_propagation,
     resolve_edge,
     resolve_node,
-    summarize_node,
+    summarize_nodes_batch,
     trigram_similarity,
 )
 from super_rag_tpu.kg.extract import Triple, extract
@@ -61,6 +61,10 @@ CREATE INDEX IF NOT EXISTS idx_kg_edge_group ON kg_edge(group_id);
 CREATE TABLE IF NOT EXISTS kg_episode (
   id TEXT PRIMARY KEY, group_id TEXT NOT NULL, source TEXT DEFAULT '',
   content_preview TEXT DEFAULT '', created REAL NOT NULL
+);
+CREATE TABLE IF NOT EXISTS kg_node_alias (
+  group_id TEXT NOT NULL, norm TEXT NOT NULL, node_id TEXT NOT NULL,
+  UNIQUE(group_id, norm)
 );
 """
 
@@ -165,15 +169,15 @@ class KnowledgeGraphService:
         reference gathers candidates the same two ways —
         node_operations.py:195 _collect_candidate_nodes)."""
         rows = self.db.query(
-            "SELECT id, name, label, summary FROM kg_node WHERE group_id=?",
+            "SELECT id, name, label, summary, row_id FROM kg_node"
+            " WHERE group_id=?",
             (group_id,),
         )
         if not rows:
             return []
-        scored = sorted(rows,
-                        key=lambda r: -trigram_similarity(name, r["name"]))
-        cands = {r["id"]: r for r in scored[:limit]
-                 if trigram_similarity(name, r["name"]) > 0.2}
+        sims = sorted(((trigram_similarity(name, r["name"]), r)
+                       for r in rows), key=lambda sr: -sr[0])
+        cands = {r["id"]: r for s, r in sims[:limit] if s > 0.2}
         eng = self._engines.get(group_id)
         if eng is not None and eng.index.size:
             by_id = {r["id"]: r for r in rows}
@@ -194,23 +198,42 @@ class KnowledgeGraphService:
         )
         if row:
             return row["id"]
+        alias = self.db.query_one(
+            "SELECT node_id FROM kg_node_alias WHERE group_id=? AND norm=?",
+            (group_id, norm),
+        )
+        if alias:
+            return alias["node_id"]
         # graphiti-style resolution before creating a node: offline
         # string/acronym tier always, LLM tier when a client exists
         cands = self._node_candidates(group_id, name)
         dup = resolve_node(name, cands, self.completion, context=context)
         if dup is not None:
             match = next(c for c in cands if c["name"] == dup)
+            # the new surface form becomes an ALIAS of the canonical node
+            # (both norms keep resolving — the merged entity must stay
+            # idempotent under either name)
+            self.db.execute(
+                "INSERT OR IGNORE INTO kg_node_alias (group_id,norm,node_id)"
+                " VALUES (?,?,?)",
+                (group_id, norm, match["id"]),
+            )
             # keep the most complete display name (reference
-            # dedupe_nodes: 'most complete and descriptive name');
-            # name_norm moves with it unless another node owns that norm
+            # dedupe_nodes: 'most complete and descriptive name') and
+            # refresh the device node row so embedding candidates see it
             if len(name) > len(match["name"]) and not name.isupper():
-                try:
-                    self.db.execute(
-                        "UPDATE kg_node SET name=?, name_norm=? WHERE id=?",
-                        (name, norm, match["id"]),
-                    )
-                except Exception:  # noqa: BLE001 — norm taken: keep old
-                    pass
+                eng = self._engine(group_id)
+                old_row = match.get("row_id")
+                if old_row is not None and old_row >= 0:
+                    eng.delete([old_row])
+                new_row = eng.ingest(
+                    [f"{name} ({match.get('label', 'Entity')})"],
+                    metadata=[{"node_id": match["id"]}], indexer="graph",
+                )[0]
+                self.db.execute(
+                    "UPDATE kg_node SET name=?, row_id=? WHERE id=?",
+                    (name, new_row, match["id"]),
+                )
             return match["id"]
         nid = new_id("kgn")
         # node-centric search rows (graphiti node_search parity): the
@@ -295,13 +318,19 @@ class KnowledgeGraphService:
         by_idx.update({len(pair) + i: r for i, r in enumerate(other)})
         res = resolve_edge(t.fact, t.relation, cand, cand_other,
                            self.completion)
-        if res.duplicates:
-            return None  # live identical fact already in the graph
+        # invalidate every contradicted fact first, then: a PURE
+        # duplicate (not also contradicted) means the live graph already
+        # states this fact — skip the insert (idempotent re-index).  A
+        # fact that is duplicate AND contradicted is a restate-and-update
+        # (the prompt's own case): the old edge was just superseded, so
+        # the new one must land.
         for idx in res.contradictions:
             self.db.execute(
                 "UPDATE kg_edge SET invalid_at=? WHERE id=?",
                 (now, by_idx[idx]["id"]),
             )
+        if set(res.duplicates) - set(res.contradictions):
+            return None
         edge_id = new_id("kged")
         rows = eng.ingest([t.fact], metadata=[{"edge_id": edge_id}])
         self.db.execute(
@@ -315,8 +344,12 @@ class KnowledgeGraphService:
 
     def _refresh_node_summaries(self, group_id: str,
                                 node_ids: set[str]) -> None:
-        """Regenerate entity summaries from live facts (reference
-        node_operations.py:539 _extract_entity_summaries_batch)."""
+        """Regenerate entity summaries from live facts — all touched
+        nodes in ONE completion call (reference node_operations.py:539
+        _extract_entity_summaries_batch; per-node calls would cost a
+        network round-trip per entity in the ingest path)."""
+        entities: list[tuple[str, list[str]]] = []
+        nid_by_name: dict[str, str] = {}
         for nid in node_ids:
             n = self.db.query_one(
                 "SELECT name FROM kg_node WHERE id=?", (nid,)
@@ -329,10 +362,18 @@ class KnowledgeGraphService:
                 " ORDER BY valid_at DESC LIMIT 12",
                 (group_id, nid, nid),
             )]
-            self.db.execute(
-                "UPDATE kg_node SET summary=? WHERE id=?",
-                (summarize_node(n["name"], facts, self.completion), nid),
-            )
+            entities.append((n["name"], facts))
+            nid_by_name[n["name"]] = nid
+        if not entities:
+            return
+        summaries = summarize_nodes_batch(entities, self.completion)
+        for name, summary in summaries.items():
+            nid = nid_by_name.get(name)
+            if nid:
+                self.db.execute(
+                    "UPDATE kg_node SET summary=? WHERE id=?",
+                    (summary, nid),
+                )
 
     def add_episode_bulk(self, group_id: str, texts: list[str],
                          source: str = "") -> dict:
@@ -369,7 +410,11 @@ class KnowledgeGraphService:
             else:
                 seen_keys[key] = len(kept)
                 kept.append((eid, t))
-        edge_rows = []
+        # per-edge resolution against the store AND the batch edges kept
+        # so far (post node-dedupe keys can collide even after the
+        # text-norm pre-pass above) — a later batch fact supersedes an
+        # earlier one exactly like a later episode would
+        edge_rows: list = []  # (edge_id, sid, tid, Triple, eid) | None
         touched: set[str] = set()
         for eid, t in kept:
             sid = node_ids[" ".join(t.source.lower().split())]
@@ -386,23 +431,42 @@ class KnowledgeGraphService:
                 " invalid_at IS NULL",
                 (group_id, sid, t.relation, tid),
             )
-            by_idx = {i: r for i, r in enumerate(pair)}
-            by_idx.update({len(pair) + i: r for i, r in enumerate(other)})
-            res = resolve_edge(
-                t.fact, t.relation,
-                [(i, r["fact"]) for i, r in enumerate(pair)],
-                [(len(pair) + i, r["fact"]) for i, r in enumerate(other)],
-                self.completion,
-            )
-            if res.duplicates:
-                continue  # live identical fact: idempotent re-index
+            b_pair = [j for j, e in enumerate(edge_rows)
+                      if e is not None and e[1] == sid and e[2] == tid
+                      and e[3].relation == t.relation]
+            b_other = [j for j, e in enumerate(edge_rows)
+                       if e is not None and e[1] == sid and e[2] != tid
+                       and e[3].relation == t.relation]
+            src: dict[int, tuple] = {}
+            cand, cand_other = [], []
+            for r in pair:
+                src[len(src)] = ("db", r["id"])
+                cand.append((len(src) - 1, r["fact"]))
+            for j in b_pair:
+                src[len(src)] = ("batch", j)
+                cand.append((len(src) - 1, edge_rows[j][3].fact))
+            for r in other:
+                src[len(src)] = ("db", r["id"])
+                cand_other.append((len(src) - 1, r["fact"]))
+            for j in b_other:
+                src[len(src)] = ("batch", j)
+                cand_other.append((len(src) - 1, edge_rows[j][3].fact))
+            res = resolve_edge(t.fact, t.relation, cand, cand_other,
+                               self.completion)
             for idx in res.contradictions:
-                self.db.execute(
-                    "UPDATE kg_edge SET invalid_at=? WHERE id=?",
-                    (now, by_idx[idx]["id"]),
-                )
+                kind, ref = src[idx]
+                if kind == "db":
+                    self.db.execute(
+                        "UPDATE kg_edge SET invalid_at=? WHERE id=?",
+                        (now, ref),
+                    )
+                else:  # superseded within the batch: never inserted
+                    edge_rows[ref] = None
+            if set(res.duplicates) - set(res.contradictions):
+                continue  # identical live fact: idempotent re-index
             touched.update((sid, tid))
             edge_rows.append((new_id("kged"), sid, tid, t, eid))
+        edge_rows = [e for e in edge_rows if e is not None]
 
         if edge_rows:
             rows = eng.ingest(
@@ -426,6 +490,8 @@ class KnowledgeGraphService:
         self.db.execute("DELETE FROM kg_edge WHERE group_id=?", (group_id,))
         self.db.execute("DELETE FROM kg_node WHERE group_id=?", (group_id,))
         self.db.execute("DELETE FROM kg_episode WHERE group_id=?", (group_id,))
+        self.db.execute("DELETE FROM kg_node_alias WHERE group_id=?",
+                        (group_id,))
         self._engines.pop(group_id, None)
 
     def delete_episode(self, group_id: str, episode_id: str) -> None:
@@ -450,16 +516,18 @@ class KnowledgeGraphService:
     # -- search ----------------------------------------------------------------------
 
     def _node_id(self, group_id: str, name: str) -> Optional[str]:
+        norm = " ".join(name.lower().split())
         row = self.db.query_one(
             "SELECT id FROM kg_node WHERE group_id=? AND name_norm=?",
-            (group_id, " ".join(name.lower().split())),
+            (group_id, norm),
         )
-        if row is None:  # display name may have moved past the norm key
-            row = self.db.query_one(
-                "SELECT id FROM kg_node WHERE group_id=? AND name=?",
-                (group_id, name),
-            )
-        return row["id"] if row else None
+        if row:
+            return row["id"]
+        alias = self.db.query_one(
+            "SELECT node_id FROM kg_node_alias WHERE group_id=? AND norm=?",
+            (group_id, norm),
+        )
+        return alias["node_id"] if alias else None
 
     def _node_distances(self, group_id: str, origin_ids: list[str],
                         max_depth: int = 3) -> dict[str, int]:

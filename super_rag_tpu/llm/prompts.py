@@ -167,6 +167,13 @@ succinct summary under 250 characters. Plain prose, no preamble.
 
 Combined summary:"""
 
+KG_SUMMARIZE_NODES_BATCH = """Summarize what is known about EACH entity
+from its facts, in under 250 characters each. Reply with JSON only:
+{{"summaries": {{"<entity name>": "<summary>", ...}}}}
+
+{entities}
+"""
+
 
 # -- language-variant agent system prompts ------------------------------------
 # (reference prompt_template_service.py get_agent_system_prompt en/zh)

@@ -224,6 +224,15 @@ class RayTaskScheduler(ThreadScheduler):
         super().__init__(task, callbacks, num_workers=num_workers,
                          host_workers=max(ray_workers, 1))
         self._ray = ray
+        if ray_address:
+            # prepare_on_host opens the sqlite db_path and local object
+            # root as FILESYSTEM paths inside the Ray task: a multi-node
+            # cluster needs them on shared storage (NFS) or an s3 store
+            # — same deployment constraint as the reference's Ray tasks
+            # reading the shared DB (config/ray_tasks.py)
+            logger.warning(
+                "RayTaskScheduler with address=%s: db_path/object paths "
+                "must be reachable from every worker node", ray_address)
         if not ray.is_initialized():
             ray.init(address=ray_address, ignore_reinit_error=True,
                      include_dashboard=False)

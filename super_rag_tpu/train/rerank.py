@@ -171,10 +171,16 @@ def ce_batches(
         for qi in order[lo : lo + batch_queries]:
             qi = int(qi)
             cands = [qi] + list(hard_negs[qi])[: cfg.n_negatives]
-            while len(cands) < 1 + cfg.n_negatives:
+            # top up with random negatives; once the distinct pool is
+            # exhausted (tiny corpora, large n_negatives) repeat existing
+            # negatives instead of spinning forever on uniqueness
+            while len(cands) < 1 + cfg.n_negatives and len(cands) < len(pairs):
                 r = int(rng.integers(0, len(pairs)))
                 if r != qi and r not in cands:
                     cands.append(r)
+            while len(cands) < 1 + cfg.n_negatives:
+                cands.append(cands[1 + int(rng.integers(0, len(cands) - 1))]
+                             if len(cands) > 1 else qi)
             for ci in cands:
                 qs.append(pairs[qi].query)
                 ds.append(pairs[ci].positive)

@@ -283,3 +283,130 @@ def test_golden_fixture_graph(kg):
     )
     dead = [r for r in all_edges if r["invalid_at"] is not None]
     assert len(dead) == 1 and "Boston" in dead[0]["fact"]
+
+
+# -- round-4 self-review fixes ----------------------------------------------
+
+
+def test_duplicate_and_contradicted_means_update(tmp_path):
+    """The restate-and-update case: LLM flags the old fact as duplicate
+    AND contradicted — the old edge must be invalidated and the new fact
+    inserted (not silently dropped)."""
+    def completion(prompt: str):
+        if "duplicate_name" in prompt:
+            return json.dumps({"duplicate_name": ""})
+        if '"duplicates"' in prompt or "duplicates" in prompt:
+            return json.dumps({"duplicates": [0], "contradictions": [0]})
+        return "s"
+
+    kg2 = make_kg(tmp_path, completion)
+    kg2.add_episode("c", "", triples=[
+        Triple("Bob", "role", "CEO", "Bob is CEO of Acme since 2019.")
+    ])
+    # second add triggers the resolve prompt (candidates exist now)
+    kg2.add_episode("c", "", triples=[
+        Triple("Bob", "role", "CEO", "Bob is CEO of Acme since 2024.")
+    ])
+    live = [r["fact"] for r in kg2.db.query(
+        "SELECT fact FROM kg_edge WHERE group_id='c' AND invalid_at IS NULL"
+    )]
+    assert live == ["Bob is CEO of Acme since 2024."]
+
+
+def test_bulk_within_batch_contradiction(kg):
+    """Two facts in ONE bulk batch with the same functional key must
+    supersede within the batch exactly like sequential episodes."""
+    r = kg.add_episode_bulk("c", [
+        "Alice Cooper works_at Acme Labs now.",
+        "Alice Cooper works_at Beta Corp now.",
+    ])
+    # heuristic extraction may vary: drive the invariant directly too
+    kg.delete_group("c")
+    from super_rag_tpu.kg.extract import Triple as T
+
+    # use add_episode_bulk's internals via triples through two episodes
+    # in one batch: monkeypatch extract by pre-seeding? simplest: call
+    # the per-episode path twice then verify bulk matches it — here we
+    # call bulk with texts whose heuristic extraction yields the pair
+    eng_facts = [
+        ("Alice", "works_at", "Acme", "Alice works_at Acme."),
+        ("Alice", "works_at", "Beta", "Alice works_at Beta."),
+    ]
+    # emulate the batch by invoking the resolution loop through
+    # add_episode (sequential gold)...
+    for s, rel, t2, f in eng_facts:
+        kg.add_episode("gold", "", triples=[T(s, rel, t2, f)])
+    gold_live = {r2["fact"] for r2 in kg.db.query(
+        "SELECT fact FROM kg_edge WHERE group_id='gold'"
+        " AND invalid_at IS NULL")}
+    assert gold_live == {"Alice works_at Beta."}
+
+
+def test_bulk_batch_functional_supersede_directly(kg, monkeypatch):
+    """add_episode_bulk with extraction stubbed: within-batch functional
+    contradiction invalidates the earlier batch fact."""
+    from super_rag_tpu.kg import service as svc
+    from super_rag_tpu.kg.extract import Triple as T
+
+    seq = [
+        [T("Alice", "works_at", "Acme", "Alice works_at Acme.")],
+        [T("Alice", "works_at", "Beta", "Alice works_at Beta.")],
+    ]
+    calls = iter(seq)
+    monkeypatch.setattr(svc, "extract",
+                        lambda text, completion: next(calls))
+    r = kg.add_episode_bulk("b", ["ep1", "ep2"])
+    live = {x["fact"] for x in kg.db.query(
+        "SELECT fact FROM kg_edge WHERE group_id='b'"
+        " AND invalid_at IS NULL")}
+    assert live == {"Alice works_at Beta."}
+    assert r["triples"] == 1  # only the surviving edge was inserted
+
+
+def test_alias_keeps_both_surface_forms_resolving(tmp_path):
+    """After an LLM merge promotes a longer display name, BOTH surface
+    forms must resolve to the same node and re-ingest stays idempotent."""
+    def completion(prompt: str):
+        if "duplicate_name" in prompt and "Apple Inc." in prompt:
+            return json.dumps({"duplicate_name": "Apple"})
+        if "duplicate_name" in prompt:
+            return json.dumps({"duplicate_name": ""})
+        if "duplicates" in prompt:
+            return json.dumps({"duplicates": [], "contradictions": []})
+        return "s"
+
+    kg2 = make_kg(tmp_path, completion)
+    kg2.add_episode("c", "", triples=[
+        Triple("Apple", "makes", "Phones", "Apple makes phones.")
+    ])
+    kg2.add_episode("c", "", triples=[
+        Triple("Apple Inc.", "employs", "Tim", "Apple Inc. employs Tim.")
+    ])
+    names = [r["name"] for r in kg2.db.query(
+        "SELECT name FROM kg_node WHERE group_id='c'")]
+    assert "Apple Inc." in names and "Apple" not in names
+    nid_long = kg2._node_id("c", "Apple Inc.")
+    nid_short = kg2._node_id("c", "Apple")
+    assert nid_long and nid_long == nid_short
+    # the OLD surface form upserts to the same node (no duplicate)
+    assert kg2._upsert_node("c", "Apple") == nid_long
+    n_nodes = kg2.db.query_one(
+        "SELECT COUNT(*) AS n FROM kg_node WHERE group_id='c'"
+        " AND name LIKE 'Apple%'")["n"]
+    assert n_nodes == 1
+
+
+def test_ce_batches_terminates_on_tiny_pools():
+    """n_negatives larger than the pair pool must not spin forever."""
+    from super_rag_tpu.models.tokenization import HashTokenizer
+    from super_rag_tpu.train.pairs import Pair
+    from super_rag_tpu.train.rerank import RerankTrainConfig, ce_batches
+
+    pairs = [Pair(query=f"q{i}", positive=f"p{i}") for i in range(4)]
+    cfg = RerankTrainConfig(n_negatives=19)
+    tok = HashTokenizer(vocab_size=1 << 12)
+    rng = __import__("numpy").random.default_rng(0)
+    batches = list(ce_batches(pairs, [[1], [0], [3], [2]], tok, rng, cfg,
+                              batch_queries=2, max_len=32))
+    assert batches
+    assert batches[0]["ids"].shape[0] == 2 * 20  # full group shape kept
