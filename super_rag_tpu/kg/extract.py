@@ -39,8 +39,17 @@ class Triple:
     fact: str
 
 
+_PASSIVE_RE = re.compile(r"\b(?:was|were|is|are|has been|have been)\s+"
+                         r"(\w+(?:ed|en|n))\s+by\b", re.IGNORECASE)
+
+
 def heuristic_extract(text: str, max_triples: int = 50) -> list[Triple]:
-    """Offline extraction: entity pairs linked by a verb in one sentence."""
+    """Offline extraction: entity pairs linked by the verb BETWEEN them.
+
+    Two refinements over a bare adjacent-pair chain (r4): the relation
+    for a pair is the verb hint that lies between the two entity spans
+    (not the sentence's first verb), and the passive form
+    'B was founded by A' inverts to (A, founded, B)."""
     triples: list[Triple] = []
     for sent in _SENT_SPLIT.split(text):
         if len(sent) < 8:
@@ -53,15 +62,31 @@ def heuristic_extract(text: str, max_triples: int = 50) -> list[Triple]:
                 continue
             if span.lower() in ("the", "a", "an", "this", "that", "it"):
                 continue
-            ents.append(span)
-        ents = list(dict.fromkeys(ents))
-        if len(ents) < 2:
+            ents.append((span, m.start(), m.end()))
+        seen: set[str] = set()
+        uniq = []
+        for e in ents:
+            if e[0] not in seen:
+                seen.add(e[0])
+                uniq.append(e)
+        if len(uniq) < 2:
             continue
-        verb = _VERB_HINT.search(sent)
-        relation = verb.group(1).lower() if verb else "related_to"
-        for a, b_ in zip(ents, ents[1:]):
+        verbs = [(v.start(), v.end(), v.group(1).lower())
+                 for v in _VERB_HINT.finditer(sent)]
+        for (a, _as, a_end), (b_, b_start, _be) in zip(uniq, uniq[1:]):
+            between = sent[a_end:b_start]
+            relation = next(
+                (name for s, e, name in verbs if a_end <= s and e <= b_start),
+                verbs[0][2] if verbs else "related_to",
+            )
+            src, dst = a, b_
+            pm = _PASSIVE_RE.search(between)
+            if pm:
+                # 'B was founded by A' → (A, founded, B)
+                src, dst = b_, a
+                relation = pm.group(1).lower()
             triples.append(
-                Triple(source=a, relation=relation, target=b_,
+                Triple(source=src, relation=relation, target=dst,
                        fact=sent.strip()[:500])
             )
             if len(triples) >= max_triples:

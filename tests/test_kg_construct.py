@@ -410,3 +410,24 @@ def test_ce_batches_terminates_on_tiny_pools():
                               batch_queries=2, max_len=32))
     assert batches
     assert batches[0]["ids"].shape[0] == 2 * 20  # full group shape kept
+
+
+def test_heuristic_passive_voice_inverts():
+    from super_rag_tpu.kg.extract import heuristic_extract
+
+    ts = heuristic_extract("Acme Robotics was founded by Alice Johnson.")
+    assert any(t.source == "Alice Johnson" and t.relation == "founded"
+               and t.target == "Acme Robotics" for t in ts), ts
+
+
+def test_heuristic_verb_between_pair():
+    from super_rag_tpu.kg.extract import heuristic_extract
+
+    # two pairs with DIFFERENT verbs in one sentence: each pair must get
+    # the verb between its own spans, not the sentence's first verb
+    ts = heuristic_extract(
+        "Alice Johnson founded Acme Robotics and Bob Smith leads Acme Labs."
+    )
+    rels = {(t.source, t.relation, t.target) for t in ts}
+    assert ("Alice Johnson", "founded", "Acme Robotics") in rels
+    assert any(s == "Bob Smith" and r == "leads" for s, r, _t in rels), rels
