@@ -221,3 +221,32 @@ def test_scanned_dct_pdf_yields_image_parts():
     parts = PdfParser().parse_file("scan.pdf", pdf)
     kinds = {type(p).__name__ for p in parts}
     assert "AssetBinPart" in kinds and "ImagePart" in kinds
+
+
+def test_two_column_reading_order():
+    """A two-column page interleaves its columns in stream order; the
+    position-aware assembly must emit left column fully, then right."""
+    ops = []
+    # stream order alternates columns line by line (typical generator
+    # output); x=72 left column, x=320 right column
+    rows = [
+        (72, 700, "Left one."), (320, 700, "Right one."),
+        (72, 685, "Left two."), (320, 685, "Right two."),
+        (72, 670, "Left three."), (320, 670, "Right three."),
+    ]
+    for x, y, txt in rows:
+        ops.append(f"BT 1 0 0 1 {x} {y} Tm ({txt}) Tj ET".encode())
+    pdf = make_pdf(b" ".join(ops))
+    text = extract_pdf_text(pdf)
+    li = [text.index(s) for s in
+          ("Left one.", "Left two.", "Left three.")]
+    ri = [text.index(s) for s in
+          ("Right one.", "Right two.", "Right three.")]
+    assert max(li) < min(ri), text  # full left column before right
+
+
+def test_same_line_runs_join_in_x_order():
+    ops = (b"BT 1 0 0 1 300 700 Tm (world) Tj ET "
+           b"BT 1 0 0 1 72 700 Tm (Hello) Tj ET")
+    text = extract_pdf_text(make_pdf(ops))
+    assert "Hello world" in text
