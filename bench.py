@@ -197,7 +197,7 @@ def main():
     lex_gen = int(os.environ.get("BENCH_LEX_GEN", "250"))
     pq = int(os.environ.get(
         "BENCH_PQ", str(tuned.get("postings_per_query_term", 768))))
-    ptk = int(os.environ.get("BENCH_PTK", "2"))
+    ptk = int(os.environ.get("BENCH_PTK", str(tuned.get("per_tile_k", 2))))
     deep_terms = int(os.environ.get(
         "BENCH_DEEP_TERMS", str(tuned.get("lex_deep_terms", 0))))
     _dp = tuned.get("lex_deep_postings")

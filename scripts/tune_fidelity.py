@@ -159,11 +159,17 @@ def main() -> None:
     results = []
     for ppq, dt, dp, approx, label in configs:
         def run():
+            # mirrors bench.py's serving args exactly (rescore on,
+            # lex_gen 250) so the promoted config's numbers transfer
             return hybrid_search(
                 queries, q_terms_j, q_idf_j, dense_int8, lexical, avgdl,
                 inverted=inverted, vocab_size=vocab, k=k, candidates=cand,
                 use_pallas=on_tpu, dense_tile=tile,
-                postings_per_query_term=ppq, int8_queries=True, per_tile_k=8,
+                block_size=262_144 if on_tpu else 8_192,
+                bm25_block_size=4_096,
+                postings_per_query_term=ppq, int8_queries=on_tpu,
+                per_tile_k=8 if on_tpu else None,
+                rescore=True, lex_gen=250,
                 lex_deep_terms=dt, lex_deep_postings=dp,
                 lex_approx_topk=approx,
             )
@@ -205,6 +211,9 @@ def main() -> None:
                 "lex_deep_terms": best["deep_terms"],
                 "lex_deep_postings": best["deep_postings"],
                 "lex_approx_topk": best["approx"],
+                # the sweep measures at this extraction cap — the bench
+                # must serve at the same one or fidelity won't reproduce
+                "per_tile_k": 8,
                 "swept_fidelity": best["hybrid_fidelity"],
                 "swept_qps": best["qps"],
                 "all_results": results,
