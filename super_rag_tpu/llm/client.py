@@ -213,3 +213,241 @@ class OpenAICompatClient:
 
     def close(self) -> None:
         self._client.close()
+
+
+class AnthropicClient(OpenAICompatClient):
+    """Anthropic Messages dialect (completion only).
+
+    The reference reaches Anthropic through LiteLLM's provider prefix
+    (super_rag/llm/completion/completion_service.py:82-199); here it is
+    one subclass: `x-api-key` + `anthropic-version` headers, system
+    messages hoisted to the top-level `system` field, and text extracted
+    from the content-block list.  Anthropic serves no embedding/rerank
+    API — those raise rather than silently degrade.
+    """
+
+    ANTHROPIC_VERSION = "2023-06-01"
+    DEFAULT_MAX_TOKENS = 1024  # the Messages API requires max_tokens
+
+    def _headers(self) -> dict:
+        h = {"Content-Type": "application/json",
+             "anthropic-version": self.ANTHROPIC_VERSION}
+        if self.api_key:
+            h["x-api-key"] = self.api_key
+        return h
+
+    def complete(self, prompt: Optional[str] = None,
+                 messages: Optional[list[dict]] = None,
+                 temperature: float = 0.1, max_tokens: Optional[int] = None,
+                 model: Optional[str] = None, use_cache: bool = True) -> str:
+        msgs = messages or [{"role": "user", "content": prompt or ""}]
+        system = "\n".join(m.get("content", "") for m in msgs
+                           if m.get("role") == "system")
+        turns = [m for m in msgs if m.get("role") != "system"]
+        payload: dict = {
+            "model": model or self.model,
+            "max_tokens": max_tokens or self.DEFAULT_MAX_TOKENS,
+            "messages": turns, "temperature": temperature,
+        }
+        if system:
+            payload["system"] = system
+        ck = None
+        if self.cache and use_cache and temperature == 0.0:
+            ck = ResponseCache.key("completion", payload)
+            hit = self.cache.get(ck)
+            if hit is not None:
+                return hit
+        data = self._post("/v1/messages", payload)
+        text = "".join(b.get("text", "") for b in data.get("content", [])
+                       if b.get("type") == "text")
+        if ck is not None:
+            self.cache.put(ck, text)
+        return text
+
+    def embed(self, texts: Sequence[str], model: Optional[str] = None,
+              use_cache: bool = True) -> list[list[float]]:
+        from super_rag_tpu.llm.errors import BadRequestError
+
+        raise BadRequestError(
+            "the anthropic dialect serves no embeddings API", self.provider
+        )
+
+    def rerank(self, query: str, documents: Sequence[str],
+               top_n: Optional[int] = None,
+               model: Optional[str] = None) -> list[dict]:
+        from super_rag_tpu.llm.errors import BadRequestError
+
+        raise BadRequestError(
+            "the anthropic dialect serves no rerank API", self.provider
+        )
+
+
+class DashScopeClient(OpenAICompatClient):
+    """DashScope native dialect: text-generation, text-embedding and the
+    HTTP rerank endpoint the reference special-cases outside LiteLLM
+    (super_rag/llm/rerank/rerank_service.py:155-217).  ``base_url`` is
+    the host root (e.g. https://dashscope.aliyuncs.com)."""
+
+    GEN_PATH = "/api/v1/services/aigc/text-generation/generation"
+    EMBED_PATH = "/api/v1/services/embeddings/text-embedding/text-embedding"
+    RERANK_PATH = "/api/v1/services/rerank/text-rerank/text-rerank"
+
+    def complete(self, prompt: Optional[str] = None,
+                 messages: Optional[list[dict]] = None,
+                 temperature: float = 0.1, max_tokens: Optional[int] = None,
+                 model: Optional[str] = None, use_cache: bool = True) -> str:
+        msgs = messages or [{"role": "user", "content": prompt or ""}]
+        params: dict = {"result_format": "message",
+                        "temperature": temperature}
+        if max_tokens:
+            params["max_tokens"] = max_tokens
+        payload = {"model": model or self.model,
+                   "input": {"messages": msgs}, "parameters": params}
+        ck = None
+        if self.cache and use_cache and temperature == 0.0:
+            ck = ResponseCache.key("completion", payload)
+            hit = self.cache.get(ck)
+            if hit is not None:
+                return hit
+        data = self._post(self.GEN_PATH, payload)
+        out = data.get("output", {})
+        choices = out.get("choices") or []
+        text = (choices[0].get("message", {}).get("content", "")
+                if choices else out.get("text", ""))
+        if ck is not None:
+            self.cache.put(ck, text)
+        return text
+
+    def embed(self, texts: Sequence[str], model: Optional[str] = None,
+              use_cache: bool = True) -> list[list[float]]:
+        payload = {"model": model or self.model,
+                   "input": {"texts": list(texts)}}
+        ck = None
+        if self.cache and use_cache:
+            ck = ResponseCache.key("embedding", payload)
+            hit = self.cache.get(ck)
+            if hit is not None:
+                return hit
+        data = self._post(self.EMBED_PATH, payload)
+        rows = sorted(data.get("output", {}).get("embeddings", []),
+                      key=lambda d: d.get("text_index", 0))
+        out = [r["embedding"] for r in rows]
+        if ck is not None:
+            self.cache.put(ck, out)
+        return out
+
+    def rerank(self, query: str, documents: Sequence[str],
+               top_n: Optional[int] = None,
+               model: Optional[str] = None) -> list[dict]:
+        params: dict = {"return_documents": False}
+        if top_n:
+            params["top_n"] = top_n
+        payload = {
+            "model": model or self.model,
+            "input": {"query": query, "documents": list(documents)},
+            "parameters": params,
+        }
+        data = self._post(self.RERANK_PATH, payload)
+        out = []
+        for r in data.get("output", {}).get("results", []):
+            idx = r.get("index")
+            if idx is None or not 0 <= idx < len(documents):
+                continue
+            out.append({"index": idx,
+                        "relevance_score": r.get("relevance_score", 0.0)})
+        return out
+
+
+class GeminiClient(OpenAICompatClient):
+    """Google Gemini generateContent/batchEmbedContents dialect.
+
+    ``base_url`` is the API root (e.g.
+    https://generativelanguage.googleapis.com); auth rides the
+    `x-goog-api-key` header.  Roles map openai->gemini
+    (assistant->model, system->systemInstruction).  No rerank API.
+    """
+
+    def _headers(self) -> dict:
+        h = {"Content-Type": "application/json"}
+        if self.api_key:
+            h["x-goog-api-key"] = self.api_key
+        return h
+
+    def complete(self, prompt: Optional[str] = None,
+                 messages: Optional[list[dict]] = None,
+                 temperature: float = 0.1, max_tokens: Optional[int] = None,
+                 model: Optional[str] = None, use_cache: bool = True) -> str:
+        msgs = messages or [{"role": "user", "content": prompt or ""}]
+        system = "\n".join(m.get("content", "") for m in msgs
+                           if m.get("role") == "system")
+        contents = [
+            {"role": "model" if m.get("role") == "assistant" else "user",
+             "parts": [{"text": m.get("content", "")}]}
+            for m in msgs if m.get("role") != "system"
+        ]
+        gen_cfg: dict = {"temperature": temperature}
+        if max_tokens:
+            gen_cfg["maxOutputTokens"] = max_tokens
+        payload: dict = {"contents": contents, "generationConfig": gen_cfg}
+        if system:
+            payload["systemInstruction"] = {"parts": [{"text": system}]}
+        ck = None
+        if self.cache and use_cache and temperature == 0.0:
+            ck = ResponseCache.key("completion", payload)
+            hit = self.cache.get(ck)
+            if hit is not None:
+                return hit
+        mdl = model or self.model
+        data = self._post(f"/v1beta/models/{mdl}:generateContent", payload)
+        cands = data.get("candidates") or []
+        parts = (cands[0].get("content", {}).get("parts", [])
+                 if cands else [])
+        text = "".join(p.get("text", "") for p in parts)
+        if ck is not None:
+            self.cache.put(ck, text)
+        return text
+
+    def embed(self, texts: Sequence[str], model: Optional[str] = None,
+              use_cache: bool = True) -> list[list[float]]:
+        mdl = model or self.model
+        payload = {"requests": [
+            {"model": f"models/{mdl}", "content": {"parts": [{"text": t}]}}
+            for t in texts
+        ]}
+        ck = None
+        if self.cache and use_cache:
+            ck = ResponseCache.key("embedding", payload)
+            hit = self.cache.get(ck)
+            if hit is not None:
+                return hit
+        data = self._post(f"/v1beta/models/{mdl}:batchEmbedContents", payload)
+        out = [e.get("values", []) for e in data.get("embeddings", [])]
+        if ck is not None:
+            self.cache.put(ck, out)
+        return out
+
+    def rerank(self, query: str, documents: Sequence[str],
+               top_n: Optional[int] = None,
+               model: Optional[str] = None) -> list[dict]:
+        from super_rag_tpu.llm.errors import BadRequestError
+
+        raise BadRequestError(
+            "the gemini dialect serves no rerank API", self.provider
+        )
+
+
+# provider.api_type -> client class (reference: LiteLLM's provider-prefix
+# routing, e.g. "anthropic/claude-...", resolved per call; here the
+# dialect is a property of the stored provider row)
+DIALECTS: dict[str, type] = {
+    "openai": OpenAICompatClient,
+    "anthropic": AnthropicClient,
+    "dashscope": DashScopeClient,
+    "gemini": GeminiClient,
+}
+
+
+def make_client(api_type: str = "openai", **kwargs) -> OpenAICompatClient:
+    cls = DIALECTS.get((api_type or "openai").strip().lower(),
+                       OpenAICompatClient)
+    return cls(**kwargs)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 from typing import Optional
 
-from super_rag_tpu.llm.client import OpenAICompatClient
+from super_rag_tpu.llm.client import OpenAICompatClient, make_client
 from super_rag_tpu.store.db import Database
 
 logger = logging.getLogger(__name__)
@@ -52,7 +52,10 @@ class ModelResolver:
             return None
         api_key = self.db.get_provider_key(provider_name, user) or \
             self.db.get_provider_key(provider_name, "public") or ""
-        return OpenAICompatClient(
+        # dialect dispatch on the stored provider row's api_type
+        # (openai/anthropic/dashscope/gemini — llm/client.DIALECTS)
+        return make_client(
+            provider.get("api_type") or "openai",
             base_url=provider["base_url"], api_key=api_key, model=model,
             provider=provider_name,
         )

@@ -175,18 +175,24 @@ class CollectionService:
         out per collection and merges by score (the reference's
         SearchRequest accepts collection_ids but only searches the first
         — runners/vector_search.py:64; we search them all)."""
-        accessible = [
-            self.get(user, cid)["id"] for cid in collection_ids
-        ]
+        colls = [self.get(user, cid) for cid in collection_ids]
+        accessible = [c["id"] for c in colls]
         top_k = top_k or self.ctx.cfg.default_top_k
         flow = self.build_search_flow(
             accessible, top_k, None, use_rerank=use_rerank,
             candidates=self.ctx.cfg.rerank_candidates,
         )
         engine = NodeflowEngine()
+        services = self.ctx.services_for_nodeflow()
+        if use_rerank and colls:
+            # rerank spec of the first collection governs (the reference
+            # resolves rerank config per search the same way)
+            services["reranker"] = self.ctx.reranker_for(
+                colls[0].get("config") or {}
+            )
         ctx = await engine.execute_nodeflow(
             flow, SystemInput(query=query, user=user, chat_id=chat_id),
-            services=self.ctx.services_for_nodeflow(),
+            services=services,
         )
         docs = ctx.outputs["rerank"].docs
         return {
@@ -222,10 +228,15 @@ class CollectionService:
             candidates=self.ctx.cfg.rerank_candidates,
         )
         engine = NodeflowEngine()
+        services = self.ctx.services_for_nodeflow()
+        if use_rerank:
+            services["reranker"] = self.ctx.reranker_for(
+                coll.get("config") or {}
+            )
         ctx = await engine.execute_nodeflow(
             flow,
             SystemInput(query=query, user=user, chat_id=chat_id),
-            services=self.ctx.services_for_nodeflow(),
+            services=services,
         )
         docs = ctx.outputs["rerank"].docs
         items = [

@@ -38,13 +38,29 @@ class AppContext:
     reranker: Optional[object] = None  # callable (query, texts) -> scores
     batcher: Optional[object] = None  # engine.batcher.QueryBatcher
 
+    def reranker_for(self, config: Optional[dict] = None):
+        """Per-collection reranker: the collection config's rerank
+        ModelSpec (remote dialect client) wins, then the scenario-tagged
+        default, then the on-TPU CE checkpoint.  Resolved at SEARCH time,
+        not boot — providers registered after startup must take effect
+        without a restart (the drive that caught this: a dialect provider
+        added via the API was never consulted because ``reranker`` was a
+        boot-time constant)."""
+        fac = getattr(self, "reranker_factory_fn", None)
+        if fac is None:
+            return self.reranker
+        try:
+            return fac(config or {}) or self.reranker
+        except Exception:  # noqa: BLE001 — rerank is optional, never fatal
+            return self.reranker
+
     def services_for_nodeflow(self) -> dict:
         return {
             "engines": self.engines,
             "db": self.db,
             "kg": self.kg,
             "completion": self.completion,
-            "reranker": self.reranker,
+            "reranker": self.reranker_for({}),
             "batcher": self.batcher,
         }
 
@@ -218,5 +234,8 @@ def build_context(
         completion=completion, batcher=batcher,
     )
     ctx.resolver = resolver  # type: ignore[attr-defined]
+    # per-search rerank resolution (AppContext.reranker_for): keeps
+    # collection-config rerank specs and late-registered providers live
+    ctx.reranker_factory_fn = reranker_factory  # type: ignore[attr-defined]
     task.ctx = ctx  # index task reaches kg/completion through the context
     return ctx
