@@ -279,7 +279,16 @@ def combine_summaries(a: str, b: str,
                 return raw[:max_chars]
         except Exception:  # noqa: BLE001
             pass
-    return f"{a}; {b}"[:max_chars]
+    # offline reduce: dedupe clauses — two nodes on the same edge carry
+    # the same fact in both summaries, and a naive join repeats it
+    seen: set[str] = set()
+    parts: list[str] = []
+    for clause in (a + "; " + b).split("; "):
+        key = " ".join(clause.lower().split()).rstrip(".")
+        if key and key not in seen:
+            seen.add(key)
+            parts.append(clause)
+    return "; ".join(parts)[:max_chars]
 
 
 def label_propagation(

@@ -28,7 +28,18 @@ _VERB_HINT = re.compile(
     re.IGNORECASE,
 )
 
-from super_rag_tpu.llm.prompts import KG_EXTRACTION as EXTRACTION_PROMPT
+from super_rag_tpu.llm.prompts import (
+    KG_EXTRACTION as EXTRACTION_PROMPT,
+    KG_EXTRACTION_FOCUSED,
+    KG_REFLEXION,
+)
+
+# the graphiti-style fixed entity-type set (prompts/extract_nodes.py
+# entity_types); anything else the model invents maps to Concept
+ENTITY_TYPES = frozenset({
+    "Person", "Organization", "Location", "Product", "Technology",
+    "Event", "Concept",
+})
 
 
 @dataclass
@@ -37,6 +48,65 @@ class Triple:
     relation: str
     target: str
     fact: str
+    source_type: str = "Entity"
+    target_type: str = "Entity"
+    valid_at: Optional[float] = None  # event time (epoch s), if stated
+
+
+_ORG_SUFFIX = re.compile(
+    r"\b(Inc|Corp|Corporation|Ltd|LLC|GmbH|Co|Company|University,?|"
+    r"Institute|Labs?|Foundation|Group|Bank|Agency)\.?$"
+)
+_PERSON_PREFIX = re.compile(
+    r"^(Mr|Mrs|Ms|Dr|Prof|Professor|President|CEO|Sir|Dame)\.?\s"
+)
+_LOCATION_HINT = re.compile(
+    r"\b(City|County|Province|Republic|Kingdom|Island|Valley|Bay|"
+    r"Mountains?)\b"
+)
+# event dates: ISO, "Month DD, YYYY", "in/since/on ... 1999"
+_ISO_DATE = re.compile(r"\b(\d{4})-(\d{2})-(\d{2})\b")
+_MONTH_DATE = re.compile(
+    r"\b(January|February|March|April|May|June|July|August|September|"
+    r"October|November|December)\s+(\d{1,2}),?\s+(\d{4})\b"
+)
+_YEAR_HINT = re.compile(r"\b(?:in|since|on|during|by)\s+((?:19|20)\d{2})\b")
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["January", "February", "March", "April", "May", "June", "July",
+     "August", "September", "October", "November", "December"])}
+
+
+def _entity_type(span: str) -> str:
+    """Cheap offline type cues; 'Entity' when nothing is clear."""
+    if _PERSON_PREFIX.search(span):
+        return "Person"
+    if _ORG_SUFFIX.search(span):
+        return "Organization"
+    if _LOCATION_HINT.search(span):
+        return "Location"
+    return "Entity"
+
+
+def _event_time(sent: str) -> Optional[float]:
+    """Epoch seconds for the first stated event date in the sentence."""
+    import calendar
+
+    m = _ISO_DATE.search(sent)
+    if m:
+        y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    else:
+        m2 = _MONTH_DATE.search(sent)
+        if m2:
+            y, mo, d = int(m2.group(3)), _MONTHS[m2.group(1)], int(m2.group(2))
+        else:
+            m3 = _YEAR_HINT.search(sent)
+            if not m3:
+                return None
+            y, mo, d = int(m3.group(1)), 1, 1
+    try:
+        return float(calendar.timegm((y, mo, d, 0, 0, 0)))
+    except (ValueError, OverflowError):
+        return None
 
 
 _PASSIVE_RE = re.compile(r"\b(?:was|were|is|are|has been|have been)\s+"
@@ -87,18 +157,18 @@ def heuristic_extract(text: str, max_triples: int = 50) -> list[Triple]:
                 relation = pm.group(1).lower()
             triples.append(
                 Triple(source=src, relation=relation, target=dst,
-                       fact=sent.strip()[:500])
+                       fact=sent.strip()[:500],
+                       source_type=_entity_type(src),
+                       target_type=_entity_type(dst),
+                       valid_at=_event_time(sent))
             )
             if len(triples) >= max_triples:
                 return triples
     return triples
 
 
-def llm_extract(text: str, completion: Callable,
-                max_triples: int = 50) -> list[Triple]:
-    raw = completion(prompt=EXTRACTION_PROMPT.format(text=text[:6000]))
-    raw = str(raw)
-    m = re.search(r"\{.*\}", raw, re.S)
+def _parse_triples(raw: str, limit: int) -> list[Triple]:
+    m = re.search(r"\{.*\}", str(raw), re.S)
     if not m:
         return []
     try:
@@ -106,9 +176,20 @@ def llm_extract(text: str, completion: Callable,
     except json.JSONDecodeError:
         return []
     out = []
-    for t in data.get("triples", [])[:max_triples]:
+    for t in data.get("triples", [])[:limit]:
+        if not isinstance(t, dict):
+            continue
         if not all(t.get(k) for k in ("source", "target")):
             continue
+        valid_at = None
+        va = t.get("valid_at")
+        if va and isinstance(va, str):
+            valid_at = _event_time(va) or _event_time(f"in {va[:4]}")
+
+        def typ(key: str) -> str:
+            v = str(t.get(key, "") or "").strip().title()
+            return v if v in ENTITY_TYPES else "Entity"
+
         out.append(
             Triple(
                 source=str(t["source"])[:200],
@@ -116,9 +197,58 @@ def llm_extract(text: str, completion: Callable,
                 target=str(t["target"])[:200],
                 fact=str(t.get("fact", ""))[:500]
                 or f"{t['source']} {t.get('relation', '')} {t['target']}",
+                source_type=typ("source_type"),
+                target_type=typ("target_type"),
+                valid_at=valid_at,
             )
         )
     return out
+
+
+def _parse_missed(raw: str) -> list[str]:
+    m = re.search(r"\{.*\}", str(raw), re.S)
+    if not m:
+        return []
+    try:
+        data = json.loads(m.group(0))
+    except json.JSONDecodeError:
+        return []
+    return [str(e)[:200] for e in data.get("missed", [])
+            if isinstance(e, (str, int, float)) and str(e).strip()][:16]
+
+
+def llm_extract(text: str, completion: Callable, max_triples: int = 50,
+                reflexion: bool = True) -> list[Triple]:
+    """LLM extraction with one reflexion pass (graphiti
+    prompts/extract_nodes.py: extract -> 'which entities did you miss?'
+    -> focused re-extraction over the missed entities)."""
+    snippet = text[:6000]
+    triples = _parse_triples(
+        completion(prompt=EXTRACTION_PROMPT.format(text=snippet)),
+        max_triples,
+    )
+    if reflexion and triples:
+        found = sorted({t.source for t in triples}
+                       | {t.target for t in triples})
+        missed = _parse_missed(completion(prompt=KG_REFLEXION.format(
+            entities=", ".join(found), text=snippet)))
+        missed = [e for e in missed
+                  if e.lower() not in {f.lower() for f in found}]
+        if missed:
+            extra = _parse_triples(
+                completion(prompt=KG_EXTRACTION_FOCUSED.format(
+                    entities=", ".join(missed), text=snippet)),
+                max_triples,
+            )
+            seen = {(t.source.lower(), t.relation.lower(), t.target.lower())
+                    for t in triples}
+            for t in extra:
+                key = (t.source.lower(), t.relation.lower(),
+                       t.target.lower())
+                if key not in seen and len(triples) < max_triples:
+                    seen.add(key)
+                    triples.append(t)
+    return triples
 
 
 def extract(text: str, completion: Optional[Callable] = None,

@@ -193,10 +193,15 @@ class KnowledgeGraphService:
                      context: str = "") -> str:
         norm = " ".join(name.lower().split())
         row = self.db.query_one(
-            "SELECT id FROM kg_node WHERE group_id=? AND name_norm=?",
+            "SELECT id, label FROM kg_node WHERE group_id=? AND name_norm=?",
             (group_id, norm),
         )
         if row:
+            # a typed extraction upgrades an untyped node (never the
+            # reverse: 'Entity' is the absence of a type, not a type)
+            if label != "Entity" and row.get("label") in ("Entity", "", None):
+                self.db.execute("UPDATE kg_node SET label=? WHERE id=?",
+                                (label, row["id"]))
             return row["id"]
         alias = self.db.query_one(
             "SELECT node_id FROM kg_node_alias WHERE group_id=? AND norm=?",
@@ -282,8 +287,10 @@ class KnowledgeGraphService:
         added = []
         touched: set[str] = set()
         for t in triples:
-            sid = self._upsert_node(group_id, t.source, context=text)
-            tid = self._upsert_node(group_id, t.target, context=text)
+            sid = self._upsert_node(group_id, t.source,
+                                    label=t.source_type, context=text)
+            tid = self._upsert_node(group_id, t.target,
+                                    label=t.target_type, context=text)
             edge_id = self._resolve_and_insert_edge(
                 eng, group_id, sid, tid, t, eid, now
             )
@@ -333,12 +340,16 @@ class KnowledgeGraphService:
             return None
         edge_id = new_id("kged")
         rows = eng.ingest([t.fact], metadata=[{"edge_id": edge_id}])
+        # bi-temporal: valid_at is EVENT time when the text states one
+        # ("founded in 2019"), transaction time otherwise; created is
+        # always transaction time (graphiti extract_edge_dates semantics)
+        valid_at = t.valid_at if getattr(t, "valid_at", None) else now
         self.db.execute(
             "INSERT INTO kg_edge (id,group_id,source_id,target_id,relation,"
             "fact,episode_id,row_id,valid_at,created)"
             " VALUES (?,?,?,?,?,?,?,?,?,?)",
             (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
-             rows[0], now, now),
+             rows[0], valid_at, now),
         )
         return edge_id
 
@@ -391,13 +402,25 @@ class KnowledgeGraphService:
             for t in extract(text, self.completion):
                 all_triples.append((eid, t))
 
-        # one-pass node dedup across the whole batch
+        # one-pass node dedup across the whole batch; an entity keeps the
+        # first TYPED label any of its triples assigned (the single-
+        # episode path upgrades Entity->typed the same way)
+        best_type: dict[str, str] = {}
+        for _eid, t in all_triples:
+            for name, typ in ((t.source, t.source_type),
+                              (t.target, t.target_type)):
+                norm = " ".join(name.lower().split())
+                if typ != "Entity" and best_type.get(norm, "Entity") == "Entity":
+                    best_type[norm] = typ
         node_ids: dict[str, str] = {}
         for _eid, t in all_triples:
             for name in (t.source, t.target):
                 norm = " ".join(name.lower().split())
                 if norm not in node_ids:
-                    node_ids[norm] = self._upsert_node(group_id, name)
+                    node_ids[norm] = self._upsert_node(
+                        group_id, name,
+                        label=best_type.get(norm, "Entity"),
+                    )
 
         # within-batch + vs-store supersedence, newest wins
         seen_keys: dict[tuple, int] = {}
@@ -479,7 +502,9 @@ class KnowledgeGraphService:
                     "relation,fact,episode_id,row_id,valid_at,created)"
                     " VALUES (?,?,?,?,?,?,?,?,?,?)",
                     (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
-                     row_id, now, now),
+                     row_id,
+                     t.valid_at if getattr(t, "valid_at", None) else now,
+                     now),
                 )
         self._refresh_node_summaries(group_id, touched)
         return {"episode_ids": episode_ids,

@@ -98,9 +98,46 @@ VISION_CAPTION = (
 # -- knowledge graph extraction (kg/extract.py) --------------------------------
 
 KG_EXTRACTION = """Extract knowledge triples from the text as JSON:
-{{"triples": [{{"source": "...", "relation": "...", "target": "...",
-"fact": "one sentence"}}]}}
-Only include facts stated in the text.
+{{"triples": [{{"source": "...", "source_type": "...", "relation": "...",
+"target": "...", "target_type": "...", "fact": "one sentence",
+"valid_at": "YYYY-MM-DD or null"}}]}}
+
+Rules:
+- Only include facts stated in the text.
+- source_type/target_type is one of: Person, Organization, Location,
+  Product, Technology, Event, Concept.
+- valid_at is the date the fact BECAME TRUE, only if the text states it
+  (e.g. "founded in 2019" -> "2019-01-01"); otherwise null.
+
+Text:
+{text}
+
+JSON:"""
+
+# reflexion pass (ports the semantics of graphiti's
+# prompts/extract_nodes.py reflexion prompt): a second look for entities
+# the first extraction missed
+KG_REFLEXION = """The following entities were extracted from the text:
+{entities}
+
+List entities that are clearly mentioned in the text but MISSING from
+that list, as JSON: {{"missed": ["...", "..."]}}.  Respond with
+{{"missed": []}} if nothing important was missed.
+
+Text:
+{text}
+
+JSON:"""
+
+KG_EXTRACTION_FOCUSED = """Extract knowledge triples INVOLVING these
+entities from the text, as JSON:
+{{"triples": [{{"source": "...", "source_type": "...", "relation": "...",
+"target": "...", "target_type": "...", "fact": "one sentence",
+"valid_at": "YYYY-MM-DD or null"}}]}}
+Entity types: Person, Organization, Location, Product, Technology,
+Event, Concept.  Only facts stated in the text.
+
+Entities: {entities}
 
 Text:
 {text}

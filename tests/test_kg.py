@@ -201,3 +201,106 @@ def test_mmr_rerank_diversifies(kg):
     assert plain and mmr
     facts = [h["fact"] for h in mmr]
     assert len(set(facts)) == len(facts)
+
+
+def test_llm_extraction_types_and_event_time():
+    def fake(prompt: str):
+        return ('{"triples": [{"source": "Alice", "source_type": "Person", '
+                '"relation": "founded", "target": "Acme", '
+                '"target_type": "Organization", '
+                '"fact": "Alice founded Acme in 2019.", '
+                '"valid_at": "2019-03-01"}, '
+                '{"source": "X", "source_type": "Banana", '
+                '"relation": "r", "target": "Y", '
+                '"fact": "X r Y.", "valid_at": null}]}')
+
+    t = llm_extract(TEXT, fake, reflexion=False)
+    assert t[0].source_type == "Person"
+    assert t[0].target_type == "Organization"
+    import calendar
+
+    assert t[0].valid_at == calendar.timegm((2019, 3, 1, 0, 0, 0))
+    # invented type collapses to the untyped default; missing date -> None
+    assert t[1].source_type == "Entity" and t[1].valid_at is None
+
+
+def test_llm_extraction_reflexion_recovers_missed_entities():
+    calls = []
+
+    def fake(prompt: str):
+        calls.append(prompt)
+        if "MISSING" in prompt:
+            return '{"missed": ["Bob Smith"]}'
+        if "INVOLVING" in prompt:
+            return ('{"triples": [{"source": "Bob Smith", '
+                    '"source_type": "Person", "relation": "leads", '
+                    '"target": "hardware team", '
+                    '"fact": "Bob Smith leads the hardware team."}]}')
+        return ('{"triples": [{"source": "Alice", "relation": "founded", '
+                '"target": "Acme", "fact": "Alice founded Acme."}]}')
+
+    t = llm_extract(TEXT, fake)
+    assert len(calls) == 3  # extract + reflexion + focused re-extract
+    assert {x.source for x in t} == {"Alice", "Bob Smith"}
+    # focused triples dedupe against the first pass
+    t2 = llm_extract(TEXT, lambda prompt: (
+        '{"missed": []}' if "MISSING" in prompt else
+        '{"triples": [{"source": "A", "relation": "r", "target": "B", '
+        '"fact": "A r B."}]}'
+    ))
+    assert len(t2) == 1  # nothing missed -> no third call, no dupes
+
+
+def test_heuristic_types_and_event_time():
+    t = heuristic_extract(
+        "Dr Alice Johnson founded Acme Robotics Inc in 2019."
+    )
+    assert t
+    assert t[0].source_type == "Person"
+    assert t[0].target_type == "Organization"
+    assert t[0].valid_at is not None
+    t2 = heuristic_extract("Foo Widget uses Bar Gadget.")
+    assert t2 and t2[0].source_type == "Entity"
+    assert t2[0].valid_at is None
+
+
+def test_entity_types_land_on_nodes_and_upgrade(kg):
+    kg.add_episode("colT", "x", triples=[
+        Triple("Acme", "builds", "Robots", "Acme builds Robots."),
+    ])
+    rows = {r["name"]: r for r in kg.db.query(
+        "SELECT name, label FROM kg_node WHERE group_id='colT'")}
+    assert rows["Acme"]["label"] == "Entity"
+    # a later TYPED extraction upgrades the untyped node, never downgrades
+    kg.add_episode("colT", "y", triples=[
+        Triple("Acme", "acquired", "Zeta", "Acme acquired Zeta.",
+               source_type="Organization", target_type="Organization"),
+    ])
+    kg.add_episode("colT", "z", triples=[
+        Triple("Acme", "sells", "Robots", "Acme sells Robots.",
+               source_type="Entity"),
+    ])
+    rows = {r["name"]: r for r in kg.db.query(
+        "SELECT name, label FROM kg_node WHERE group_id='colT'")}
+    assert rows["Acme"]["label"] == "Organization"
+    assert rows["Zeta"]["label"] == "Organization"
+
+
+def test_event_time_valid_at_respected_by_as_of(kg):
+    import calendar
+
+    t2019 = float(calendar.timegm((2019, 1, 1, 0, 0, 0)))
+    kg.add_episode("colE", "x", triples=[
+        Triple("Alice", "founded", "Acme", "Alice founded Acme in 2019.",
+               valid_at=t2019),
+    ])
+    edge = kg.db.query_one(
+        "SELECT valid_at, created FROM kg_edge WHERE group_id='colE'")
+    assert edge["valid_at"] == t2019
+    assert edge["created"] > t2019  # transaction time stays now
+    # point-in-time: known by 2020, unknown in 2018
+    hits_2020 = kg.search("colE", "who founded acme", top_k=3,
+                          as_of=float(calendar.timegm((2020, 1, 1, 0, 0, 0))))
+    hits_2018 = kg.search("colE", "who founded acme", top_k=3,
+                          as_of=float(calendar.timegm((2018, 1, 1, 0, 0, 0))))
+    assert hits_2020 and not hits_2018
