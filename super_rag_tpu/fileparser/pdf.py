@@ -359,20 +359,87 @@ def _collect_runs(content: bytes,
     return runs
 
 
+def _lines_struct(runs: list[tuple[float, float, int, str]],
+                  y_tol: float = 2.0) -> list[list[tuple[float, str]]]:
+    """Group runs into lines by y (top first); each line keeps its runs
+    as (x, text) in x-then-stream order."""
+    runs = sorted(runs, key=lambda r: (-r[0], r[1], r[2]))
+    lines: list[list[tuple[float, str]]] = []
+    last_y: Optional[float] = None
+    for y, x, _seq, txt in runs:
+        if last_y is not None and abs(last_y - y) <= y_tol:
+            lines[-1].append((x, txt))
+        else:
+            lines.append([(x, txt)])
+            last_y = y
+    return lines
+
+
+def _shared_cols(a: list[tuple[float, str]], b: list[tuple[float, str]],
+                 x_tol: float) -> int:
+    return sum(1 for xa, _ in a
+               if any(abs(xa - xb) <= x_tol for xb, _ in b))
+
+
+def _render_lines(lines: list[list[tuple[float, str]]],
+                  x_tol: float = 4.0) -> list[str]:
+    """Emit lines as text, detecting grid-aligned blocks as markdown
+    tables: >=2 consecutive lines whose runs start at >=2 shared x
+    positions are a table (the layout signal MinerU reads from cell
+    boxes; reference mineru_parser.py renders tables to markdown the
+    same way).  Inline font-change runs don't trigger it — accidental
+    x agreement across consecutive lines at >=2 positions is what a
+    ruled grid produces, not prose."""
+    out: list[str] = []
+    block: list[list[tuple[float, str]]] = []
+
+    def flush() -> None:
+        if not block:
+            return
+        if len(block) >= 2:
+            # cluster x starts into columns
+            cols: list[float] = []
+            for ln in block:
+                for x, _ in ln:
+                    if not any(abs(x - c) <= x_tol for c in cols):
+                        cols.append(x)
+            cols.sort()
+            rows = []
+            for ln in block:
+                cells = [""] * len(cols)
+                for x, txt in ln:
+                    ci = min(range(len(cols)), key=lambda i: abs(cols[i] - x))
+                    cells[ci] = (cells[ci] + " " + txt).strip()
+                rows.append([c.replace("|", "\\|") for c in cells])
+            out.append("")
+            out.append("| " + " | ".join(rows[0]) + " |")
+            out.append("|" + "|".join([" --- "] * len(cols)) + "|")
+            for r in rows[1:]:
+                out.append("| " + " | ".join(r) + " |")
+            out.append("")
+        else:
+            for ln in block:
+                out.append(" ".join(t for _x, t in ln if t).strip())
+        block.clear()
+
+    for ln in lines:
+        multi = len(ln) >= 2
+        if multi and block and _shared_cols(block[-1], ln, x_tol) >= 2:
+            block.append(ln)
+        elif multi:
+            flush()
+            block.append(ln)
+        else:
+            flush()  # a single-run line ends any pending grid
+            out.append(" ".join(t for _x, t in ln if t).strip())
+    flush()
+    return out
+
+
 def _lines_text(runs: list[tuple[float, float, int, str]],
                 y_tol: float = 2.0) -> list[str]:
-    """Group runs into lines by y (top first), x then stream order
-    within a line."""
-    runs = sorted(runs, key=lambda r: (-r[0], r[1], r[2]))
-    lines: list[list[str]] = []
-    last_y: Optional[float] = None
-    for y, _x, _seq, txt in runs:
-        if last_y is not None and abs(last_y - y) <= y_tol:
-            lines[-1].append(txt)
-        else:
-            lines.append([txt])
-            last_y = y
-    return [" ".join(t for t in texts if t).strip() for texts in lines]
+    """Reading-order lines with grid-aligned blocks as markdown tables."""
+    return _render_lines(_lines_struct(runs, y_tol))
 
 
 def _assemble_runs(runs: list[tuple[float, float, int, str]],
@@ -385,8 +452,16 @@ def _assemble_runs(runs: list[tuple[float, float, int, str]],
     if not runs:
         return ""
     xs = sorted({round(x, 1) for _y, x, _s, _t in runs})
+    # a >=3-column grid (consecutive lines sharing >=3 run x-positions)
+    # is a TABLE spanning the page, not a two-column layout — the
+    # column-split heuristic would cleave its rightmost column off
+    struct = _lines_struct(runs)
+    grid3 = any(
+        len(a) >= 3 and len(b) >= 3 and _shared_cols(a, b, 4.0) >= 3
+        for a, b in zip(struct, struct[1:])
+    )
     column_split = None
-    if len(runs) >= 6 and len(xs) >= 2:
+    if not grid3 and len(runs) >= 6 and len(xs) >= 2:
         gaps = [(xs[i + 1] - xs[i], (xs[i] + xs[i + 1]) / 2)
                 for i in range(len(xs) - 1)]
         gap, mid = max(gaps)

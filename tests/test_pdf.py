@@ -250,3 +250,48 @@ def test_same_line_runs_join_in_x_order():
            b"BT 1 0 0 1 72 700 Tm (Hello) Tj ET")
     text = extract_pdf_text(make_pdf(ops))
     assert "Hello world" in text
+
+
+def test_grid_aligned_rows_become_markdown_table():
+    """Consecutive lines whose runs start at shared x positions are a
+    table; the assembly emits them as a markdown grid (the layout signal
+    the reference gets from MinerU table models)."""
+    cells = [
+        (72, 700, "Name"), (220, 700, "Role"), (400, 700, "Team"),
+        (72, 685, "Alice"), (220, 685, "Engineer"), (400, 685, "TPU"),
+        (72, 670, "Bob"), (220, 670, "Manager"), (400, 670, "Infra"),
+    ]
+    ops = [f"BT 1 0 0 1 {x} {y} Tm ({t}) Tj ET".encode()
+           for x, y, t in cells]
+    # surrounding prose must stay plain text
+    ops.insert(0, b"BT 1 0 0 1 72 730 Tm (Team roster:) Tj ET")
+    ops.append(b"BT 1 0 0 1 72 640 Tm (End of roster.) Tj ET")
+    text = extract_pdf_text(make_pdf(b" ".join(ops)))
+    assert "| Name | Role | Team |" in text, text
+    assert "| --- | --- | --- |" in text
+    assert "| Alice | Engineer | TPU |" in text
+    assert "| Bob | Manager | Infra |" in text
+    assert "Team roster:" in text and "End of roster." in text
+    assert "| Team roster" not in text  # prose not swallowed by the grid
+
+
+def test_lone_multi_run_line_stays_prose():
+    ops = (b"BT 1 0 0 1 72 700 Tm (Hello) Tj ET "
+           b"BT 1 0 0 1 200 700 Tm (world) Tj ET "
+           b"BT 1 0 0 1 72 685 Tm (Just a paragraph line.) Tj ET")
+    text = extract_pdf_text(make_pdf(ops))
+    assert "|" not in text
+    assert "Hello world" in text
+
+
+def test_two_col_table_with_narrow_gap_is_table_not_columns():
+    cells = [
+        (72, 700, "Key"), (180, 700, "Value"),
+        (72, 685, "qps"), (180, 685, "21000"),
+        (72, 670, "recall"), (180, 670, "0.95"),
+    ]
+    ops = [f"BT 1 0 0 1 {x} {y} Tm ({t}) Tj ET".encode()
+           for x, y, t in cells]
+    text = extract_pdf_text(make_pdf(b" ".join(ops)))
+    assert "| Key | Value |" in text, text
+    assert "| recall | 0.95 |" in text
