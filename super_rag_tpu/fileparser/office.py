@@ -36,6 +36,18 @@ def _open_zip(path: str, data: bytes | None) -> zipfile.ZipFile:
     return zipfile.ZipFile(io.BytesIO(data))
 
 
+def _md_table(rows: list[list[str]]) -> str:
+    """Rows -> a markdown grid (the shape the reference's Docling path
+    produces for tables; ragged rows pad to the widest)."""
+    width = max(len(r) for r in rows)
+    cells = [[c.replace("|", "\\|") for c in r] + [""] * (width - len(r))
+             for r in rows]
+    out = ["| " + " | ".join(cells[0]) + " |",
+           "|" + "|".join([" --- "] * width) + "|"]
+    out += ["| " + " | ".join(r) + " |" for r in cells[1:]]
+    return "\n".join(out)
+
+
 class DocxParser(BaseParser):
     supported_extensions = (".docx",)
 
@@ -43,12 +55,31 @@ class DocxParser(BaseParser):
         with _open_zip(path, data) as z:
             xml = z.read("word/document.xml")
         root = ElementTree.fromstring(xml)
+        body = root.find(f"{_W}body")
         parts: list[Part] = []
-        for p in root.iter(f"{_W}p"):
-            text = "".join(t.text or "" for t in p.iter(f"{_W}t")).strip()
+        # walk body children IN ORDER: a w:tbl keeps its row structure
+        # (markdown grid) instead of flattening cell paragraphs into
+        # free-floating text
+        for el in (body if body is not None else root):
+            if el.tag == f"{_W}tbl":
+                rows = []
+                for tr in el.iter(f"{_W}tr"):
+                    row = []
+                    for tc in tr.iter(f"{_W}tc"):
+                        row.append(" ".join(
+                            t.text or "" for t in tc.iter(f"{_W}t")
+                        ).strip())
+                    if any(row):
+                        rows.append(row)
+                if rows:
+                    parts.append(TextPart(content=_md_table(rows)))
+                continue
+            if el.tag != f"{_W}p":
+                continue
+            text = "".join(t.text or "" for t in el.iter(f"{_W}t")).strip()
             if not text:
                 continue
-            style = p.find(f"{_W}pPr/{_W}pStyle")
+            style = el.find(f"{_W}pPr/{_W}pStyle")
             level = None
             if style is not None:
                 m = _HEADING_RE.search(style.get(f"{_W}val", ""))
@@ -80,10 +111,14 @@ class XlsxParser(BaseParser):
             )
             for idx, name in enumerate(sheets, 1):
                 root = ElementTree.fromstring(z.read(name))
-                lines = []
+                rows: list[list[str]] = []
                 for row in root.iter(f"{_S}row"):
                     cells = []
                     for c in row.iter(f"{_S}c"):
+                        if c.get("t") == "inlineStr":
+                            cells.append("".join(
+                                t.text or "" for t in c.iter(f"{_S}t")))
+                            continue
                         v = c.find(f"{_S}v")
                         if v is None or v.text is None:
                             continue
@@ -93,10 +128,12 @@ class XlsxParser(BaseParser):
                         else:
                             cells.append(v.text)
                     if cells:
-                        lines.append("\t".join(cells))
-                if lines:
+                        rows.append(cells)
+                if rows:
                     parts.append(TitlePart(content=f"Sheet {idx}", level=2))
-                    parts.append(TextPart(content="\n".join(lines)))
+                    # a sheet IS a table: keep the grid (markdown), the
+                    # shape tab-joined lines lose
+                    parts.append(TextPart(content=_md_table(rows)))
         if not parts:
             raise ValueError("xlsx contains no extractable text")
         return parts

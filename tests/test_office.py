@@ -43,7 +43,32 @@ def test_xlsx():
                       "xl/worksheets/sheet1.xml": sheet})
     parts = DocParser().parse_file("t.xlsx", data)
     text = "\n".join(p.content for p in parts)
-    assert "alpha\t42" in text and "beta" in text
+    # sheets keep their grid: markdown table, ragged rows padded
+    assert "| alpha | 42 |" in text, text
+    assert "| --- | --- |" in text
+    assert "| beta |  |" in text
+
+
+def test_docx_table_keeps_grid():
+    doc = f"""<?xml version="1.0"?>
+<w:document xmlns:w="{W}"><w:body>
+  <w:p><w:r><w:t>Before table.</w:t></w:r></w:p>
+  <w:tbl>
+    <w:tr><w:tc><w:p><w:r><w:t>Name</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>Role</w:t></w:r></w:p></w:tc></w:tr>
+    <w:tr><w:tc><w:p><w:r><w:t>Alice</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>Eng|ineer</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+  <w:p><w:r><w:t>After table.</w:t></w:r></w:p>
+</w:body></w:document>"""
+    data = zip_bytes({"word/document.xml": doc})
+    parts = DocParser().parse_file("t.docx", data)
+    text = "\n".join(p.content for p in parts)
+    assert text.index("Before table.") < text.index("| Name | Role |")
+    assert "| Alice | Eng\\|ineer |" in text  # pipes escaped
+    assert text.index("| Alice") < text.index("After table.")
+    # cell paragraphs are NOT duplicated as free-floating text
+    assert text.count("Alice") == 1
 
 
 def test_pptx():
