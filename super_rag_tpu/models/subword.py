@@ -164,6 +164,21 @@ class BPETokenizer:
         self._id = {t: NUM_SPECIAL + i for i, t in enumerate(self.tokens)}
         self._rank = {m: i for i, m in enumerate(self.merges)}
         self._cache: dict[str, list[int]] = {}
+        self._native = None  # lazily-created native encoder (or False)
+
+    # the native handle is per-process state: drop it when the tokenizer
+    # crosses a pickle boundary (process ingest workers) and rebuild lazily
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_native"] = None
+        return state
+
+    def _native_encoder(self):
+        if self._native is None:
+            from super_rag_tpu.tokenize.native_bpe import NativeBPE
+
+            self._native = NativeBPE.create(self.tokens, self.merges) or False
+        return self._native or None
 
     @property
     def vocab_size(self) -> int:
@@ -204,6 +219,9 @@ class BPETokenizer:
         return ids
 
     def _text_ids(self, text: str) -> list[int]:
+        native = self._native_encoder()
+        if native is not None:
+            return native.encode(text).tolist()
         out: list[int] = []
         for w in _words(text):
             out.extend(self._encode_word(w))
