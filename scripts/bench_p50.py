@@ -158,7 +158,7 @@ def main() -> None:
     rtt_ms = sorted(rtt_probe)[len(rtt_probe) // 2] * 1e3
 
     async def concurrent(n_total=512, in_flight=64):
-        batcher = QueryBatcher(max_batch=64, max_wait_ms=2.0)
+        batcher = QueryBatcher(max_batch=64, max_wait_ms=0.0)
         lat: list[float] = []
         sem = asyncio.Semaphore(in_flight)
 

@@ -85,7 +85,7 @@ class Settings:
     # serving micro-batcher: concurrent same-parameter searches coalesce
     # into one device dispatch within this window (engine/batcher.py)
     batch_window_ms: float = field(
-        default_factory=lambda: _env_float("BATCH_WINDOW_MS", 3.0)
+        default_factory=lambda: _env_float("BATCH_WINDOW_MS", 0.0)
     )
     batch_max: int = field(default_factory=lambda: _env_int("BATCH_MAX", 64))
 

@@ -40,7 +40,7 @@ class QueryBatcher:
     bounds latency when the worker is idle.
     """
 
-    def __init__(self, max_batch: int = 64, max_wait_ms: float = 3.0):
+    def __init__(self, max_batch: int = 64, max_wait_ms: float = 0.0):
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._pending: dict[tuple, list[tuple[str, asyncio.Future]]] = {}
@@ -61,7 +61,12 @@ class QueryBatcher:
         bucket.append((query, fut))
         self._engines[key] = (engine, params)
         if not self._busy:
-            if len(bucket) >= self.max_batch:
+            if len(bucket) >= self.max_batch or self.max_wait_ms <= 0:
+                # continuous batching: an idle worker dispatches NOW —
+                # coalescing comes from the busy-drain (arrivals during
+                # the device call batch together), not from delaying the
+                # first request.  A positive window trades +window p50
+                # on cold queries for bigger idle->burst first batches.
                 self._fire(key)
             elif len(bucket) == 1:
                 # first request while idle opens the latency window

@@ -162,3 +162,39 @@ def test_arrivals_during_busy_drain_as_one_batch():
     assert len(results) == 11
     assert len(slow_calls) == 2  # 1 (busy) + 1 drained batch of 10
     assert sorted(len(c) for c in slow_calls) == [1, 10]
+
+
+def test_zero_window_dispatches_immediately_and_coalesces_under_load():
+    """Default continuous batching: an idle worker fires NOW (no +window
+    on cold-query p50); arrivals during the device call still coalesce
+    via the busy-drain."""
+    import threading
+
+    release = threading.Event()
+    calls = []
+
+    class SlowEngine:
+        def search_batch(self, queries, **params):
+            calls.append(list(queries))
+            if len(calls) == 1:
+                release.wait(5.0)  # hold the worker busy for the burst
+            return [[q] for q in queries]
+
+    async def main():
+        b = QueryBatcher(max_batch=64, max_wait_ms=0.0)
+        eng = SlowEngine()
+        first = asyncio.create_task(b.search(eng, "q0", top_k=1))
+        await asyncio.sleep(0.05)  # q0 dispatched alone, worker busy
+        assert calls == [["q0"]]
+        burst = [asyncio.create_task(b.search(eng, f"q{i}", top_k=1))
+                 for i in range(1, 9)]
+        await asyncio.sleep(0.05)
+        release.set()
+        res = await asyncio.gather(first, *burst)
+        assert [r[0] for r in res] == [f"q{i}" for i in range(9)]
+        # the burst coalesced into ONE follow-up dispatch
+        assert len(calls) == 2 and sorted(calls[1]) == [
+            f"q{i}" for i in range(1, 9)
+        ]
+
+    asyncio.run(main())
