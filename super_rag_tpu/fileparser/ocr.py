@@ -7,10 +7,15 @@ in this image, so OCR is its own pluggable seam here:
   TesseractOCR   shells out to the `tesseract` binary when installed
                  (stdin image -> stdout text; no python deps)
   PytesseractOCR uses the pytesseract package when installed
+  GlyphOCR       offline glyph-template recogniser (fileparser/
+                 glyph_ocr.py) — PIL+numpy only, always available in
+                 this image; handles clean machine-rendered pages
 
 ``default_ocr()`` probes the chain and returns the first available
-engine, or None — the scanned-PDF path then falls back to the vision
-caption ladder (index/vision.py), which never needed OCR.
+engine.  With GlyphOCR in the chain the scanned-PDF path now has a
+real offline recourse; the vision caption ladder (index/vision.py)
+still covers pages the template engine cannot read (handwriting,
+noisy photographs).
 """
 
 from __future__ import annotations
@@ -78,6 +83,10 @@ def default_ocr() -> Optional[OCREngine]:
         return TesseractOCR()
     if PytesseractOCR.available():
         return PytesseractOCR()
+    from super_rag_tpu.fileparser.glyph_ocr import GlyphOCR
+
+    if GlyphOCR.available():
+        return GlyphOCR()
     return None
 
 

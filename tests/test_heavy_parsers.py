@@ -110,10 +110,14 @@ def test_mineru_missing_output_raises(fake_mineru, monkeypatch):
 # -- OCR seam -----------------------------------------------------------------
 
 
-def test_no_ocr_engine_on_this_image():
+def test_default_ocr_chain_on_this_image():
+    # no tesseract binary here, so the chain lands on the offline
+    # glyph-template engine (fileparser/glyph_ocr.py)
     assert not TesseractOCR.available()
-    assert default_ocr() is None
-    assert ocr_images([("image/png", b"x")]) == []
+    engine = default_ocr()
+    assert engine is not None and engine.name == "glyph-template"
+    # unreadable bytes must not kill the document, just skip the page
+    assert ocr_images([("image/png", b"x")]) == [""]
 
 
 def test_ocr_images_with_stub_engine():
