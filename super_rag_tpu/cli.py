@@ -18,9 +18,14 @@ import sys
 
 
 def _ctx():
+    from super_rag_tpu.app import _apply_platform_override
     from super_rag_tpu.service.context import build_context
     from super_rag_tpu.utils.jaxcache import enable_compilation_cache
 
+    # SUPER_RAG_FORCE_CPU must work for one-shot CLI commands too: an
+    # ingest/search run that silently queues for the TPU claim can hold
+    # it forever once the relay frees (CLAUDE.md round-4 addendum)
+    _apply_platform_override()
     enable_compilation_cache()
     return build_context()
 
