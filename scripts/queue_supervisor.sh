@@ -1,0 +1,22 @@
+#!/bin/bash
+# Keeps the round-4 TPU queue alive for the whole session.
+#
+# run_r4_queue.sh gives up if the claim stays wedged for its full probe
+# horizon (120 probes x 4 min = 8 h).  The claim can recover at any
+# moment (the wedge is external to this VM), so losing the queue means
+# losing the round's TPU evidence.  This supervisor relaunches the queue
+# whenever its pid vanishes.  PID-file based — never kills or matches by
+# process name.
+#
+# Stop: touch /tmp/r4_supervisor_stop
+cd /root/repo
+while true; do
+  [ -f /tmp/r4_supervisor_stop ] && { echo "supervisor stop $(date +%H:%M:%S)"; exit 0; }
+  pid=$(cat /tmp/r4_queue.pid 2>/dev/null)
+  if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
+    echo "supervisor: relaunching queue $(date +%H:%M:%S)"
+    nohup bash scripts/run_r4_queue.sh >> /tmp/r4_queue.log 2>&1 &
+    echo $! > /tmp/r4_queue.pid
+  fi
+  sleep 300
+done
