@@ -18,6 +18,7 @@ from super_rag_tpu.fileparser.markdown import MarkdownParser, TextParser
 
 def _optional_parsers() -> list[BaseParser]:
     from super_rag_tpu.fileparser.heavy import heavy_parsers
+    from super_rag_tpu.fileparser.image import ImageFileParser
     from super_rag_tpu.fileparser.office import DocxParser, PptxParser, XlsxParser
     from super_rag_tpu.fileparser.olebinary import LegacyDocParser, LegacyPptParser
     from super_rag_tpu.fileparser.pdf import PdfParser
@@ -26,7 +27,8 @@ def _optional_parsers() -> list[BaseParser]:
     # mirroring the reference's priority (file_parser.py:47-116); the
     # built-ins below remain the fallback chain
     return [*heavy_parsers(), PdfParser(), DocxParser(), XlsxParser(),
-            PptxParser(), LegacyDocParser(), LegacyPptParser()]
+            PptxParser(), LegacyDocParser(), LegacyPptParser(),
+            ImageFileParser()]
 
 
 class DocParser:

@@ -141,6 +141,40 @@ def test_default_ocr_resolves_to_glyph_engine():
         assert engine.name == "glyph-template"
 
 
+def test_image_file_upload_yields_searchable_text():
+    """Standalone image documents (reference capability:
+    mineru_parser.py:13-19 extension list) parse to OCR text + asset."""
+    from super_rag_tpu.fileparser.base import (
+        AssetBinPart, ImagePart, TextPart,
+    )
+    from super_rag_tpu.fileparser.parser import DocParser
+
+    png = _render("Quarterly revenue grew twelve percent",
+                  "DejaVuSans.ttf", 32)
+    parts = DocParser().parse_file("screenshot.png", png)
+    texts = [p for p in parts if isinstance(p, TextPart)]
+    assert texts and "revenue" in texts[0].content
+    assert any(isinstance(p, AssetBinPart) for p in parts)
+    assert any(isinstance(p, ImagePart) for p in parts)
+
+
+def test_photo_image_attaches_asset_without_noise_text():
+    from PIL import Image
+
+    from super_rag_tpu.fileparser.base import AssetBinPart, TextPart
+    from super_rag_tpu.fileparser.parser import DocParser
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG")
+    parts = DocParser().parse_file("photo.jpg", buf.getvalue())
+    texts = [p for p in parts if isinstance(p, TextPart)]
+    # random noise must not become indexed "text"
+    assert all(len(t.content.replace(" ", "")) < 8 for t in texts)
+    assert any(isinstance(p, AssetBinPart) for p in parts)
+
+
 def test_scanned_pdf_extracts_text_offline(engine):
     """A DCT (JPEG) page image inside a text-free PDF now yields real
     text via the offline engine (reference capability:
