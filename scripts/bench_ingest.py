@@ -17,9 +17,25 @@ Run on TPU: python scripts/bench_ingest.py
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+RECORDS: list[dict] = []
+
+
+def emit(rec: dict) -> None:
+    """Print the record AND persist incrementally (TPU runs only: a CPU
+    sanity run must not clobber the measurement record)."""
+    RECORDS.append(rec)
+    print(json.dumps(rec))
+    import jax
+
+    if jax.default_backend() != "cpu":
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "BENCH_INGEST.json"), "w") as f:
+            json.dump(RECORDS, f, indent=1)
 
 
 def main() -> None:
@@ -82,14 +98,14 @@ def main() -> None:
 
     host_dps = run(device_path=False)
     dev_dps = run(device_path=True)
-    print(json.dumps({
+    emit({
         "metric": "ingest_docs_per_s",
         "encoder": f"{cfg.num_layers}L-{cfg.hidden_dim}h->{dim}d int8 index",
         "batch": batch,
         "host_sync_docs_per_s": round(host_dps, 1),
         "device_path_docs_per_s": round(dev_dps, 1),
         "speedup": round(dev_dps / host_dps, 2),
-    }))
+    })
 
 
 def scheduler_pipeline_bench() -> None:
@@ -156,13 +172,13 @@ def scheduler_pipeline_bench() -> None:
 
     serial = run(0)
     piped = run(4)
-    print(json.dumps({
+    emit({
         "metric": "scheduler_ingest_docs_per_s",
         "docs": n_docs,
         "serial_docs_per_s": round(serial, 2),
         "pipelined_docs_per_s": round(piped, 2),
         "speedup": round(piped / serial, 2),
-    }))
+    })
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@
 # records that WERE produced.
 cd /root/repo
 for f in BENCH_10M.json BENCH_CONFIG.json SEMANTIC_EVAL.json \
-         BENCH_P50_1M.json BENCH_CHURN_1M.json; do
+         BENCH_P50_1M.json BENCH_CHURN_1M.json BENCH_INGEST.json; do
   [ -e "$f" ] && git add "$f"
 done
 [ -d checkpoints ] && git add checkpoints

@@ -36,6 +36,17 @@ def _open_zip(path: str, data: bytes | None) -> zipfile.ZipFile:
     return zipfile.ZipFile(io.BytesIO(data))
 
 
+def _col_index(ref: str) -> int | None:
+    """'BC23' -> 54 (0-based column); None when the ref has no letters."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1 if n else None
+
+
 def _md_table(rows: list[list[str]]) -> str:
     """Rows -> a markdown grid (the shape the reference's Docling path
     produces for tables; ragged rows pad to the widest)."""
@@ -48,6 +59,18 @@ def _md_table(rows: list[list[str]]) -> str:
     return "\n".join(out)
 
 
+def _iter_blocks(el):
+    """Yield w:p / w:tbl descendants in document order, recursing through
+    container elements (w:sdt content controls, mc:AlternateContent, text
+    boxes) WITHOUT descending into the blocks themselves — a w:tbl's cell
+    paragraphs belong to the table, not the body stream."""
+    for child in el:
+        if child.tag in (f"{_W}p", f"{_W}tbl"):
+            yield child
+        else:
+            yield from _iter_blocks(child)
+
+
 class DocxParser(BaseParser):
     supported_extensions = (".docx",)
 
@@ -57,10 +80,10 @@ class DocxParser(BaseParser):
         root = ElementTree.fromstring(xml)
         body = root.find(f"{_W}body")
         parts: list[Part] = []
-        # walk body children IN ORDER: a w:tbl keeps its row structure
+        # walk block items IN ORDER: a w:tbl keeps its row structure
         # (markdown grid) instead of flattening cell paragraphs into
         # free-floating text
-        for el in (body if body is not None else root):
+        for el in _iter_blocks(body if body is not None else root):
             if el.tag == f"{_W}tbl":
                 rows = []
                 for tr in el.iter(f"{_W}tr"):
@@ -113,21 +136,33 @@ class XlsxParser(BaseParser):
                 root = ElementTree.fromstring(z.read(name))
                 rows: list[list[str]] = []
                 for row in root.iter(f"{_S}row"):
-                    cells = []
+                    cells: list[str] = []
+                    last = -1
                     for c in row.iter(f"{_S}c"):
+                        # place by the r="B2" cell reference: sparse rows
+                        # omit empty cells, so document order alone shifts
+                        # values into the wrong columns
+                        ref = c.get("r", "")
+                        col = _col_index(ref)
+                        if col is None:
+                            col = last + 1
+                        last = col
                         if c.get("t") == "inlineStr":
-                            cells.append("".join(
-                                t.text or "" for t in c.iter(f"{_S}t")))
-                            continue
-                        v = c.find(f"{_S}v")
-                        if v is None or v.text is None:
-                            continue
-                        if c.get("t") == "s":
-                            i = int(v.text)
-                            cells.append(shared[i] if i < len(shared) else "")
+                            val = "".join(
+                                t.text or "" for t in c.iter(f"{_S}t"))
                         else:
-                            cells.append(v.text)
-                    if cells:
+                            v = c.find(f"{_S}v")
+                            if v is None or v.text is None:
+                                continue
+                            if c.get("t") == "s":
+                                i = int(v.text)
+                                val = shared[i] if i < len(shared) else ""
+                            else:
+                                val = v.text
+                        while len(cells) <= col:
+                            cells.append("")
+                        cells[col] = val
+                    if any(c != "" for c in cells):
                         rows.append(cells)
                 if rows:
                     parts.append(TitlePart(content=f"Sheet {idx}", level=2))

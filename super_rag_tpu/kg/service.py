@@ -310,13 +310,15 @@ class KnowledgeGraphService:
         edges of functional relations and whatever the LLM tier flags —
         and only then does the new fact join the device index."""
         pair = self.db.query(
-            "SELECT id, fact FROM kg_edge WHERE group_id=? AND source_id=?"
-            " AND target_id=? AND relation=? AND invalid_at IS NULL",
+            "SELECT id, fact, valid_at FROM kg_edge WHERE group_id=?"
+            " AND source_id=? AND target_id=? AND relation=?"
+            " AND invalid_at IS NULL",
             (group_id, sid, tid, t.relation),
         )
         other = self.db.query(
-            "SELECT id, fact FROM kg_edge WHERE group_id=? AND source_id=?"
-            " AND relation=? AND target_id!=? AND invalid_at IS NULL",
+            "SELECT id, fact, valid_at FROM kg_edge WHERE group_id=?"
+            " AND source_id=? AND relation=? AND target_id!=?"
+            " AND invalid_at IS NULL",
             (group_id, sid, t.relation, tid),
         )
         cand = [(i, r["fact"]) for i, r in enumerate(pair)]
@@ -325,31 +327,41 @@ class KnowledgeGraphService:
         by_idx.update({len(pair) + i: r for i, r in enumerate(other)})
         res = resolve_edge(t.fact, t.relation, cand, cand_other,
                            self.completion)
-        # invalidate every contradicted fact first, then: a PURE
-        # duplicate (not also contradicted) means the live graph already
-        # states this fact — skip the insert (idempotent re-index).  A
-        # fact that is duplicate AND contradicted is a restate-and-update
-        # (the prompt's own case): the old edge was just superseded, so
-        # the new one must land.
-        for idx in res.contradictions:
-            self.db.execute(
-                "UPDATE kg_edge SET invalid_at=? WHERE id=?",
-                (now, by_idx[idx]["id"]),
-            )
-        if set(res.duplicates) - set(res.contradictions):
-            return None
-        edge_id = new_id("kged")
-        rows = eng.ingest([t.fact], metadata=[{"edge_id": edge_id}])
         # bi-temporal: valid_at is EVENT time when the text states one
         # ("founded in 2019"), transaction time otherwise; created is
         # always transaction time (graphiti extract_edge_dates semantics)
         valid_at = t.valid_at if getattr(t, "valid_at", None) else now
+        # EVENT-TIME contradiction order (graphiti edge_operations
+        # resolve_edge_contradictions): only facts whose event time is
+        # <= the new fact's are superseded BY it; a contradicting fact
+        # with a LATER event time instead pre-invalidates the new one —
+        # out-of-order ingestion must not resurrect stale facts.
+        new_invalid: Optional[float] = None
+        for idx in res.contradictions:
+            old = by_idx[idx]
+            if old["valid_at"] <= valid_at:
+                self.db.execute(
+                    "UPDATE kg_edge SET invalid_at=? WHERE id=?",
+                    (max(valid_at, old["valid_at"]), old["id"]),
+                )
+            else:
+                new_invalid = (old["valid_at"] if new_invalid is None
+                               else min(new_invalid, old["valid_at"]))
+        # a PURE duplicate (not also contradicted) means the live graph
+        # already states this fact — skip the insert (idempotent
+        # re-index).  A fact that is duplicate AND contradicted is a
+        # restate-and-update (the prompt's own case): the old edge was
+        # just superseded, so the new one must land.
+        if set(res.duplicates) - set(res.contradictions):
+            return None
+        edge_id = new_id("kged")
+        rows = eng.ingest([t.fact], metadata=[{"edge_id": edge_id}])
         self.db.execute(
             "INSERT INTO kg_edge (id,group_id,source_id,target_id,relation,"
-            "fact,episode_id,row_id,valid_at,created)"
-            " VALUES (?,?,?,?,?,?,?,?,?,?)",
+            "fact,episode_id,row_id,valid_at,invalid_at,created)"
+            " VALUES (?,?,?,?,?,?,?,?,?,?,?)",
             (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
-             rows[0], valid_at, now),
+             rows[0], valid_at, new_invalid, now),
         )
         return edge_id
 
@@ -437,20 +449,20 @@ class KnowledgeGraphService:
         # so far (post node-dedupe keys can collide even after the
         # text-norm pre-pass above) — a later batch fact supersedes an
         # earlier one exactly like a later episode would
-        edge_rows: list = []  # (edge_id, sid, tid, Triple, eid) | None
+        edge_rows: list = []  # (edge_id, sid, tid, Triple, eid, valid_at, invalid_at) | None
         touched: set[str] = set()
         for eid, t in kept:
             sid = node_ids[" ".join(t.source.lower().split())]
             tid = node_ids[" ".join(t.target.lower().split())]
             pair = self.db.query(
-                "SELECT id, fact FROM kg_edge WHERE group_id=? AND"
-                " source_id=? AND target_id=? AND relation=? AND"
+                "SELECT id, fact, valid_at FROM kg_edge WHERE group_id=?"
+                " AND source_id=? AND target_id=? AND relation=? AND"
                 " invalid_at IS NULL",
                 (group_id, sid, tid, t.relation),
             )
             other = self.db.query(
-                "SELECT id, fact FROM kg_edge WHERE group_id=? AND"
-                " source_id=? AND relation=? AND target_id!=? AND"
+                "SELECT id, fact, valid_at FROM kg_edge WHERE group_id=?"
+                " AND source_id=? AND relation=? AND target_id!=? AND"
                 " invalid_at IS NULL",
                 (group_id, sid, t.relation, tid),
             )
@@ -463,32 +475,40 @@ class KnowledgeGraphService:
             src: dict[int, tuple] = {}
             cand, cand_other = [], []
             for r in pair:
-                src[len(src)] = ("db", r["id"])
+                src[len(src)] = ("db", r["id"], r["valid_at"])
                 cand.append((len(src) - 1, r["fact"]))
             for j in b_pair:
-                src[len(src)] = ("batch", j)
+                src[len(src)] = ("batch", j, edge_rows[j][5])
                 cand.append((len(src) - 1, edge_rows[j][3].fact))
             for r in other:
-                src[len(src)] = ("db", r["id"])
+                src[len(src)] = ("db", r["id"], r["valid_at"])
                 cand_other.append((len(src) - 1, r["fact"]))
             for j in b_other:
-                src[len(src)] = ("batch", j)
+                src[len(src)] = ("batch", j, edge_rows[j][5])
                 cand_other.append((len(src) - 1, edge_rows[j][3].fact))
             res = resolve_edge(t.fact, t.relation, cand, cand_other,
                                self.completion)
+            new_valid = t.valid_at if getattr(t, "valid_at", None) else now
+            new_invalid = None
             for idx in res.contradictions:
-                kind, ref = src[idx]
-                if kind == "db":
+                kind, ref, old_valid = src[idx]
+                if old_valid > new_valid:
+                    # contradicting fact has a LATER event time: it stays
+                    # live; the new (older) fact arrives pre-superseded
+                    new_invalid = (old_valid if new_invalid is None
+                                   else min(new_invalid, old_valid))
+                elif kind == "db":
                     self.db.execute(
                         "UPDATE kg_edge SET invalid_at=? WHERE id=?",
-                        (now, ref),
+                        (max(new_valid, old_valid), ref),
                     )
                 else:  # superseded within the batch: never inserted
                     edge_rows[ref] = None
             if set(res.duplicates) - set(res.contradictions):
                 continue  # identical live fact: idempotent re-index
             touched.update((sid, tid))
-            edge_rows.append((new_id("kged"), sid, tid, t, eid))
+            edge_rows.append(
+                (new_id("kged"), sid, tid, t, eid, new_valid, new_invalid))
         edge_rows = [e for e in edge_rows if e is not None]
 
         if edge_rows:
@@ -496,15 +516,14 @@ class KnowledgeGraphService:
                 [e[3].fact for e in edge_rows],
                 metadata=[{"edge_id": e[0]} for e in edge_rows],
             )
-            for (edge_id, sid, tid, t, eid), row_id in zip(edge_rows, rows):
+            for (edge_id, sid, tid, t, eid, v_at, inv_at), row_id in zip(
+                    edge_rows, rows):
                 self.db.execute(
                     "INSERT INTO kg_edge (id,group_id,source_id,target_id,"
-                    "relation,fact,episode_id,row_id,valid_at,created)"
-                    " VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    "relation,fact,episode_id,row_id,valid_at,invalid_at,"
+                    "created) VALUES (?,?,?,?,?,?,?,?,?,?,?)",
                     (edge_id, group_id, sid, tid, t.relation, t.fact, eid,
-                     row_id,
-                     t.valid_at if getattr(t, "valid_at", None) else now,
-                     now),
+                     row_id, v_at, inv_at, now),
                 )
         self._refresh_node_summaries(group_id, touched)
         return {"episode_ids": episode_ids,

@@ -31,6 +31,11 @@ class ModelResolver:
     def __init__(self, db: Database):
         self.db = db
         self._dim_cache: dict[tuple, int] = {}
+        # constructed clients keyed on the RESOLVED identity: resolution
+        # (DB lookups) still runs per call so late-registered providers
+        # take effect, but the client (and its httpx connection pool) is
+        # reused — per-search construction leaked one pool per query
+        self._client_cache: dict[tuple, OpenAICompatClient] = {}
 
     def _client_for(self, api: str, spec: Optional[dict], tag: str,
                     user: str) -> Optional[OpenAICompatClient]:
@@ -54,11 +59,17 @@ class ModelResolver:
             self.db.get_provider_key(provider_name, "public") or ""
         # dialect dispatch on the stored provider row's api_type
         # (openai/anthropic/dashscope/gemini — llm/client.DIALECTS)
-        return make_client(
-            provider.get("api_type") or "openai",
-            base_url=provider["base_url"], api_key=api_key, model=model,
-            provider=provider_name,
-        )
+        api_type = provider.get("api_type") or "openai"
+        key = (api_type, provider["base_url"], api_key, model,
+               provider_name)
+        client = self._client_cache.get(key)
+        if client is None:
+            client = make_client(
+                api_type, base_url=provider["base_url"], api_key=api_key,
+                model=model, provider=provider_name,
+            )
+            self._client_cache[key] = client
+        return client
 
     def completion_client(self, config: dict, user: str = "public",
                           scenario: str = TAG_COLLECTION_COMPLETION):

@@ -140,9 +140,22 @@ def build_context(
                 )
         return HashEmbedder(dim=dim)
 
+    # per-process caches: reranker_for() resolves at SEARCH time, so the
+    # expensive artifacts must be reused across queries — the remote
+    # client cache lives in the resolver (httpx pool reuse); the local CE
+    # cache lives here keyed on (path, mtime) so a retrained checkpoint
+    # is picked up without a restart but not reloaded per search
+    _ce_cache: dict = {}
+    _remote_wrap_cache: dict = {}
+
     def reranker_factory(config: dict):
         client = resolver.rerank_client(config)
         if client is not None:
+            ckey = id(client)  # resolver caches clients, so id is stable
+            wrapped = _remote_wrap_cache.get(ckey)
+            if wrapped is not None:
+                return wrapped
+
             def rerank(query: str, texts):
                 import numpy as np
 
@@ -152,17 +165,24 @@ def build_context(
                     scores[r["index"]] = r["relevance_score"]
                 return scores
 
+            _remote_wrap_cache[ckey] = rerank
             return rerank
         # no remote provider: a trained on-TPU cross-encoder checkpoint
         # (SUPER_RAG_RERANKER_CKPT) serves as the default reranker
         ckpt = cfg.reranker_checkpoint
         if ckpt and os.path.exists(ckpt + ".npz"):
             try:
-                from super_rag_tpu.service.rerank_service import (
-                    RerankService,
-                )
+                key = (ckpt, os.path.getmtime(ckpt + ".npz"))
+                svc = _ce_cache.get(key)
+                if svc is None:
+                    from super_rag_tpu.service.rerank_service import (
+                        RerankService,
+                    )
 
-                return RerankService.from_checkpoint(ckpt)
+                    _ce_cache.clear()  # at most one live checkpoint
+                    svc = RerankService.from_checkpoint(ckpt)
+                    _ce_cache[key] = svc
+                return svc
             except Exception:  # noqa: BLE001 — rerank is optional
                 import logging
 

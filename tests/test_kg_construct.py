@@ -170,6 +170,42 @@ def test_functional_relation_invalidates_old_target(kg):
     assert "Carol leads Hardware Team." in facts
 
 
+def test_out_of_order_ingest_keeps_newest_fact_live(kg):
+    """Event-time contradiction order (graphiti resolve_edge_contradictions):
+    ingesting an OLDER fact after a newer one must not resurrect the stale
+    fact — the old fact lands pre-invalidated at the newer event time."""
+    t2024, t2015 = 1.7e9, 1.4e9
+    kg.add_episode("c", "", triples=[
+        Triple("Alice", "works_at", "Foo Corp",
+               "Alice works at Foo Corp.", valid_at=t2024)
+    ])
+    # a 2015 document arrives later
+    kg.add_episode("c", "", triples=[
+        Triple("Alice", "works_at", "Bar Inc",
+               "Alice worked at Bar Inc.", valid_at=t2015)
+    ])
+    rows = {r["fact"]: r for r in kg.db.query(
+        "SELECT fact, valid_at, invalid_at FROM kg_edge WHERE group_id='c'"
+    )}
+    assert rows["Alice works at Foo Corp."]["invalid_at"] is None  # still live
+    old = rows["Alice worked at Bar Inc."]
+    assert old["invalid_at"] == t2024  # superseded at the newer event time
+    # and in the forward direction the old fact IS superseded
+    kg.add_episode("c", "", triples=[
+        Triple("Bob", "works_at", "Foo Corp",
+               "Bob worked at Foo Corp.", valid_at=t2015),
+    ])
+    kg.add_episode("c", "", triples=[
+        Triple("Bob", "works_at", "Bar Inc",
+               "Bob works at Bar Inc.", valid_at=t2024),
+    ])
+    rows = {r["fact"]: r for r in kg.db.query(
+        "SELECT fact, invalid_at FROM kg_edge WHERE group_id='c'"
+    )}
+    assert rows["Bob worked at Foo Corp."]["invalid_at"] == t2024
+    assert rows["Bob works at Bar Inc."]["invalid_at"] is None
+
+
 def test_node_dedupe_merges_name_variants(kg):
     kg.add_episode("c", "", triples=[
         Triple("Acme Robotics", "builds", "Robots",

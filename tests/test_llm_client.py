@@ -165,6 +165,24 @@ def test_resolver_returns_none_when_unconfigured(tmp_path):
     assert ModelResolver(db).completion_client({}) is None
 
 
+def test_resolver_reuses_clients_across_calls(stub, tmp_path):
+    """Per-search resolution must not construct (and leak) a fresh httpx
+    pool per query: same resolved identity -> same client object; a
+    late-registered provider changes the identity -> new client."""
+    db = Database(str(tmp_path / "cc.db"))
+    db.upsert_provider("stub", base_url=stub.url)
+    db.upsert_model("stub", "rerank", "m-rr", tags=["default_for_rerank"])
+    resolver = ModelResolver(db)
+    c1 = resolver.rerank_client({})
+    c2 = resolver.rerank_client({})
+    assert c1 is c2
+    # re-tagging a different model re-resolves to a NEW client
+    db.upsert_model("stub", "rerank", "m-rr2", tags=["default_for_rerank"])
+    c3 = resolver.rerank_client({"rerank": {"provider": "stub",
+                                            "model": "m-rr2"}})
+    assert c3 is not c1 and c3.model == "m-rr2"
+
+
 def test_prompt_library():
     from super_rag_tpu.llm import prompts
 

@@ -71,6 +71,48 @@ def test_docx_table_keeps_grid():
     assert text.count("Alice") == 1
 
 
+def test_docx_sdt_content_controls():
+    """Paragraphs nested in w:sdt (TOCs, cover pages, form fields) must
+    not vanish — Word wraps whole sections in content controls."""
+    doc = f"""<?xml version="1.0"?>
+<w:document xmlns:w="{W}"><w:body>
+  <w:p><w:r><w:t>plain paragraph</w:t></w:r></w:p>
+  <w:sdt><w:sdtContent>
+    <w:p><w:r><w:t>inside content control</w:t></w:r></w:p>
+    <w:tbl><w:tr><w:tc><w:p><w:r><w:t>CellA</w:t></w:r></w:p></w:tc>
+                 <w:tc><w:p><w:r><w:t>CellB</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+  </w:sdtContent></w:sdt>
+  <w:p><w:r><w:t>after control</w:t></w:r></w:p>
+</w:body></w:document>"""
+    data = zip_bytes({"word/document.xml": doc})
+    parts = DocParser().parse_file("sdt.docx", data)
+    text = "\n".join(p.content for p in parts)
+    assert "inside content control" in text
+    assert "| CellA | CellB |" in text
+    assert text.index("plain paragraph") < text.index("inside content control")
+    assert text.index("| CellA") < text.index("after control")
+    assert text.count("CellA") == 1  # table cells not re-emitted as text
+
+
+def test_xlsx_sparse_rows_align_columns():
+    """Sparse rows omit empty <c> elements; the r= reference must place
+    values in their true columns or the grid lies about structure."""
+    sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{S}"><sheetData>
+  <row r="1"><c r="A1" t="inlineStr"><is><t>Name</t></is></c>
+             <c r="B1" t="inlineStr"><is><t>Qty</t></is></c></row>
+  <row r="2"><c r="B2"><v>5</v></c></row>
+  <row r="3"><c r="A3" t="inlineStr"><is><t>bolt</t></is></c>
+             <c r="C3"><v>7</v></c></row>
+</sheetData></worksheet>"""
+    data = zip_bytes({"xl/worksheets/sheet1.xml": sheet})
+    parts = DocParser().parse_file("sparse.xlsx", data)
+    text = "\n".join(p.content for p in parts)
+    assert "| Name | Qty |" in text, text
+    assert "|  | 5 |" in text, text           # Qty=5 stays under Qty
+    assert "| bolt |  | 7 |" in text, text    # interior gap preserved
+
+
 def test_pptx():
     slide = f"""<?xml version="1.0"?>
 <p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
