@@ -1,17 +1,19 @@
 #!/bin/bash
-# Keeps the round-4 TPU queue alive for the whole session.
+# Keeps the round-4 TPU queue alive until the queue deadline.
 #
-# run_r4_queue.sh gives up if the claim stays wedged for its full probe
-# horizon (120 probes x 4 min = 8 h).  The claim can recover at any
-# moment (the wedge is external to this VM), so losing the queue means
-# losing the round's TPU evidence.  This supervisor relaunches the queue
-# whenever its pid vanishes.  PID-file based — never kills or matches by
-# process name.
+# The claim can recover at any moment (the wedge is external to this
+# VM), so losing the queue means losing the round's TPU evidence.  This
+# supervisor relaunches the queue whenever its pid vanishes.  PID-file
+# based — never kills or matches by process name.
 #
-# Stop: touch /tmp/r4_supervisor_stop
+# Stop: touch /tmp/r4_supervisor_stop (the queue does this itself when
+# it hits QUEUE_DEADLINE, so the claim is free for the driver's final
+# bench.py run).
 cd /root/repo
+DEADLINE=${QUEUE_DEADLINE:-1787068800}
 while true; do
   [ -f /tmp/r4_supervisor_stop ] && { echo "supervisor stop $(date +%H:%M:%S)"; exit 0; }
+  [ "$(date +%s)" -ge "$DEADLINE" ] && { echo "supervisor deadline $(date +%H:%M:%S)"; exit 0; }
   pid=$(cat /tmp/r4_queue.pid 2>/dev/null)
   if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
     echo "supervisor: relaunching queue $(date +%H:%M:%S)"

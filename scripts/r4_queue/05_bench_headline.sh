@@ -1,4 +1,5 @@
 #!/bin/bash
+# BUDGET_S=900
 # Stage 0: insurance recording. The moment a healthy claim appears, get
 # ONE nonzero driver-metric line on file (bench.py at the current
 # operating point) before the long stages start — round 3 ended with

@@ -1,4 +1,5 @@
 #!/bin/bash
+# BUDGET_S=3600
 # Stage 1: the 10M north-star triple with the r3 tier stack
 # (VERDICT r3 item 1).  Uses the l16384 IVF cache built on CPU in r3.
 cd /root/repo

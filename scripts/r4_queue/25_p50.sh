@@ -1,4 +1,5 @@
 #!/bin/bash
+# BUDGET_S=1500
 # Stage 4: true per-query p50/p95 through the serving micro-batcher at
 # 1M on TPU (VERDICT r3 item 4) — the last unmeasured north-star gate.
 cd /root/repo

@@ -1,4 +1,5 @@
 #!/bin/bash
+# BUDGET_S=0
 # Final stage: commit whatever measurement records the TPU stages wrote
 # so a late wedge cannot lose them.  Files are added ONE AT A TIME:
 # `git add a missing-b c` aborts on the first unmatched pathspec and
