@@ -20,7 +20,22 @@ marginal per-call time between two queue depths.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+# glibc on this 1-vCPU host munmaps every freed >128 KB buffer, so the
+# ~3 GB of corpus temporaries below refault at ~60 s/GB unless the
+# mmap/trim thresholds are raised BEFORE the process starts (glibc reads
+# them once at startup).  The driver invokes `python bench.py` bare, so
+# re-exec once with the envs set (CLAUDE.md "Host performance quirks").
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+    env = dict(
+        os.environ,
+        MALLOC_MMAP_THRESHOLD_="1073741824",
+        MALLOC_TRIM_THRESHOLD_="1073741824",
+    )
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import numpy as np
 

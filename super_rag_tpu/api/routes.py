@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import base64
 import time
+from typing import Optional
 
 from super_rag_tpu.api.auth import COOKIE_NAME
 from super_rag_tpu.api.http import HttpError, Request, Response, Router, WebSocket
@@ -227,9 +228,40 @@ def build_router(ctx: AppContext) -> Router:
         )
         return Response.json(coll, status=201)
 
-    def _paginate(req: Request, rows: list) -> list:
-        limit = min(int(req.query.get("limit", "100")), 1000)
-        offset = max(int(req.query.get("offset", "0")), 0)
+    def _paginate(req: Request, rows: list):
+        """Two pagination dialects on every list endpoint.
+
+        Reference dialect (api/collections.py:134-164): ?page/page_size/
+        sort_by/sort_order/search -> envelope with items/total/page/
+        page_size/total_pages/has_next/has_prev.  Legacy dialect (kept for
+        existing clients): ?offset/limit -> bare array.
+        """
+        q = req.query
+        if "page" in q or "page_size" in q:
+            search = q.get("search", "").lower()
+            if search:
+                rows = [r for r in rows
+                        if search in str(r.get("name", r.get("title", ""))).lower()]
+            sort_by = q.get("sort_by", "created")
+            order = q.get("sort_order", "desc")
+            rows = sorted(rows, key=lambda r: (r.get(sort_by) is None,
+                                               r.get(sort_by)),
+                          reverse=(order == "desc"))
+            page = max(int(q.get("page", "1")), 1)
+            size = min(max(int(q.get("page_size", "10")), 1), 100)
+            total = len(rows)
+            pages = max((total + size - 1) // size, 1)
+            return {
+                "items": rows[(page - 1) * size : page * size],
+                "total": total,
+                "page": page,
+                "page_size": size,
+                "total_pages": pages,
+                "has_next": page < pages,
+                "has_prev": page > 1,
+            }
+        limit = min(int(q.get("limit", "100")), 1000)
+        offset = max(int(q.get("offset", "0")), 0)
         return rows[offset : offset + limit]
 
     @router.get("/api/v1/collections")
@@ -530,6 +562,114 @@ def build_router(ctx: AppContext) -> Router:
                      "X-Document-Name": doc["name"]},
             stream=stream,
         )
+
+    # -- nested document routes (reference api/collections.py:167-247 keeps
+    # every document route under its collection; the flat /api/v1/documents/*
+    # aliases above are kept for existing clients) ---------------------------
+
+    def _doc_in_collection(user: dict, cid: str, did: str) -> dict:
+        doc = documents.get(user["username"], did)
+        if doc["collection_id"] != cid:
+            raise HttpError(404, f"document {did} not in collection {cid}")
+        return doc
+
+    @router.get("/api/v1/collections/{cid}/documents/{did}")
+    async def get_document_nested(req: Request) -> Response:
+        user = me(req)
+        return Response.json(
+            _doc_in_collection(user, req.path_params["cid"],
+                               req.path_params["did"])
+        )
+
+    @router.delete("/api/v1/collections/{cid}/documents/{did}")
+    async def delete_document_nested(req: Request) -> Response:
+        user = me(req)
+        doc = _doc_in_collection(user, req.path_params["cid"],
+                                 req.path_params["did"])
+        documents.delete(user["username"], doc["id"])
+        return Response.no_content()
+
+    @router.delete("/api/v1/collections/{cid}/documents")
+    async def delete_documents_bulk(req: Request) -> Response:
+        # reference api/collections.py:187-194 bulk delete (body = id list)
+        user = me(req)
+        cid = req.path_params["cid"]
+        body = req.json()
+        ids = body.get("document_ids", []) if isinstance(body, dict) else body
+        if not isinstance(ids, list) or not ids:
+            raise HttpError(422, "document_ids list required")
+        deleted = []
+        for did in ids:
+            doc = _doc_in_collection(user, cid, did)
+            documents.delete(user["username"], doc["id"])
+            deleted.append(doc["id"])
+        return Response.json({"deleted": deleted})
+
+    def _byte_range(req: Request) -> tuple[int, Optional[int], bool]:
+        rng = req.headers.get("range", "")
+        if rng.startswith("bytes="):
+            s, _, e = rng[6:].partition("-")
+            return int(s or 0), (int(e) + 1 if e else None), True
+        return 0, None, False
+
+    @router.get("/api/v1/collections/{cid}/documents/{did}/preview")
+    async def preview_document_nested(req: Request) -> Response:
+        user = me(req)
+        doc = _doc_in_collection(user, req.path_params["cid"],
+                                 req.path_params["did"])
+        start, end, ranged = _byte_range(req)
+        doc, stream = documents.preview_bytes(user["username"], doc["id"],
+                                              start, end)
+        return Response(
+            status=206 if ranged else 200,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Document-Name": doc["name"]},
+            stream=stream,
+        )
+
+    @router.get("/api/v1/collections/{cid}/documents/{did}/object")
+    async def document_object(req: Request) -> Response:
+        """Raw object/asset download with Range support (reference
+        api/collections.py:211-224 get_document_object).  ?path= selects an
+        asset stored alongside the document; it must live under the
+        document's own object directory."""
+        user = me(req)
+        cid = req.path_params["cid"]
+        doc = _doc_in_collection(user, cid, req.path_params["did"])
+        path = req.query.get("path", "") or doc["object_path"]
+        prefix = doc["object_path"].rsplit("/", 1)[0] + "/"
+        if path != doc["object_path"] and not path.startswith(prefix):
+            raise HttpError(403, "object path outside document scope")
+        if not ctx.objects.exists(path):
+            raise HttpError(404, f"object {path} not found")
+        start, end, ranged = _byte_range(req)
+        return Response(
+            status=206 if ranged else 200,
+            headers={"Content-Type": "application/octet-stream"},
+            stream=ctx.objects.stream_range(path, start, end),
+        )
+
+    @router.post("/api/v1/collections/{cid}/documents/{did}/rebuild_indexes")
+    async def rebuild_indexes_nested(req: Request) -> Response:
+        user = me(req)
+        doc = _doc_in_collection(user, req.path_params["cid"],
+                                 req.path_params["did"])
+        only_failed = req.query.get("only_failed", "") in ("1", "true")
+        n = documents.rebuild_indexes(user["username"], doc["id"],
+                                      only_failed=only_failed)
+        return Response.json({"rebuilt": n})
+
+    @router.post("/api/v1/collections/{cid}/rebuild_failed_indexes")
+    async def rebuild_failed_indexes(req: Request) -> Response:
+        # reference api/collections.py:239-247 collection-wide failed rebuild
+        user = me(req)
+        cid = req.path_params["cid"]
+        collections.get(user["username"], cid)
+        total = 0
+        for d in documents.list(user["username"], cid):
+            total += documents.rebuild_indexes(user["username"], d["id"],
+                                               only_failed=True)
+        return Response.json({"rebuilt": total})
 
     # -- knowledge graph (reference api/collections.py:282-323) -------------------------
 

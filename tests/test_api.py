@@ -838,3 +838,61 @@ def test_contract_validation_shared_surfaces(server, client, collection):
                    "arguments": {"collection_id": collection["id"],
                                   "query": "x", "top_k": 5000}}})
     assert "top_k" in json.dumps(r.json().get("error", r.json()))
+
+
+def test_nested_document_routes(client, collection, document):
+    cid, did = collection["id"], document["id"]
+    # reference-shaped nested GET (api/collections.py:167)
+    r = client.get(f"/api/v1/collections/{cid}/documents/{did}")
+    assert r.status_code == 200 and r.json()["id"] == did
+    # wrong collection -> 404
+    r2 = client.post("/api/v1/collections",
+                     json={"title": "other", "description": ""})
+    other = r2.json()["id"]
+    r = client.get(f"/api/v1/collections/{other}/documents/{did}")
+    assert r.status_code == 404
+    # nested preview honors Range
+    r = client.get(f"/api/v1/collections/{cid}/documents/{did}/preview",
+                   headers={"Range": "bytes=0-7"})
+    assert r.status_code == 206 and r.content == MD.encode()[:8]
+    # raw object download (reference api/collections.py:211)
+    r = client.get(f"/api/v1/collections/{cid}/documents/{did}/object")
+    assert r.status_code == 200 and r.content == MD.encode()
+    # path traversal outside the document dir is rejected
+    r = client.get(f"/api/v1/collections/{cid}/documents/{did}/object",
+                   params={"path": f"{other}/whatever"})
+    assert r.status_code == 403
+    # nested rebuild + collection-wide failed rebuild
+    r = client.post(f"/api/v1/collections/{cid}/documents/{did}/rebuild_indexes")
+    assert r.status_code == 200 and r.json()["rebuilt"] >= 1
+    r = client.post(f"/api/v1/collections/{cid}/rebuild_failed_indexes")
+    assert r.status_code == 200
+
+
+def test_paginated_envelope_and_bulk_delete(client, collection):
+    cid = collection["id"]
+    made = []
+    for i in range(3):
+        r = client.post(
+            f"/api/v1/collections/{cid}/documents",
+            json=[{"name": f"bulk{i}.md", "content": f"# B{i}\n\ndoc {i}."}],
+        )
+        made.append(r.json()[0]["id"])
+    # reference pagination dialect -> envelope
+    r = client.get(f"/api/v1/collections/{cid}/documents",
+                   params={"page": 1, "page_size": 2, "sort_by": "name",
+                           "sort_order": "asc", "search": "bulk"})
+    env = r.json()
+    assert env["total"] == 3 and env["total_pages"] == 2
+    assert [d["name"] for d in env["items"]] == ["bulk0.md", "bulk1.md"]
+    assert env["has_next"] and not env["has_prev"]
+    # legacy dialect still returns a bare array
+    r = client.get(f"/api/v1/collections/{cid}/documents")
+    assert isinstance(r.json(), list)
+    # bulk delete (reference api/collections.py:187)
+    r = client.request("DELETE", f"/api/v1/collections/{cid}/documents",
+                       json={"document_ids": made})
+    assert r.status_code == 200 and sorted(r.json()["deleted"]) == sorted(made)
+    names = [d["name"] for d in
+             client.get(f"/api/v1/collections/{cid}/documents").json()]
+    assert not any(n.startswith("bulk") for n in names)
