@@ -177,7 +177,7 @@ def _sse_frame(e: dict) -> bytes:
 Handler = Callable[[Request], Awaitable[Response]]
 Middleware = Callable[[Request, Handler], Awaitable[Response]]
 
-_PARAM_RE = re.compile(r"\{(\w+)\}")
+_PARAM_RE = re.compile(r"\{(\w+)(:path)?\}")
 
 
 class Router:
@@ -187,8 +187,15 @@ class Router:
 
     def add(self, method: str, pattern: str, handler: Handler,
             websocket: bool = False) -> None:
+        # {name} matches one segment; {name:path} greedily matches across
+        # slashes (model names like "org/model" — reference api/llm.py:148)
         regex = re.compile(
-            "^" + _PARAM_RE.sub(r"(?P<\1>[^/]+)", pattern) + "$"
+            "^"
+            + _PARAM_RE.sub(
+                lambda m: f"(?P<{m.group(1)}>{'.+' if m.group(2) else '[^/]+'})",
+                pattern,
+            )
+            + "$"
         )
         self.routes.append((method.upper(), regex, handler, websocket))
 

@@ -188,12 +188,49 @@ def build_router(ctx: AppContext) -> Router:
     async def users_me(req: Request) -> Response:
         return Response.json(me(req))
 
+    # reference path dialect: unprefixed /register /login /logout /user
+    # (api/auth.py:267,327,370,377) — same handlers, reference URLs
+    router.add("POST", "/api/v1/register", register)
+    router.add("POST", "/api/v1/login", login)
+    router.add("POST", "/api/v1/logout", logout)
+    router.add("GET", "/api/v1/user", users_me)
+
+    @router.post("/api/v1/change-password")
+    async def change_password(req: Request) -> Response:
+        """Verify the old password then rehash (reference api/auth.py:443).
+        Requires auth and only for the caller's own account unless admin."""
+        from super_rag_tpu.api import auth as A
+
+        user = me(req)
+        body = parse_body(vm.ChangePasswordRequest, req.json())
+        target = body.username or user["username"]
+        if target != user["username"] and user["role"] != "admin":
+            raise HttpError(403, "cannot change another user's password")
+        row = ctx.db.get_user(target)
+        if row is None:
+            raise HttpError(400, "user not found")
+        if not A.verify_password(body.old_password, row["password_hash"]):
+            raise HttpError(400, "current password is incorrect")
+        ctx.db.set_user_password(target, A.hash_password(body.new_password))
+        return Response.json(auth._public(ctx.db.get_user(target)))
+
     @router.get("/api/v1/users")
     async def list_users(req: Request) -> Response:
         auth.required_admin(req)
         return Response.json(
             [auth._public(u) for u in ctx.db.list_users()]
         )
+
+    @router.delete("/api/v1/users/{uid}")
+    async def delete_user(req: Request) -> Response:
+        # admin-only, cannot delete self (reference api/auth.py:475-500)
+        user = auth.required_admin(req)
+        uid = req.path_params["uid"]
+        if uid == user["id"]:
+            raise HttpError(400, "cannot delete your own account")
+        if not ctx.db.delete_user(uid):
+            raise HttpError(404, "user not found")
+        return Response.no_content()
 
     @router.post("/api/v1/apikeys")
     async def create_key(req: Request) -> Response:
@@ -694,6 +731,11 @@ def build_router(ctx: AppContext) -> Router:
             )
         )
 
+    # reference path dialect (api/collections.py:282+ uses /graphs) — same
+    # handlers under the plural spelling
+    router.add("GET", "/api/v1/collections/{cid}/graphs", graph_subgraph)
+    router.add("GET", "/api/v1/collections/{cid}/graphs/labels", graph_labels)
+
     @router.get("/api/v1/collections/{cid}/graph/stats")
     async def graph_stats(req: Request) -> Response:
         user = me(req)
@@ -815,6 +857,110 @@ def build_router(ctx: AppContext) -> Router:
         user = me(req)
         return Response.json(ctx.db.list_subscriptions(user["username"]))
 
+    # reference path (api/marketplace.py): subscriptions listed under
+    # /marketplace/collections/subscriptions
+    router.add("GET", "/api/v1/marketplace/collections/subscriptions",
+               subscriptions)
+
+    # -- marketplace sharing status + read-only browsing (reference
+    # api/collections.py:61-120 "sharing", api/marketplace_collections.py) --
+
+    def _sharing_status(cid: str) -> dict:
+        row = ctx.db.query_one(
+            "SELECT * FROM marketplace WHERE collection_id=?", (cid,)
+        )
+        published = bool(row and row["status"] == "PUBLISHED")
+        return {"is_published": published,
+                "published_at": row["published_at"] if published else None}
+
+    @router.get("/api/v1/collections/{cid}/sharing")
+    async def sharing_status(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        return Response.json(_sharing_status(req.path_params["cid"]))
+
+    @router.post("/api/v1/collections/{cid}/sharing")
+    async def sharing_publish(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        ctx.db.publish_collection(req.path_params["cid"])
+        return Response.json(_sharing_status(req.path_params["cid"]))
+
+    @router.delete("/api/v1/collections/{cid}/sharing")
+    async def sharing_unpublish(req: Request) -> Response:
+        user = me(req)
+        collections.get(user["username"], req.path_params["cid"],
+                        allow_shared=False)
+        ctx.db.unpublish_collection(req.path_params["cid"])
+        return Response.json({"is_published": False, "published_at": None})
+
+    def _published_collection(req: Request) -> dict:
+        """Any authenticated user may read a PUBLISHED collection
+        (reference marketplace_collection_service._check_marketplace_access)."""
+        cid = req.path_params["cid"]
+        status = _sharing_status(cid)
+        if not status["is_published"]:
+            raise HttpError(404, "collection not published")
+        coll = ctx.db.get_collection(cid)
+        if coll is None:
+            raise HttpError(404, "collection not found")
+        coll["published_at"] = status["published_at"]
+        return coll
+
+    @router.get("/api/v1/marketplace/collections/{cid}")
+    async def marketplace_collection_detail(req: Request) -> Response:
+        me(req)
+        coll = _published_collection(req)
+        return Response.json(
+            {k: coll[k] for k in ("id", "title", "description",
+                                  "published_at")}
+            | {"owner": coll["user"]}
+        )
+
+    @router.get("/api/v1/marketplace/collections/{cid}/documents")
+    async def marketplace_collection_documents(req: Request) -> Response:
+        me(req)
+        coll = _published_collection(req)
+        return Response.json(_paginate(req, ctx.db.list_documents(coll["id"])))
+
+    def _marketplace_document(req: Request) -> dict:
+        coll = _published_collection(req)
+        doc = ctx.db.get_document(req.path_params["did"])
+        if doc is None or doc["collection_id"] != coll["id"]:
+            raise HttpError(404, "document not found")
+        return doc
+
+    @router.get("/api/v1/marketplace/collections/{cid}/documents/{did}/preview")
+    async def marketplace_document_preview(req: Request) -> Response:
+        me(req)
+        doc = _marketplace_document(req)
+        if not ctx.objects.exists(doc["object_path"]):
+            raise HttpError(404, "original object missing")
+        start, end, ranged = _byte_range(req)
+        return Response(
+            status=206 if ranged else 200,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Document-Name": doc["name"]},
+            stream=ctx.objects.stream_range(doc["object_path"], start, end),
+        )
+
+    router.add("GET",
+               "/api/v1/marketplace/collections/{cid}/documents/{did}/object",
+               marketplace_document_preview)
+
+    @router.get("/api/v1/marketplace/collections/{cid}/graph")
+    async def marketplace_collection_graph(req: Request) -> Response:
+        me(req)
+        coll = _published_collection(req)
+        if ctx.kg is None:
+            raise HttpError(404, "knowledge graph not enabled")
+        return Response.json(
+            ctx.kg.subgraph(coll["id"], req.query.get("node"),
+                            limit=int(req.query.get("limit", "200")))
+        )
+
     # -- workflows -----------------------------------------------------------------------------------
 
     @router.post("/api/v1/workflows")
@@ -855,11 +1001,50 @@ def build_router(ctx: AppContext) -> Router:
             )
         )
 
+    @router.delete("/api/v1/workflows/{wid}")
+    async def delete_workflow(req: Request) -> Response:
+        # reference api/workflow.py:53
+        user = me(req)
+        workflows.delete(user["username"], req.path_params["wid"])
+        return Response.no_content()
+
     @router.get("/api/v1/workflows/{wid}/versions")
     async def workflow_versions(req: Request) -> Response:
         user = me(req)
         return Response.json(workflows.versions(user["username"],
                                                 req.path_params["wid"]))
+
+    @router.post("/api/v1/workflows/{wid}/versions")
+    async def create_workflow_version(req: Request) -> Response:
+        # reference api/workflow.py:63 — snapshot a version (manual save)
+        user = me(req)
+        body = req.json() or {}
+        return Response.json(
+            workflows.create_version(user["username"], req.path_params["wid"],
+                                     body.get("definition")),
+            status=201,
+        )
+
+    @router.get("/api/v1/workflows/{wid}/versions/{version}")
+    async def workflow_version_detail(req: Request) -> Response:
+        user = me(req)
+        try:
+            version = int(req.path_params["version"])
+        except ValueError:
+            raise HttpError(422, "version must be an integer")
+        return Response.json(
+            workflows.version_detail(user["username"],
+                                     req.path_params["wid"], version)
+        )
+
+    @router.get("/api/v1/workflows/{wid}/runs/{rid}")
+    async def workflow_run_nested(req: Request) -> Response:
+        # reference nests run detail under the workflow (api/workflow.py)
+        user = me(req)
+        run = workflows.run_detail(user["username"], req.path_params["rid"])
+        if run.get("workflow_id") != req.path_params["wid"]:
+            raise HttpError(404, "run not found for this workflow")
+        return Response.json(run)
 
     @router.post("/api/v1/workflows/{wid}/run")
     async def run_workflow(req: Request) -> Response:
@@ -1037,6 +1222,157 @@ def build_router(ctx: AppContext) -> Router:
         )
         return Response.json({"ok": True})
 
+    @router.get("/api/v1/llm_providers/{name}")
+    async def get_provider(req: Request) -> Response:
+        me(req)
+        row = ctx.db.get_provider(req.path_params["name"])
+        if row is None:
+            raise HttpError(404, "provider not found")
+        return Response.json(row)
+
+    @router.put("/api/v1/llm_providers/{name}")
+    async def update_provider(req: Request) -> Response:
+        # reference api/llm.py:92 LlmProviderUpdateWithApiKey: dialect and
+        # base-url fields plus an optional api_key in the same body
+        user = me(req)
+        body = req.json()
+        api_key = body.pop("api_key", None)
+        row = ctx.db.update_provider(req.path_params["name"], **{
+            k: body.get(k) for k in (
+                "label", "base_url", "api_type", "allow_custom_base_url",
+                "completion_dialect", "embedding_dialect", "rerank_dialect",
+            )
+        })
+        if row is None:
+            raise HttpError(404, "provider not found")
+        if api_key:
+            ctx.db.set_provider_key(row["name"], user["username"], api_key)
+        return Response.json(row)
+
+    @router.get("/api/v1/llm_provider_models")
+    async def list_all_models(req: Request) -> Response:
+        # reference api/llm.py:115 flat model listing w/ optional provider
+        me(req)
+        return Response.json(
+            ctx.db.list_models(req.query.get("provider_name") or None)
+        )
+
+    @router.put("/api/v1/llm_providers/{name}/models/{api}/{model:path}")
+    async def update_model(req: Request) -> Response:
+        me(req)
+        p = req.path_params
+        existing = [m for m in ctx.db.list_models(p["name"], p["api"])
+                    if m["model"] == p["model"]]
+        if not existing:
+            raise HttpError(404, "model not found")
+        body = req.json()
+        cur = existing[0]
+        ctx.db.upsert_model(
+            p["name"], p["api"], p["model"],
+            body.get("context_window", cur["context_window"]),
+            body.get("max_tokens", cur["max_tokens"]),
+            body.get("tags", cur["tags"]),
+        )
+        return Response.json(
+            [m for m in ctx.db.list_models(p["name"], p["api"])
+             if m["model"] == p["model"]][0]
+        )
+
+    @router.delete("/api/v1/llm_providers/{name}/models/{api}/{model:path}")
+    async def delete_model(req: Request) -> Response:
+        me(req)
+        p = req.path_params
+        ctx.db.delete_model(p["name"], p["api"], p["model"])
+        return Response.no_content()
+
+    @router.get("/api/v1/llm_configuration")
+    async def llm_configuration(req: Request) -> Response:
+        """Providers (api keys masked) + models in one payload (reference
+        api/llm.py:61, llm_provider_service.get_llm_configuration)."""
+        user = me(req)
+        providers = []
+        for p in ctx.db.list_providers():
+            key = ctx.db.get_provider_key(p["name"], user["username"])
+            p["api_key"] = (key[:4] + "****" + key[-4:]) if key and len(key) > 8 \
+                else ("****" if key else None)
+            providers.append(p)
+        return Response.json({"providers": providers,
+                              "models": ctx.db.list_models()})
+
+    _SCENARIOS = (
+        "default_for_collection_completion",
+        "default_for_agent_completion",
+        "default_for_embedding",
+        "default_for_rerank",
+        "default_for_background_task",
+    )
+
+    def _default_models_payload() -> dict:
+        items = []
+        for scenario in _SCENARIOS:
+            models = ctx.db.list_models(tag=scenario)
+            items.append({
+                "scenario": scenario,
+                "provider_name": models[0]["provider"] if models else None,
+                "model": models[0]["model"] if models else None,
+            })
+        return {"items": items}
+
+    @router.get("/api/v1/default_models")
+    async def get_default_models(req: Request) -> Response:
+        me(req)
+        return Response.json(_default_models_payload())
+
+    @router.put("/api/v1/default_models")
+    async def put_default_models(req: Request) -> Response:
+        """Defaults are stored as scenario tags on the chosen model, exactly
+        the reference mechanism (default_model_service.py:94-160)."""
+        me(req)
+        body = req.json()
+        for cfg in body.get("defaults", []):
+            scenario = cfg.get("scenario")
+            if scenario not in _SCENARIOS:
+                raise HttpError(422, f"unknown scenario {scenario!r}")
+            # clear the tag everywhere, then set it on the named model
+            for m in ctx.db.list_models(tag=scenario):
+                m["tags"].remove(scenario)
+                ctx.db.upsert_model(m["provider"], m["api"], m["model"],
+                                    m["context_window"], m["max_tokens"],
+                                    m["tags"])
+            if cfg.get("provider_name") and cfg.get("model"):
+                hits = [m for m in ctx.db.list_models(cfg["provider_name"])
+                        if m["model"] == cfg["model"]]
+                if not hits:
+                    raise HttpError(404, f"model {cfg['model']} not found")
+                m = hits[0]
+                ctx.db.upsert_model(m["provider"], m["api"], m["model"],
+                                    m["context_window"], m["max_tokens"],
+                                    m["tags"] + [scenario])
+        return Response.json(_default_models_payload())
+
+    @router.post("/api/v1/available_models")
+    async def available_models_filtered(req: Request) -> Response:
+        """Tag-filtered model listing (reference api/llm.py:30; empty body
+        means the "recommend"-tagged set, OR across conditions, AND within)."""
+        me(req)
+        try:
+            body = req.json() or {}
+        except HttpError:
+            body = {}
+        conds = body.get("tag_filters") or [{"operation": "AND",
+                                             "tags": ["recommend"]}]
+        out = []
+        for m in ctx.db.list_models():
+            tags = set(m["tags"])
+            for c in conds:
+                want = set(c.get("tags", []))
+                op = (c.get("operation") or "AND").upper()
+                if (op == "AND" and want <= tags) or \
+                        (op == "OR" and want & tags):
+                    out.append(m)
+                    break
+        return Response.json({"items": out})
+
     @router.get("/api/v1/llm/available_models")
     async def available_models(req: Request) -> Response:
         me(req)
@@ -1171,6 +1507,79 @@ def build_router(ctx: AppContext) -> Router:
 
     def _agent_collections(agent: dict) -> list[str]:
         return list(agent.get("config", {}).get("collection_ids", []))
+
+    # -- agent-scoped chat CRUD (reference api/chat.py:27-73,260) ------------
+
+    def _owned_agent(req: Request, user: dict) -> dict:
+        a = ctx.db.get_agent(req.path_params["aid"])
+        if a is None or a["user"] != user["username"]:
+            raise HttpError(404, "agent not found")
+        return a
+
+    def _agent_chat(req: Request, user: dict) -> dict:
+        agent = _owned_agent(req, user)
+        chat = chats.get(user["username"], req.path_params["chat_id"])
+        if chat.get("bot_id") != agent["id"]:
+            raise HttpError(404, "chat not found for this agent")
+        return chat
+
+    @router.post("/api/v1/agents/{aid}/chats")
+    async def create_agent_chat(req: Request) -> Response:
+        user = me(req)
+        agent = _owned_agent(req, user)
+        b = req.json() or {}
+        chat = ctx.db.create_chat(user["username"], b.get("title", ""),
+                                  bot_id=agent["id"])
+        ctx.db.update_chat(chat["id"], peer_type="agent")
+        return Response.json(ctx.db.get_chat(chat["id"]), status=201)
+
+    @router.get("/api/v1/agents/{aid}/chats")
+    async def list_agent_chats(req: Request) -> Response:
+        user = me(req)
+        agent = _owned_agent(req, user)
+        rows = [c for c in chats.list(user["username"])
+                if c.get("bot_id") == agent["id"]]
+        return Response.json(_paginate(req, rows))
+
+    @router.get("/api/v1/agents/{aid}/chats/{chat_id}")
+    async def get_agent_chat(req: Request) -> Response:
+        user = me(req)
+        chat = _agent_chat(req, user)
+        chat["messages"] = chats.messages(user["username"], chat["id"])
+        return Response.json(chat)
+
+    @router.put("/api/v1/agents/{aid}/chats/{chat_id}")
+    async def update_agent_chat(req: Request) -> Response:
+        user = me(req)
+        chat = _agent_chat(req, user)
+        b = req.json()
+        return Response.json(
+            chats.update(user["username"], chat["id"], title=b.get("title"))
+        )
+
+    @router.delete("/api/v1/agents/{aid}/chats/{chat_id}")
+    async def delete_agent_chat(req: Request) -> Response:
+        user = me(req)
+        chat = _agent_chat(req, user)
+        chats.delete(user["username"], chat["id"])
+        return Response.no_content()
+
+    @router.post("/api/v1/agents/{aid}/chats/{chat_id}/messages/{mid}")
+    async def agent_message_feedback(req: Request) -> Response:
+        # reference Feedback body: {type, tag, message} (api/chat.py:61-73)
+        user = me(req)
+        chat = _agent_chat(req, user)
+        b = req.json()
+        chats.feedback(user["username"], chat["id"], req.path_params["mid"],
+                       b.get("type", b.get("feedback")))
+        return Response.json({"ok": True})
+
+    @router.post("/api/v1/agents/{aid}/chats/{chat_id}/title")
+    async def agent_chat_title(req: Request) -> Response:
+        user = me(req)
+        chat = _agent_chat(req, user)
+        out = await chats.generate_title(user["username"], chat["id"])
+        return Response.json({"id": out["id"], "title": out["title"]})
 
     @router.websocket("/api/v1/agents/{aid}/chats/{chat_id}/connect")
     async def agent_chat_ws(req: Request, ws: WebSocket) -> None:
@@ -1362,6 +1771,56 @@ def build_router(ctx: AppContext) -> Router:
         chat = await chats.generate_title(user["username"],
                                           req.path_params["chat_id"])
         return Response.json({"id": chat["id"], "title": chat["title"]})
+
+    @router.put("/api/v1/chats/{chat_id}")
+    async def update_chat(req: Request) -> Response:
+        user = me(req)
+        b = req.json()
+        return Response.json(
+            chats.update(user["username"], req.path_params["chat_id"],
+                         title=b.get("title"))
+        )
+
+    @router.get("/api/v1/chats/{chat_id}/documents/{did}")
+    async def chat_document_detail(req: Request) -> Response:
+        # reference api/chat.py:369 chat file detail
+        user = me(req)
+        return Response.json(
+            chats.chat_document(user["username"], req.path_params["chat_id"],
+                                req.path_params["did"])
+        )
+
+    # reference path for chat-file search (api/chat.py:311); same handler
+    router.add("POST", "/api/v1/chats/{chat_id}/search", search_chat_files)
+
+    @router.post("/api/v1/chat/completions/frontend")
+    async def frontend_completions(req: Request) -> Response:
+        """Reference api/chat.py:281: message in body (JSON or raw text),
+        chat_id/stream in query params.  Streams SSE when stream=true,
+        otherwise returns the final text in one JSON payload."""
+        user = me(req)
+        try:
+            b = req.json()
+            text = b.get("message", "") if isinstance(b, dict) else str(b)
+        except HttpError:
+            text = req.body.decode("utf-8", "replace")
+        if not text:
+            raise HttpError(422, "message required")
+        chat_id = req.query.get("chat_id", "")
+        if not chat_id:
+            chat_id = chats.create(user["username"], title="")["id"]
+        stream = req.query.get("stream", "false").lower() == "true"
+        events = chats.process_message(user["username"], chat_id, text)
+        if stream:
+            return Response.sse(events)
+        parts, msg_id = [], ""
+        async for ev in events:
+            if ev.get("event") == "delta":
+                parts.append(ev["data"].get("text", ""))
+            elif ev.get("event") == "done":
+                msg_id = ev["data"].get("message_id", "")
+        return Response.json({"chat_id": chat_id, "message_id": msg_id,
+                              "text": "".join(parts)})
 
     @router.post("/api/v1/chats/{chat_id}/completions")
     async def chat_completions(req: Request) -> Response:

@@ -270,6 +270,14 @@ class LoginRequest(BaseModel):
     password: str
 
 
+class ChangePasswordRequest(BaseModel):
+    """reference view_models.ChangePassword (api/auth.py:443)."""
+
+    username: str = ""
+    old_password: str
+    new_password: str = Field(min_length=8, max_length=256)
+
+
 class ApiKeyCreate(BaseModel):
     description: str = ""
 

@@ -47,6 +47,25 @@ class ChatService:
     def list(self, user: str) -> list[dict]:
         return self.ctx.db.list_chats(user)
 
+    def update(self, user: str, chat_id: str, title: Optional[str] = None) -> dict:
+        """Rename a chat (reference ChatUpdate, api/chat.py:50-58)."""
+        self.get(user, chat_id)
+        if title is not None:
+            self.ctx.db.update_chat(chat_id, title=title)
+        return self.get(user, chat_id)
+
+    def chat_document(self, user: str, chat_id: str, document_id: str) -> dict:
+        """Chat file detail (reference api/chat.py:369-384): the document
+        must live in the user's chat-files collection AND be bound to this
+        chat via its chat_id column."""
+        self.get(user, chat_id)
+        doc = self.ctx.db.get_document(document_id)
+        coll = self._chat_collection(user)
+        if (doc is None or doc["collection_id"] != coll["id"]
+                or doc.get("chat_id") != chat_id):
+            raise HttpError(404, "document not found in this chat")
+        return doc
+
     def delete(self, user: str, chat_id: str) -> None:
         self.get(user, chat_id)
         self.ctx.db.update_chat(chat_id, status="DELETED")

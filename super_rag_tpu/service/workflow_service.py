@@ -9,6 +9,8 @@ which persists workflow_run / node_run rows from engine events.
 from __future__ import annotations
 
 
+from typing import Optional
+
 from super_rag_tpu.api.http import HttpError
 from super_rag_tpu.nodeflow.engine import (
     EVENT_NODE_END,
@@ -71,9 +73,32 @@ class WorkflowService:
         self.ctx.db.add_workflow_version(wid, definition)
         return self.ctx.db.get_workflow(wid)
 
+    def delete(self, user: str, wid: str) -> None:
+        self.get(user, wid)
+        self.ctx.db.delete_workflow(wid)
+
     def versions(self, user: str, wid: str) -> list[dict]:
         self.get(user, wid)
         return self.ctx.db.list_workflow_versions(wid)
+
+    def version_detail(self, user: str, wid: str, version: int) -> dict:
+        self.get(user, wid)
+        row = self.ctx.db.get_workflow_version(wid, version)
+        if row is None:
+            raise HttpError(404, f"version {version} not found")
+        return row
+
+    def create_version(self, user: str, wid: str,
+                       definition: Optional[dict] = None) -> dict:
+        """Snapshot a new version; body may carry a fresh definition or
+        omit it to snapshot the current one (reference api/workflow.py:63)."""
+        wf = self.get(user, wid)
+        if definition is None:
+            definition = wf["definition"]
+        else:
+            self.parser.parse(definition)
+        nv = self.ctx.db.add_workflow_version(wid, definition)
+        return self.ctx.db.get_workflow_version(wid, nv)
 
     def runs(self, user: str, wid: str) -> list[dict]:
         self.get(user, wid)

@@ -440,6 +440,19 @@ class Database:
     def list_users(self) -> list[dict]:
         return self.query("SELECT * FROM user ORDER BY created")
 
+    def set_user_password(self, username: str, password_hash: str) -> None:
+        self.execute("UPDATE user SET password_hash=? WHERE username=?",
+                     (password_hash, username))
+
+    def delete_user(self, uid: str) -> bool:
+        row = self.get_user_by_id(uid)
+        if row is None:
+            return False
+        self.execute("DELETE FROM api_key WHERE user=?", (uid,))
+        self.execute("DELETE FROM oauth_account WHERE user_id=?", (uid,))
+        self.execute("DELETE FROM user WHERE id=?", (uid,))
+        return True
+
     def create_api_key(self, user: str, description: str = "") -> dict:
         kid = new_id("key")
         key = "sk-" + uuid.uuid4().hex
@@ -566,6 +579,19 @@ class Database:
         self.execute("UPDATE workflow SET updated=? WHERE id=?", (_now(), wid))
         return nv
 
+    def get_workflow_version(self, wid: str, version: int) -> Optional[dict]:
+        row = self.query_one(
+            "SELECT * FROM workflow_version WHERE workflow_id=? AND version=?",
+            (wid, version),
+        )
+        if row:
+            row["definition"] = json.loads(row["definition"])
+        return row
+
+    def delete_workflow(self, wid: str) -> None:
+        self.execute("DELETE FROM workflow_version WHERE workflow_id=?", (wid,))
+        self.execute("DELETE FROM workflow WHERE id=?", (wid,))
+
     def list_workflow_versions(self, wid: str) -> list[dict]:
         rows = self.query(
             "SELECT * FROM workflow_version WHERE workflow_id=? ORDER BY version",
@@ -640,6 +666,29 @@ class Database:
             " base_url=excluded.base_url, api_type=excluded.api_type",
             (name, label, base_url, api_type, user, _now()),
         )
+
+    def update_provider(self, name: str, **fields) -> Optional[dict]:
+        """Partial update; dialect fields live in the extra JSON column
+        (reference LlmProviderUpdateWithApiKey, api/llm.py:92-104)."""
+        row = self.get_provider(name)
+        if row is None:
+            return None
+        cols = {}
+        extra = json.loads(row.get("extra") or "{}")
+        for k, v in fields.items():
+            if v is None:
+                continue
+            if k in ("label", "base_url", "api_type"):
+                cols[k] = v
+            elif k == "allow_custom_base_url":
+                cols[k] = int(bool(v))
+            else:
+                extra[k] = v
+        cols["extra"] = json.dumps(extra)
+        sets = ", ".join(f"{k}=?" for k in cols)
+        self.execute(f"UPDATE llm_provider SET {sets} WHERE name=?",
+                     (*cols.values(), name))
+        return self.get_provider(name)
 
     def list_providers(self) -> list[dict]:
         return self.query("SELECT * FROM llm_provider ORDER BY name")

@@ -896,3 +896,203 @@ def test_paginated_envelope_and_bulk_delete(client, collection):
     names = [d["name"] for d in
              client.get(f"/api/v1/collections/{cid}/documents").json()]
     assert not any(n.startswith("bulk") for n in names)
+
+
+def test_llm_provider_full_surface(client):
+    # create
+    r = client.post("/api/v1/llm_providers",
+                    json={"name": "acme", "label": "Acme",
+                          "base_url": "http://acme.local/v1"})
+    assert r.status_code == 201
+    # detail + 404
+    assert client.get("/api/v1/llm_providers/acme").json()["label"] == "Acme"
+    assert client.get("/api/v1/llm_providers/nope").status_code == 404
+    # update w/ dialects + api key in one body (reference api/llm.py:92)
+    r = client.put("/api/v1/llm_providers/acme",
+                   json={"label": "Acme2", "rerank_dialect": "jina_ai",
+                         "api_key": "sk-verysecret-key"})
+    assert r.json()["label"] == "Acme2"
+    assert json.loads(r.json()["extra"])["rerank_dialect"] == "jina_ai"
+    # models incl. slashed name via {model:path}
+    r = client.post("/api/v1/llm_providers/acme/models",
+                    json={"api": "completion", "model": "org/chat-9b",
+                          "tags": ["recommend", "free"]})
+    assert r.status_code == 201
+    r = client.put("/api/v1/llm_providers/acme/models/completion/org/chat-9b",
+                   json={"context_window": 32768})
+    assert r.status_code == 200 and r.json()["context_window"] == 32768
+    # flat model listing
+    r = client.get("/api/v1/llm_provider_models",
+                   params={"provider_name": "acme"})
+    assert any(m["model"] == "org/chat-9b" for m in r.json())
+    # llm_configuration masks the key
+    cfg = client.get("/api/v1/llm_configuration").json()
+    acme = [p for p in cfg["providers"] if p["name"] == "acme"][0]
+    assert "verysecret" not in (acme["api_key"] or "")
+    assert any(m["model"] == "org/chat-9b" for m in cfg["models"])
+    # POST available_models: default = recommend tag; AND/OR conditions
+    items = client.post("/api/v1/available_models").json()["items"]
+    assert any(m["model"] == "org/chat-9b" for m in items)
+    items = client.post("/api/v1/available_models",
+                        json={"tag_filters": [{"operation": "AND",
+                                               "tags": ["free", "paid"]}]}
+                        ).json()["items"]
+    assert not any(m["model"] == "org/chat-9b" for m in items)
+    # default_models PUT stores scenario tags (reference mechanism)
+    r = client.put("/api/v1/default_models", json={"defaults": [
+        {"scenario": "default_for_collection_completion",
+         "provider_name": "acme", "model": "org/chat-9b"}]})
+    got = {i["scenario"]: i for i in r.json()["items"]}
+    assert got["default_for_collection_completion"]["model"] == "org/chat-9b"
+    assert got["default_for_embedding"]["model"] != "org/chat-9b"
+    # unknown scenario rejected; slashed-model delete works
+    assert client.put("/api/v1/default_models", json={"defaults": [
+        {"scenario": "bogus"}]}).status_code == 422
+    r = client.delete("/api/v1/llm_providers/acme/models/completion/org/chat-9b")
+    assert r.status_code == 204
+    assert client.get("/api/v1/llm_provider_models",
+                      params={"provider_name": "acme"}).json() == []
+
+
+def test_auth_reference_dialect(client, server):
+    # unprefixed /register /login /user /logout (reference api/auth.py)
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        r = c.post("/api/v1/register",
+                   json={"username": "bobby", "password": "bobpass123"})
+        assert r.status_code == 201
+        r = c.post("/api/v1/login",
+                   json={"username": "bobby", "password": "bobpass123"})
+        tok = r.json()["token"]
+        c.headers["Authorization"] = f"Bearer {tok}"
+        assert c.get("/api/v1/user").json()["username"] == "bobby"
+        # change-password: wrong old -> 400, right old -> rehash + relogin
+        r = c.post("/api/v1/change-password",
+                   json={"old_password": "wrong", "new_password": "newpass123"})
+        assert r.status_code == 400
+        r = c.post("/api/v1/change-password",
+                   json={"old_password": "bobpass123",
+                         "new_password": "newpass123"})
+        assert r.status_code == 200
+        assert c.post("/api/v1/login",
+                      json={"username": "bobby",
+                            "password": "newpass123"}).status_code == 200
+        assert c.post("/api/v1/logout").status_code == 200
+
+
+def test_admin_delete_user(client, server):
+    # alice is the first account -> admin (bootstrap rule)
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        c.post("/api/v1/register",
+               json={"username": "victim", "password": "victimpass1"})
+        r = c.post("/api/v1/login",
+                   json={"username": "victim", "password": "victimpass1"})
+        vid = r.json()["user"]["id"]
+    me_id = client.get("/api/v1/user").json()["id"]
+    assert client.delete(f"/api/v1/users/{me_id}").status_code == 400  # self
+    assert client.delete(f"/api/v1/users/{vid}").status_code == 204
+    assert client.delete(f"/api/v1/users/{vid}").status_code == 404
+
+
+def test_workflow_delete_and_versions(client):
+    defn = {"name": "wf", "graph": {"nodes": [
+        {"id": "in", "type": "start", "data": {}}], "edges": []}}
+    r = client.post("/api/v1/workflows", json={"title": "v", "definition": defn})
+    wid = r.json()["id"]
+    # snapshot a version (reference api/workflow.py:63)
+    r = client.post(f"/api/v1/workflows/{wid}/versions", json={})
+    assert r.status_code == 201 and r.json()["version"] == 2
+    r = client.get(f"/api/v1/workflows/{wid}/versions/2")
+    assert r.status_code == 200 and r.json()["definition"]["name"] == "wf"
+    assert client.get(f"/api/v1/workflows/{wid}/versions/9").status_code == 404
+    # delete
+    assert client.delete(f"/api/v1/workflows/{wid}").status_code == 204
+    assert client.get(f"/api/v1/workflows/{wid}").status_code == 404
+
+
+def test_agent_chat_crud(client):
+    aid = client.post("/api/v1/agents",
+                      json={"title": "helper"}).json()["id"]
+    r = client.post(f"/api/v1/agents/{aid}/chats", json={})
+    assert r.status_code == 201
+    chat = r.json()
+    assert chat["bot_id"] == aid and chat["peer_type"] == "agent"
+    cid = chat["id"]
+    assert any(c["id"] == cid for c in
+               client.get(f"/api/v1/agents/{aid}/chats").json())
+    r = client.get(f"/api/v1/agents/{aid}/chats/{cid}")
+    assert r.status_code == 200 and r.json()["messages"] == []
+    r = client.put(f"/api/v1/agents/{aid}/chats/{cid}",
+                   json={"title": "renamed"})
+    assert r.json()["title"] == "renamed"
+    # wrong agent -> 404
+    aid2 = client.post("/api/v1/agents", json={"title": "x"}).json()["id"]
+    assert client.get(f"/api/v1/agents/{aid2}/chats/{cid}").status_code == 404
+    assert client.delete(f"/api/v1/agents/{aid}/chats/{cid}").status_code == 204
+
+
+def test_sharing_and_marketplace_browse(client, collection, document, server):
+    cid = collection["id"]
+    # status -> publish -> status (reference api/collections.py:61-120);
+    # an earlier test may have published the shared fixture, so reset first
+    client.delete(f"/api/v1/collections/{cid}/sharing")
+    assert client.get(
+        f"/api/v1/collections/{cid}/sharing").json()["is_published"] is False
+    r = client.post(f"/api/v1/collections/{cid}/sharing")
+    assert r.json()["is_published"] is True and r.json()["published_at"]
+    # another logged-in user can browse the published collection
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        c.post("/api/v1/register",
+               json={"username": "reader", "password": "readerpass1"})
+        tok = c.post("/api/v1/login",
+                     json={"username": "reader",
+                           "password": "readerpass1"}).json()["token"]
+        c.headers["Authorization"] = f"Bearer {tok}"
+        r = c.get(f"/api/v1/marketplace/collections/{cid}")
+        assert r.status_code == 200 and r.json()["owner"] == "alice"
+        docs = c.get(f"/api/v1/marketplace/collections/{cid}/documents").json()
+        assert any(d["id"] == document["id"] for d in docs)
+        r = c.get(f"/api/v1/marketplace/collections/{cid}/documents/"
+                  f"{document['id']}/preview")
+        assert r.status_code == 200 and r.content == MD.encode()
+        r = c.get(f"/api/v1/marketplace/collections/{cid}/documents/"
+                  f"{document['id']}/object", headers={"Range": "bytes=0-3"})
+        assert r.status_code == 206 and r.content == MD.encode()[:4]
+        # subscriptions listed under the reference path too
+        c.post(f"/api/v1/marketplace/collections/{cid}/subscribe")
+        subs = c.get("/api/v1/marketplace/collections/subscriptions").json()
+        assert any(s["collection_id"] == cid for s in subs)
+    # unpublish hides it
+    client.delete(f"/api/v1/collections/{cid}/sharing")
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        tok = c.post("/api/v1/login",
+                     json={"username": "reader",
+                           "password": "readerpass1"}).json()["token"]
+        c.headers["Authorization"] = f"Bearer {tok}"
+        assert c.get(
+            f"/api/v1/marketplace/collections/{cid}").status_code == 404
+
+
+def test_chat_reference_dialect(client, collection):
+    chat = client.post("/api/v1/chats", json={
+        "title": "t", "collection_ids": [collection["id"]]}).json()
+    cid = chat["id"]
+    # PUT rename (reference ChatUpdate)
+    assert client.put(f"/api/v1/chats/{cid}",
+                      json={"title": "renamed"}).json()["title"] == "renamed"
+    # /chats/{id}/search alias (reference api/chat.py:311)
+    r = client.post(f"/api/v1/chats/{cid}/search", json={"query": "fox"})
+    assert r.status_code == 200
+    # chat document detail (reference api/chat.py:369)
+    files = {"file": ("note.md", b"# N\n\nzebra quark.", "text/markdown")}
+    up = client.post(f"/api/v1/chats/{cid}/documents", files=files)
+    did = up.json()[0]["id"]
+    r = client.get(f"/api/v1/chats/{cid}/documents/{did}")
+    assert r.status_code == 200 and r.json()["id"] == did
+    other = client.post("/api/v1/chats", json={"title": "o"}).json()["id"]
+    assert client.get(
+        f"/api/v1/chats/{other}/documents/{did}").status_code == 404
+    # frontend completions, non-streaming (reference api/chat.py:281)
+    r = client.post(f"/api/v1/chat/completions/frontend?chat_id={cid}",
+                    json={"message": "what does the fox do?"})
+    assert r.status_code == 200 and r.json()["chat_id"] == cid
+    assert "text" in r.json()
