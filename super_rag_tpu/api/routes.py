@@ -274,6 +274,13 @@ def build_router(ctx: AppContext) -> Router:
         existing clients): ?offset/limit -> bare array.
         """
         q = req.query
+
+        def _int(name: str, default: int) -> int:
+            try:
+                return int(q.get(name, str(default)))
+            except ValueError:
+                raise HttpError(422, f"{name} must be an integer")
+
         if "page" in q or "page_size" in q:
             search = q.get("search", "").lower()
             if search:
@@ -281,11 +288,24 @@ def build_router(ctx: AppContext) -> Router:
                         if search in str(r.get("name", r.get("title", ""))).lower()]
             sort_by = q.get("sort_by", "created")
             order = q.get("sort_order", "desc")
-            rows = sorted(rows, key=lambda r: (r.get(sort_by) is None,
-                                               r.get(sort_by)),
-                          reverse=(order == "desc"))
-            page = max(int(q.get("page", "1")), 1)
-            size = min(max(int(q.get("page_size", "10")), 1), 100)
+
+            def _key(r: dict):
+                v = r.get(sort_by)
+                # dicts/lists (config, indexes, ...) are unorderable;
+                # mixed types would raise TypeError mid-sort — compare
+                # those as strings instead of 500ing on a query param
+                if v is None or isinstance(v, bool) or not isinstance(
+                        v, (int, float, str)):
+                    return (v is None, 1, str(v))
+                return (False, 0 if isinstance(v, (int, float)) else 1, v)
+
+            try:
+                rows = sorted(rows, key=_key, reverse=(order == "desc"))
+            except TypeError:
+                rows = sorted(rows, key=lambda r: str(r.get(sort_by)),
+                              reverse=(order == "desc"))
+            page = max(_int("page", 1), 1)
+            size = min(max(_int("page_size", 10), 1), 100)
             total = len(rows)
             pages = max((total + size - 1) // size, 1)
             return {
@@ -297,8 +317,8 @@ def build_router(ctx: AppContext) -> Router:
                 "has_next": page < pages,
                 "has_prev": page > 1,
             }
-        limit = min(int(q.get("limit", "100")), 1000)
-        offset = max(int(q.get("offset", "0")), 0)
+        limit = min(_int("limit", 100), 1000)
+        offset = max(_int("offset", 0), 0)
         return rows[offset : offset + limit]
 
     @router.get("/api/v1/collections")
@@ -583,22 +603,9 @@ def build_router(ctx: AppContext) -> Router:
     @router.get("/api/v1/documents/{did}/preview")
     async def preview_document(req: Request) -> Response:
         user = me(req)
-        rng = req.headers.get("range", "")
-        start, end = 0, None
-        if rng.startswith("bytes="):
-            s, _, e = rng[6:].partition("-")
-            start = int(s or 0)
-            end = int(e) + 1 if e else None
-        doc, stream = documents.preview_bytes(
-            user["username"], req.path_params["did"], start, end
-        )
-        status = 206 if rng else 200
-        return Response(
-            status=status,
-            headers={"Content-Type": "application/octet-stream",
-                     "X-Document-Name": doc["name"]},
-            stream=stream,
-        )
+        doc = documents.get(user["username"], req.path_params["did"])
+        return _stream_object(req, doc["object_path"],
+                              {"X-Document-Name": doc["name"]})
 
     # -- nested document routes (reference api/collections.py:167-247 keeps
     # every document route under its collection; the flat /api/v1/documents/*
@@ -635,56 +642,76 @@ def build_router(ctx: AppContext) -> Router:
         ids = body.get("document_ids", []) if isinstance(body, dict) else body
         if not isinstance(ids, list) or not ids:
             raise HttpError(422, "document_ids list required")
-        deleted = []
+        # validate the whole batch BEFORE deleting anything: a bad id
+        # mid-list must not leave a half-deleted, unretryable batch
         for did in ids:
-            doc = _doc_in_collection(user, cid, did)
-            documents.delete(user["username"], doc["id"])
-            deleted.append(doc["id"])
+            _doc_in_collection(user, cid, did)
+        deleted = documents.delete_many(user["username"], ids)
         return Response.json({"deleted": deleted})
 
-    def _byte_range(req: Request) -> tuple[int, Optional[int], bool]:
+    def _stream_object(req: Request, path: str,
+                       extra_headers: Optional[dict] = None) -> Response:
+        """RFC 7233 single-range streaming with Content-Range.  Invalid
+        Range headers are ignored (full 200 body), suffix ranges
+        (bytes=-N) serve the LAST N bytes, and every 206 carries
+        Content-Range so clients can validate offsets."""
+        if not ctx.objects.exists(path):
+            raise HttpError(404, "object not found")
+        size = ctx.objects.obj_size(path)
+        start, stop, status = 0, size, 200
+        headers = {"Content-Type": "application/octet-stream",
+                   "Accept-Ranges": "bytes", **(extra_headers or {})}
         rng = req.headers.get("range", "")
         if rng.startswith("bytes="):
-            s, _, e = rng[6:].partition("-")
-            return int(s or 0), (int(e) + 1 if e else None), True
-        return 0, None, False
+            spec = rng[6:].split(",")[0].strip()
+            s, _, e = spec.partition("-")
+            try:
+                if not s and e:  # suffix range: last N bytes
+                    n = min(int(e), size)
+                    cand = (size - n, size)
+                else:
+                    cand = (int(s), min(int(e) + 1, size) if e else size)
+                if 0 <= cand[0] < cand[1]:
+                    start, stop = cand
+                    status = 206
+                    headers["Content-Range"] = \
+                        f"bytes {start}-{stop - 1}/{size}"
+            except ValueError:
+                pass  # malformed Range: serve the full body (RFC 7233)
+        # no Content-Length: streamed responses use chunked encoding
+        # (http.py:489); Content-Range carries offsets + total size
+        return Response(status=status, headers=headers,
+                        stream=ctx.objects.stream_range(path, start, stop))
+
+    def _asset_scoped_path(req: Request, doc: dict) -> str:
+        """?path= must stay inside the document's own object directory;
+        normalize first so '..' segments cannot escape it."""
+        import posixpath
+
+        path = req.query.get("path", "") or doc["object_path"]
+        path = posixpath.normpath(path.lstrip("/"))
+        prefix = doc["object_path"].rsplit("/", 1)[0] + "/"
+        if path != doc["object_path"] and not path.startswith(prefix):
+            raise HttpError(403, "object path outside document scope")
+        return path
 
     @router.get("/api/v1/collections/{cid}/documents/{did}/preview")
     async def preview_document_nested(req: Request) -> Response:
         user = me(req)
         doc = _doc_in_collection(user, req.path_params["cid"],
                                  req.path_params["did"])
-        start, end, ranged = _byte_range(req)
-        doc, stream = documents.preview_bytes(user["username"], doc["id"],
-                                              start, end)
-        return Response(
-            status=206 if ranged else 200,
-            headers={"Content-Type": "application/octet-stream",
-                     "X-Document-Name": doc["name"]},
-            stream=stream,
-        )
+        return _stream_object(req, doc["object_path"],
+                              {"X-Document-Name": doc["name"]})
 
     @router.get("/api/v1/collections/{cid}/documents/{did}/object")
     async def document_object(req: Request) -> Response:
         """Raw object/asset download with Range support (reference
         api/collections.py:211-224 get_document_object).  ?path= selects an
-        asset stored alongside the document; it must live under the
-        document's own object directory."""
+        asset stored alongside the document."""
         user = me(req)
-        cid = req.path_params["cid"]
-        doc = _doc_in_collection(user, cid, req.path_params["did"])
-        path = req.query.get("path", "") or doc["object_path"]
-        prefix = doc["object_path"].rsplit("/", 1)[0] + "/"
-        if path != doc["object_path"] and not path.startswith(prefix):
-            raise HttpError(403, "object path outside document scope")
-        if not ctx.objects.exists(path):
-            raise HttpError(404, f"object {path} not found")
-        start, end, ranged = _byte_range(req)
-        return Response(
-            status=206 if ranged else 200,
-            headers={"Content-Type": "application/octet-stream"},
-            stream=ctx.objects.stream_range(path, start, end),
-        )
+        doc = _doc_in_collection(user, req.path_params["cid"],
+                                 req.path_params["did"])
+        return _stream_object(req, _asset_scoped_path(req, doc))
 
     @router.post("/api/v1/collections/{cid}/documents/{did}/rebuild_indexes")
     async def rebuild_indexes_nested(req: Request) -> Response:
@@ -701,11 +728,13 @@ def build_router(ctx: AppContext) -> Router:
         # reference api/collections.py:239-247 collection-wide failed rebuild
         user = me(req)
         cid = req.path_params["cid"]
-        collections.get(user["username"], cid)
+        collections.get(user["username"], cid, allow_shared=False)
         total = 0
         for d in documents.list(user["username"], cid):
             total += documents.rebuild_indexes(user["username"], d["id"],
-                                               only_failed=True)
+                                               only_failed=True,
+                                               reconcile=False)
+        ctx.reconciler.reconcile_all()  # one pass for the whole collection
         return Response.json({"rebuilt": total})
 
     # -- knowledge graph (reference api/collections.py:282-323) -------------------------
@@ -898,13 +927,15 @@ def build_router(ctx: AppContext) -> Router:
 
     def _published_collection(req: Request) -> dict:
         """Any authenticated user may read a PUBLISHED collection
-        (reference marketplace_collection_service._check_marketplace_access)."""
+        (reference marketplace_collection_service._check_marketplace_access).
+        A soft-deleted collection must not remain browsable even if its
+        marketplace row was left PUBLISHED."""
         cid = req.path_params["cid"]
         status = _sharing_status(cid)
         if not status["is_published"]:
             raise HttpError(404, "collection not published")
         coll = ctx.db.get_collection(cid)
-        if coll is None:
+        if coll is None or coll.get("status") != "ACTIVE":
             raise HttpError(404, "collection not found")
         coll["published_at"] = status["published_at"]
         return coll
@@ -923,12 +954,15 @@ def build_router(ctx: AppContext) -> Router:
     async def marketplace_collection_documents(req: Request) -> Response:
         me(req)
         coll = _published_collection(req)
-        return Response.json(_paginate(req, ctx.db.list_documents(coll["id"])))
+        rows = [d for d in ctx.db.list_documents(coll["id"])
+                if d.get("status") not in ("DELETED", "DELETING")]
+        return Response.json(_paginate(req, rows))
 
     def _marketplace_document(req: Request) -> dict:
         coll = _published_collection(req)
         doc = ctx.db.get_document(req.path_params["did"])
-        if doc is None or doc["collection_id"] != coll["id"]:
+        if (doc is None or doc["collection_id"] != coll["id"]
+                or doc.get("status") in ("DELETED", "DELETING")):
             raise HttpError(404, "document not found")
         return doc
 
@@ -936,19 +970,16 @@ def build_router(ctx: AppContext) -> Router:
     async def marketplace_document_preview(req: Request) -> Response:
         me(req)
         doc = _marketplace_document(req)
-        if not ctx.objects.exists(doc["object_path"]):
-            raise HttpError(404, "original object missing")
-        start, end, ranged = _byte_range(req)
-        return Response(
-            status=206 if ranged else 200,
-            headers={"Content-Type": "application/octet-stream",
-                     "X-Document-Name": doc["name"]},
-            stream=ctx.objects.stream_range(doc["object_path"], start, end),
-        )
+        return _stream_object(req, doc["object_path"],
+                              {"X-Document-Name": doc["name"]})
 
-    router.add("GET",
-               "/api/v1/marketplace/collections/{cid}/documents/{did}/object",
-               marketplace_document_preview)
+    @router.get("/api/v1/marketplace/collections/{cid}/documents/{did}/object")
+    async def marketplace_document_object(req: Request) -> Response:
+        # honors ?path= asset selection with the same directory scoping
+        # as the owner-facing route (reference marketplace_collections.py:113)
+        me(req)
+        doc = _marketplace_document(req)
+        return _stream_object(req, _asset_scoped_path(req, doc))
 
     @router.get("/api/v1/marketplace/collections/{cid}/graph")
     async def marketplace_collection_graph(req: Request) -> Response:

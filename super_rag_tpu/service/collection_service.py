@@ -82,6 +82,8 @@ class CollectionService:
             self.ctx.db.update_document(doc["id"], status="DELETING")
         self.ctx.reconciler.reconcile_all()
         self.ctx.db.delete_collection(cid)
+        # a deleted collection must vanish from the marketplace too
+        self.ctx.db.unpublish_collection(cid)
         self.ctx.engines.drop(cid)
         self.ctx.objects.delete_prefix(cid)
 

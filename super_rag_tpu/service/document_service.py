@@ -88,22 +88,45 @@ class DocumentService:
         return docs
 
     def delete(self, user: str, document_id: str) -> None:
-        doc = self.get(user, document_id)
-        self.ctx.db.mark_indexes_deleting(document_id)
-        self.ctx.db.update_document(
-            document_id, status=DocumentStatus.DELETING.value
-        )
+        self.delete_many(user, [document_id])
+
+    def delete_many(self, user: str, document_ids: list[str]) -> list[str]:
+        """Batched delete with ONE reconcile pass.  Order matters: all
+        docs are marked DELETING first, the reconciler tears the index
+        rows down while they are DELETING, and only then are they
+        finalized to DELETED — reconciling after the DELETED mark would
+        re-derive document status from the index rows and resurrect the
+        document.  Validates the whole batch before mutating anything."""
+        docs = []
+        for did in document_ids:
+            doc = self.get(user, did)
+            # destructive: owner only — a marketplace subscriber or share
+            # recipient has read access via get() but must not delete
+            self.collections.get(user, doc["collection_id"],
+                                 allow_shared=False)
+            docs.append(doc)
+        for doc in docs:
+            self.ctx.db.mark_indexes_deleting(doc["id"])
+            self.ctx.db.update_document(
+                doc["id"], status=DocumentStatus.DELETING.value
+            )
         self._trigger_reconcile()
-        self.ctx.db.update_document(
-            document_id, status=DocumentStatus.DELETED.value
-        )
-        self.ctx.objects.delete(doc["object_path"])
+        for doc in docs:
+            self.ctx.db.update_document(
+                doc["id"], status=DocumentStatus.DELETED.value
+            )
+            self.ctx.objects.delete(doc["object_path"])
+        return [d["id"] for d in docs]
 
     def rebuild_indexes(self, user: str, document_id: str,
-                        only_failed: bool = False) -> int:
-        self.get(user, document_id)
+                        only_failed: bool = False,
+                        reconcile: bool = True) -> int:
+        doc = self.get(user, document_id)
+        # rebuild burns compute: owner only (same rule as delete)
+        self.collections.get(user, doc["collection_id"], allow_shared=False)
         n = self.ctx.db.rebuild_indexes(document_id, only_failed=only_failed)
-        self._trigger_reconcile()
+        if reconcile:
+            self._trigger_reconcile()
         return n
 
     def chunks(self, user: str, document_id: str) -> list[dict]:

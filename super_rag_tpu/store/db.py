@@ -445,12 +445,17 @@ class Database:
                      (password_hash, username))
 
     def delete_user(self, uid: str) -> bool:
+        """Deactivate, don't drop: ownership everywhere is keyed by the
+        username string, so freeing the name for re-registration would
+        hand the new account all of the old user's collections/chats.
+        The row stays as a tombstone (register 409s on the name); auth
+        paths all reject is_active=0."""
         row = self.get_user_by_id(uid)
-        if row is None:
+        if row is None or not row["is_active"]:
             return False
         self.execute("DELETE FROM api_key WHERE user=?", (uid,))
         self.execute("DELETE FROM oauth_account WHERE user_id=?", (uid,))
-        self.execute("DELETE FROM user WHERE id=?", (uid,))
+        self.execute("UPDATE user SET is_active=0 WHERE id=?", (uid,))
         return True
 
     def create_api_key(self, user: str, description: str = "") -> dict:
@@ -589,6 +594,10 @@ class Database:
         return row
 
     def delete_workflow(self, wid: str) -> None:
+        self.execute(
+            "DELETE FROM node_run WHERE run_id IN"
+            " (SELECT id FROM workflow_run WHERE workflow_id=?)", (wid,))
+        self.execute("DELETE FROM workflow_run WHERE workflow_id=?", (wid,))
         self.execute("DELETE FROM workflow_version WHERE workflow_id=?", (wid,))
         self.execute("DELETE FROM workflow WHERE id=?", (wid,))
 

@@ -1096,3 +1096,133 @@ def test_chat_reference_dialect(client, collection):
                     json={"message": "what does the fox do?"})
     assert r.status_code == 200 and r.json()["chat_id"] == cid
     assert "text" in r.json()
+
+
+def test_review_fixes_security(client, collection, document, server):
+    cid, did = collection["id"], document["id"]
+    # 1. ?path traversal with '..' cannot escape the document directory
+    prefix = "/".join([cid, document["content_hash"][:16]])
+    evil = f"{prefix}/../../{cid}/other/secret"
+    r = client.get(f"/api/v1/collections/{cid}/documents/{did}/object",
+                   params={"path": evil})
+    assert r.status_code == 403
+    # 2. a marketplace subscriber cannot delete or rebuild owner documents
+    client.post(f"/api/v1/collections/{cid}/sharing")
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        c.post("/api/v1/register",
+               json={"username": "intruder", "password": "intruderpw1"})
+        tok = c.post("/api/v1/login",
+                     json={"username": "intruder",
+                           "password": "intruderpw1"}).json()["token"]
+        c.headers["Authorization"] = f"Bearer {tok}"
+        c.post(f"/api/v1/marketplace/collections/{cid}/subscribe")
+        assert c.delete(
+            f"/api/v1/collections/{cid}/documents/{did}").status_code == 403
+        assert c.request(
+            "DELETE", f"/api/v1/collections/{cid}/documents",
+            json={"document_ids": [did]}).status_code == 403
+        assert c.post(
+            f"/api/v1/collections/{cid}/documents/{did}/rebuild_indexes"
+        ).status_code == 403
+        assert c.post(
+            f"/api/v1/collections/{cid}/rebuild_failed_indexes"
+        ).status_code == 403
+    client.delete(f"/api/v1/collections/{cid}/sharing")
+    # document survived all of it
+    assert client.get(
+        f"/api/v1/collections/{cid}/documents/{did}").status_code == 200
+
+
+def test_review_fixes_user_tombstone(client, server):
+    # deleting a user must NOT free the username for takeover re-registration
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        c.post("/api/v1/register",
+               json={"username": "ghost", "password": "ghostpass12"})
+        gid = c.post("/api/v1/login",
+                     json={"username": "ghost",
+                           "password": "ghostpass12"}).json()["user"]["id"]
+    assert client.delete(f"/api/v1/users/{gid}").status_code == 204
+    with httpx.Client(base_url=server.base, timeout=30) as c:
+        # name stays reserved (tombstone row)
+        assert c.post("/api/v1/register",
+                      json={"username": "ghost",
+                            "password": "whatever123"}).status_code == 409
+        # and the old credentials no longer work
+        assert c.post("/api/v1/login",
+                      json={"username": "ghost",
+                            "password": "ghostpass12"}).status_code == 403
+
+
+def test_review_fixes_deleted_collection_unpublished(client, server):
+    r = client.post("/api/v1/collections",
+                    json={"title": "shortlived", "description": ""})
+    cid = r.json()["id"]
+    client.post(f"/api/v1/collections/{cid}/sharing")
+    client.delete(f"/api/v1/collections/{cid}")
+    assert client.get(
+        f"/api/v1/marketplace/collections/{cid}").status_code == 404
+    assert cid not in [m["collection_id"] for m in
+                       client.get("/api/v1/marketplace/collections").json()]
+
+
+def test_review_fixes_pagination_robustness(client, collection):
+    cid = collection["id"]
+    # unorderable sort key (config is a dict) must not 500
+    r = client.get("/api/v1/collections", params={"page": 1, "sort_by": "config"})
+    assert r.status_code == 200
+    # non-integer page -> 422, not 500
+    assert client.get(f"/api/v1/collections/{cid}/documents",
+                      params={"page": "abc"}).status_code == 422
+    assert client.get(f"/api/v1/collections/{cid}/documents",
+                      params={"limit": "abc"}).status_code == 422
+
+
+def test_review_fixes_byte_ranges(client, collection, document):
+    cid, did = collection["id"], document["id"]
+    base = f"/api/v1/collections/{cid}/documents/{did}/object"
+    # malformed Range -> ignored, full 200 body (RFC 7233)
+    r = client.get(base, headers={"Range": "bytes=0-xyz"})
+    assert r.status_code == 200 and r.content == MD.encode()
+    # suffix range serves the LAST N bytes with Content-Range
+    r = client.get(base, headers={"Range": "bytes=-8"})
+    assert r.status_code == 206 and r.content == MD.encode()[-8:]
+    total = len(MD.encode())
+    assert r.headers["content-range"] == \
+        f"bytes {total-8}-{total-1}/{total}"
+    # normal range carries Content-Range too
+    r = client.get(base, headers={"Range": "bytes=2-9"})
+    assert r.content == MD.encode()[2:10]
+    assert r.headers["content-range"] == f"bytes 2-9/{total}"
+    # unsatisfiable -> full body, not a crash
+    r = client.get(base, headers={"Range": f"bytes={total+10}-"})
+    assert r.status_code == 200
+
+
+def test_review_fixes_bulk_delete_atomic(client, collection):
+    cid = collection["id"]
+    made = [client.post(f"/api/v1/collections/{cid}/documents",
+                        json=[{"name": f"atomic{i}.md",
+                               "content": f"# A{i}\n\natomic {i}."}]
+                        ).json()[0]["id"] for i in range(2)]
+    # a bogus id anywhere in the list -> 404 and NOTHING is deleted
+    r = client.request("DELETE", f"/api/v1/collections/{cid}/documents",
+                       json={"document_ids": [made[0], "doc-nope", made[1]]})
+    assert r.status_code == 404
+    for did in made:
+        assert client.get(
+            f"/api/v1/collections/{cid}/documents/{did}").status_code == 200
+    r = client.request("DELETE", f"/api/v1/collections/{cid}/documents",
+                       json={"document_ids": made})
+    assert r.status_code == 200 and sorted(r.json()["deleted"]) == sorted(made)
+
+
+def test_review_fixes_workflow_delete_cascades(client):
+    defn = {"name": "wf", "graph": {"nodes": [
+        {"id": "in", "type": "start", "data": {}}], "edges": []}}
+    wid = client.post("/api/v1/workflows",
+                      json={"title": "c", "definition": defn}).json()["id"]
+    rid = client.post(f"/api/v1/workflows/{wid}/run",
+                      json={"inputs": {"query": "x"}}).json()["run_id"]
+    assert client.delete(f"/api/v1/workflows/{wid}").status_code == 204
+    # runs are cascaded, not orphaned
+    assert client.get(f"/api/v1/workflow-runs/{rid}").status_code == 404
