@@ -245,3 +245,80 @@ def test_prepare_on_host_is_remote_shaped(tmp_path):
     prepared = prepared_from_wire(wire)
     assert prepared["document_id"] == doc["id"]
     assert prepared["chunks"] and prepared["parts"]
+
+
+class _FakeRay:
+    """Minimal in-process stand-in for the ray API surface the adapter
+    uses: remote(fn) -> .remote(*a, **kw) handles resolved by get().
+    Arguments are round-tripped through JSON to enforce the same
+    by-value serialization boundary real Ray imposes."""
+
+    def __init__(self):
+        import json
+
+        self._json = json
+        self._inited = False
+        self.remote_calls = 0
+
+    def is_initialized(self):
+        return self._inited
+
+    def init(self, address=None, ignore_reinit_error=False,
+             include_dashboard=False):
+        self._inited = True
+
+    def remote(self, fn):
+        fake = self
+
+        class _Remote:
+            def remote(self, *args, **kwargs):
+                fake.remote_calls += 1
+                # ship args by value, as ray would
+                args = fake._json.loads(fake._json.dumps(args))
+                kwargs = fake._json.loads(fake._json.dumps(kwargs))
+                return ("ref", fn, args, kwargs)
+
+        return _Remote()
+
+    def get(self, ref):
+        tag, fn, args, kwargs = ref
+        assert tag == "ref"
+        out = fn(*args, **kwargs)
+        # results come back by value too
+        return self._json.loads(self._json.dumps(out))
+
+
+def test_ray_scheduler_end_to_end_with_fake_ray(tmp_path, monkeypatch):
+    """Drive RayTaskScheduler itself (not the fallback): prepare runs
+    through the fake ray remote boundary by value, commit stays FIFO in
+    the parent, and the index lands ACTIVE + searchable."""
+    import sys
+
+    from super_rag_tpu.tasks.scheduler import RayTaskScheduler
+
+    fake = _FakeRay()
+    monkeypatch.setitem(sys.modules, "ray", fake)
+
+    cfg = Settings(data_dir=str(tmp_path), embedding_dim=64,
+                   index_dtype="float32", vocab_size=1 << 14)
+    db = Database(cfg.resolved_db_path())
+    objects = LocalObjectStore(cfg.objects_root())
+    engines = EngineManager(cfg)
+    task = DocumentIndexTask(db, objects, engines, cfg)
+    reconciler = DocumentIndexReconciler(db)
+    sched = RayTaskScheduler(task, reconciler.callbacks, ray_workers=2)
+    reconciler.scheduler = sched
+    try:
+        assert fake.is_initialized()
+        coll = db.create_collection("kb", "alice")
+        doc = _create_doc(db, objects, coll)
+        assert reconciler.reconcile_all() == 1
+        assert sched.wait_idle(30)
+        idx = _wait_active(db, doc["id"])
+        assert idx["status"] == IndexStatus.ACTIVE.value
+        assert fake.remote_calls == 1  # prepare crossed the ray boundary
+        eng = engines.get(coll["id"], coll["config"])
+        hits = eng.search("alpha bravo", top_k=2, mode="hybrid")
+        assert hits and "alpha" in hits[0].text
+    finally:
+        sched.shutdown()
