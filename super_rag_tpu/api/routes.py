@@ -1486,6 +1486,10 @@ def build_router(ctx: AppContext) -> Router:
             raise HttpError(404, "audit record not found")
         return Response.json(row)
 
+    # reference path dialect (api/audit.py:18,105 uses hyphens)
+    router.add("GET", "/api/v1/audit-logs", audit_logs)
+    router.add("GET", "/api/v1/audit-logs/{aid}", audit_detail)
+
     # -- agents (bots) -------------------------------------------------------------------------------------
 
     from super_rag_tpu.agent.session_manager import AgentSessionManager
@@ -1786,6 +1790,10 @@ def build_router(ctx: AppContext) -> Router:
                 top_k=b.get("top_k", 5),
             )
         )
+
+    # reference path dialect (api/chat.py:311 mounts chat-file search at
+    # /chats/{chat_id}/search)
+    router.add("POST", "/api/v1/chats/{chat_id}/search", search_chat_files)
 
     @router.post("/api/v1/chats/{chat_id}/messages/{mid}/feedback")
     async def message_feedback(req: Request) -> Response:

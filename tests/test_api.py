@@ -334,6 +334,11 @@ def test_audit_log(client):
     assert r.status_code == 200
     assert len(r.json()) > 0
     assert r.json()[0]["path"].startswith("/api/v1")
+    # reference hyphen dialect (api/audit.py:18,105)
+    rows = client.get("/api/v1/audit-logs?limit=5")
+    assert rows.status_code == 200 and rows.json()
+    one = client.get(f"/api/v1/audit-logs/{rows.json()[0]['id']}")
+    assert one.status_code == 200
 
 
 def test_404_and_405(client):
@@ -527,6 +532,11 @@ def test_chat_file_upload_and_search(client):
     )
     assert r.status_code == 201, r.text
     r = client.post(f"/api/v1/chats/{chat_id}/files/search",
+                    json={"query": "quetzal bird"})
+    assert r.status_code == 200, r.text
+    assert "quetzal" in r.json()["items"][0]["text"]
+    # reference path dialect (api/chat.py:311)
+    r = client.post(f"/api/v1/chats/{chat_id}/search",
                     json={"query": "quetzal bird"})
     assert r.status_code == 200, r.text
     assert "quetzal" in r.json()["items"][0]["text"]
