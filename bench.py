@@ -141,7 +141,10 @@ def main():
     rng = np.random.default_rng(0)
     # f32 draw: this host's f64 ziggurat is ~50x slower (measured)
     emb = rng.standard_normal((n, d), dtype=np.float32)
-    dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
+    # error_signs: the 1-bit refinement plane (96 MB at 1M) backing the
+    # tuned dense_refine knob; unused unless the config enables it
+    dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8,
+                              error_signs=True)
     dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
 
     # synthetic BM25 corpus with a ZIPFIAN term distribution (natural
@@ -209,7 +212,8 @@ def main():
         except (OSError, ValueError):
             tuned = {}
     rescore = os.environ.get("BENCH_RESCORE", "1") != "0"
-    lex_gen = int(os.environ.get("BENCH_LEX_GEN", "250"))
+    lex_gen = int(os.environ.get("BENCH_LEX_GEN",
+                                 str(tuned.get("lex_gen", 250))))
     pq = int(os.environ.get(
         "BENCH_PQ", str(tuned.get("postings_per_query_term", 768))))
     ptk = int(os.environ.get("BENCH_PTK", str(tuned.get("per_tile_k", 2))))
@@ -222,6 +226,8 @@ def main():
     approx_topk = os.environ.get(
         "BENCH_APPROX_TOPK",
         "1" if tuned.get("lex_approx_topk") else "0") == "1"
+    dense_refine = int(os.environ.get(
+        "BENCH_DENSE_REFINE", str(tuned.get("dense_refine", 0))))
 
     def make_run(rescore, lex_gen, pq, ptk):
         def run():
@@ -239,6 +245,7 @@ def main():
                 lex_deep_terms=deep_terms,
                 lex_deep_postings=deep_postings,
                 lex_approx_topk=approx_topk,
+                dense_refine=dense_refine,
             )
         return run
 
@@ -361,6 +368,7 @@ def main():
                 lex_deep_terms=deep_terms,
                 lex_deep_postings=deep_postings,
                 lex_approx_topk=approx_topk,
+                dense_refine=dense_refine,
             )
 
         sync(run32())
@@ -398,6 +406,7 @@ def main():
             "hybrid_fidelity_tie_aware": round(fidelity_tie_aware, 4),
             "rescore": rescore,
             "lex_gen": lex_gen,
+            "dense_refine": dense_refine,
             "postings_per_query_term": pq,
             "per_tile_k": ptk,
             "lex_deep_terms": deep_terms,

@@ -47,14 +47,18 @@ def main() -> None:
     batch = 512 if on_tpu else 16
     k, cand = 10, 100
     slots = 64 if on_tpu else 16
-    qterms_n = 16
+    # sweep at the SERVING query distribution (bench.py BENCH_QTERMS
+    # default 6 — the reference analyzer emits ~3-8 discriminative
+    # terms); 16 uniform terms is the adversarial diagnostic case
+    qterms_n = int(os.environ.get("BENCH_QTERMS", "6"))
     vocab = (1 << 17) if on_tpu else (1 << 14)
     sample = 64 if on_tpu else 16
 
     # identical corpus recipe to bench.py (seed 0)
     rng = np.random.default_rng(0)
     emb = rng.standard_normal((n, d), dtype=np.float32)
-    dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
+    dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8,
+                              error_signs=True)
     dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
 
     zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
@@ -146,18 +150,25 @@ def main() -> None:
     # sweep: uniform caps, df-adaptive two-tier budgets (deep budget on
     # the lowest-idf terms only), approx_max_k generation — all with the
     # rescore stage on (the headline path)
+    # Config list selected by the 1M NumPy fidelity simulator
+    # (scripts/sim_fidelity_1m.py, SIM_FIDELITY_1M.json): uniform caps
+    # cannot clear 0.95 at any QPS-relevant width; df-adaptive deep
+    # budgets on the 2-4 lowest-idf terms + the sign-plane dense refine
+    # (predicted +0.006, the pass/fail margin) can.  Each config is a
+    # fresh multi-minute remote compile — keep the list tight.
+    ptk = 2  # measured fidelity-neutral at k=100 and fastest (kernels.md)
     configs = [
-        # (ppq, deep_terms, deep_postings, approx, label) — trimmed to 6:
-        # each config is a fresh multi-minute remote compile
-        (256, 0, None, False, "uniform256"),
-        (1024, 0, None, False, "uniform1024"),
-        (256, 4, 1024, False, "da256+4x1024"),
-        (256, 4, 2000, False, "da256+4x2000"),
-        (256, 4, 1024, True, "da256+4x1024+approx"),
-        (1024, 0, None, True, "uniform1024+approx"),
+        # (ppq, deep_terms, deep_postings, approx, refine, lex_gen, label)
+        (768, 0, None, False, 0, 250, "uniform768 (r2 headline)"),
+        (512, 3, 2000, False, 0, 300, "da512+3x2000"),
+        (512, 3, 2000, False, 200, 300, "da512+3x2000+r200"),
+        (512, 4, 2000, False, 200, 300, "da512+4x2000+r200"),
+        (512, 3, 2000, True, 200, 300, "da512+3x2000+r200+approx"),
+        (2000, 0, None, False, 300, 300, "full+r300"),
+        (2000, 0, None, True, 300, 300, "full+r300+approx"),
     ]
     results = []
-    for ppq, dt, dp, approx, label in configs:
+    for ppq, dt, dp, approx, refine, lg, label in configs:
         def run():
             # mirrors bench.py's serving args exactly (rescore on,
             # lex_gen 250) so the promoted config's numbers transfer
@@ -168,10 +179,11 @@ def main() -> None:
                 block_size=262_144 if on_tpu else 8_192,
                 bm25_block_size=4_096,
                 postings_per_query_term=ppq, int8_queries=on_tpu,
-                per_tile_k=8 if on_tpu else None,
-                rescore=True, lex_gen=250,
+                per_tile_k=ptk if on_tpu else None,
+                rescore=True, lex_gen=lg,
                 lex_deep_terms=dt, lex_deep_postings=dp,
                 lex_approx_topk=approx,
+                dense_refine=refine,
             )
 
         def sync(out):
@@ -185,6 +197,7 @@ def main() -> None:
             "config": label,
             "postings_per_query_term": ppq,
             "deep_terms": dt, "deep_postings": dp, "approx": approx,
+            "dense_refine": refine, "lex_gen": lg,
             "hybrid_fidelity": round(fid, 4),
             "qps": round(batch / per_call, 1),
             "batch512_ms": round(per_call * 1e3, 2),
@@ -211,9 +224,12 @@ def main() -> None:
                 "lex_deep_terms": best["deep_terms"],
                 "lex_deep_postings": best["deep_postings"],
                 "lex_approx_topk": best["approx"],
+                "dense_refine": best["dense_refine"],
+                "lex_gen": best["lex_gen"],
+                "qterms": qterms_n,
                 # the sweep measures at this extraction cap — the bench
                 # must serve at the same one or fidelity won't reproduce
-                "per_tile_k": 8,
+                "per_tile_k": ptk,
                 "swept_fidelity": best["hybrid_fidelity"],
                 "swept_qps": best["qps"],
                 "all_results": results,

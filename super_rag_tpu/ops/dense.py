@@ -40,14 +40,20 @@ class Metric(str, enum.Enum):
 class DenseCorpus(NamedTuple):
     """Device-resident corpus shard.
 
-    values    [N, D]  bf16/f32 embeddings, or int8 codes
-    scales    [N]     f32 per-row dequant scales (int8 only; else None)
-    norms_sq  [N]     f32 squared L2 norms (L2 metric only; else None)
+    values     [N, D]    bf16/f32 embeddings, or int8 codes
+    scales     [N]       f32 per-row dequant scales (int8 only; else None)
+    norms_sq   [N]       f32 squared L2 norms (L2 metric only; else None)
+    sign_plane [N, D//8] uint8 bit-packed signs of the int8 quantization
+                         error (ops/ivf.py pack_error_signs semantics) —
+                         the 1-bit refinement plane the IVF tier measured
+                         0.945->0.975 recall at 10M, available to the
+                         flat path via hybrid_search(dense_refine=...)
     """
 
     values: jax.Array
     scales: Optional[jax.Array] = None
     norms_sq: Optional[jax.Array] = None
+    sign_plane: Optional[jax.Array] = None
 
     @property
     def size(self) -> int:
@@ -66,12 +72,15 @@ def build_corpus(
     embeddings: jax.Array,
     metric: Metric = Metric.COSINE,
     dtype: jnp.dtype = jnp.bfloat16,
+    error_signs: bool = False,
 ) -> DenseCorpus:
     """Prepare embeddings for device residence.
 
     Cosine corpora are L2-normalized once at build time so queries reduce
     to dot products.  ``dtype=jnp.int8`` selects per-row symmetric
-    quantization (ops/quant.py).
+    quantization (ops/quant.py).  ``error_signs=True`` (int8, D % 8 == 0)
+    additionally packs the 1-bit quantization-error refinement plane
+    (1/8 the bytes of the codes) for hybrid_search's ``dense_refine``.
     """
     x = embeddings.astype(jnp.float32)
     if metric == Metric.COSINE:
@@ -80,7 +89,18 @@ def build_corpus(
     norms_sq = jnp.sum(x * x, axis=-1) if metric == Metric.L2 else None
     if dtype == jnp.int8:
         q, scales = quantize_int8(x)
-        return DenseCorpus(values=q, scales=scales, norms_sq=norms_sq)
+        sign_plane = None
+        if error_signs and x.shape[-1] % 8 == 0:
+            safe = jnp.where(scales > 0, scales, 1.0)
+            err = x / safe[:, None] - q.astype(jnp.float32)
+            bits = (err > 0).reshape(x.shape[0], x.shape[-1] // 8, 8)
+            weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+            sign_plane = jnp.sum(
+                bits.astype(jnp.uint8) * weights[None, None, :], axis=-1,
+                dtype=jnp.uint8,
+            )
+        return DenseCorpus(values=q, scales=scales, norms_sq=norms_sq,
+                           sign_plane=sign_plane)
     return DenseCorpus(values=x.astype(dtype), scales=None, norms_sq=norms_sq)
 
 

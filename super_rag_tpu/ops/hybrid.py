@@ -170,7 +170,7 @@ def _rescored_lexical_branch(
         "postings_per_query_term", "int8_queries", "per_tile_k", "nprobe",
         "tail_offset", "rescore", "lex_gen", "dense_gen", "num_docs",
         "lex_deep_terms", "lex_deep_postings", "lex_approx_topk",
-        "dense_approx_topk",
+        "dense_approx_topk", "dense_refine",
     ),
 )
 def hybrid_search(
@@ -210,6 +210,7 @@ def hybrid_search(
     lex_deep_postings: Optional[int] = None,
     lex_approx_topk: bool = False,
     dense_approx_topk: bool = False,
+    dense_refine: int = 0,
 ) -> HybridResult:
     """One-program hybrid top-k. ``candidates`` is the per-branch recall
     depth feeding RRF (reference default 100 -> rerank -> top_k).
@@ -235,6 +236,15 @@ def hybrid_search(
     # its recovered lexical rank.  RRF's dense branch stays at kc so its
     # rank semantics match the exact gold.
     kd = min(max(kc, dense_gen), n) if dense_gen is not None else kc
+    # sign-plane refinement (flat int8 path): phase-1 int8 ranks only
+    # have to keep the true winners inside the refine pool
+    do_refine = (
+        dense_refine > 0 and dense is not None
+        and dense.sign_plane is not None
+        and metric in (Metric.COSINE, Metric.DOT)
+    )
+    if do_refine:
+        kd = min(max(kd, dense_refine), n)
 
     if ivf is not None:
         b = query_emb.shape[0]
@@ -267,6 +277,26 @@ def hybrid_search(
             query_emb, dense, k=kd, metric=metric, mask=mask,
             block_size=block_size,
         )
+    if do_refine:
+        # re-score the pool with codes + 0.25*sign at FULL f32 query
+        # precision (ops/ivf.py refine_candidates semantics): halves the
+        # int8 quantization noise for 1/8 the memory of the codes, and
+        # removes query-quantization error entirely.  Pure XLA gather +
+        # einsum on the tiny pool — outside the streaming kernel.
+        from super_rag_tpu.ops.ivf import unpack_signs
+
+        qf = query_emb.astype(jnp.float32)
+        if metric == Metric.COSINE:
+            nrm = jnp.linalg.norm(qf, axis=-1, keepdims=True)
+            qf = qf / jnp.where(nrm > 0, nrm, 1.0)
+        safe = jnp.maximum(di, 0)
+        codes = jnp.take(dense.values, safe, axis=0).astype(jnp.float32)
+        sgn = unpack_signs(jnp.take(dense.sign_plane, safe, axis=0))
+        scl = jnp.take(dense.scales, safe, axis=0).astype(jnp.float32)
+        dots = jnp.einsum("bkd,bd->bk", codes + 0.25 * sgn, qf) * scl
+        refined = jnp.where(jnp.isfinite(dv), dots, NEG_INF)
+        dv, pos = jax.lax.top_k(refined, refined.shape[1])
+        di = jnp.take_along_axis(di, pos, axis=-1)
     dv_pool, di_pool = dv, di
     if kd > kc:
         dv, di = dv[:, :kc], di[:, :kc]

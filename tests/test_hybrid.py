@@ -249,3 +249,107 @@ def test_rescoring_recovers_truncation_fidelity(rng):
     f_off, f_on = fid(False), fid(True)
     assert f_on > f_off, (f_off, f_on)
     assert f_on >= 0.9, (f_off, f_on)
+
+
+def test_sign_plane_build_matches_host_packer():
+    """build_corpus(error_signs=True) packs the same plane as the IVF
+    tier's host-side pack_error_signs wherever the error is
+    non-negligible.  Exact bit parity is NOT required: elements whose
+    error sits at a rounding boundary (e.g. the absmax element of each
+    row, where x/scale is exactly ±127) flip sign under XLA's
+    reciprocal-vs-divide rounding, and a ±0.25*scale correction on a
+    ~zero error is itself ~zero."""
+    from super_rag_tpu.ops.dense import build_corpus
+    from super_rag_tpu.ops.ivf import pack_error_signs
+
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((64, 32)).astype(np.float32)
+    corpus = build_corpus(jnp.asarray(x), dtype=jnp.int8, error_signs=True)
+    assert corpus.sign_plane is not None
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    codes = np.asarray(corpus.values, np.float32)
+    scales = np.asarray(corpus.scales)
+    host = pack_error_signs(xn, codes.astype(np.int8), scales)
+    dev_bits = np.unpackbits(np.asarray(corpus.sign_plane), axis=1,
+                             bitorder="little")
+    host_bits = np.unpackbits(host, axis=1, bitorder="little")
+    err = np.abs(xn / np.where(scales > 0, scales, 1.0)[:, None] - codes)
+    significant = err > 1e-3
+    np.testing.assert_array_equal(dev_bits[significant],
+                                  host_bits[significant])
+    assert np.mean(dev_bits != host_bits) < 0.02
+
+
+def test_dense_refine_matches_manual_and_beats_int8():
+    """dense_refine re-ranks the int8 phase-1 pool by codes + 0.25*sign
+    at f32 query precision: (a) the refined ordering matches a NumPy
+    recompute; (b) top-10 overlap with the exact f32 ranking improves
+    (the fidelity mechanism the sweep's refined configs rely on)."""
+    import jax.numpy as jnp_
+
+    from super_rag_tpu.ops.bm25 import LexicalCorpus
+    from super_rag_tpu.ops.bm25_inverted import build_inverted
+    from super_rag_tpu.ops.dense import build_corpus
+    from super_rag_tpu.ops.hybrid import hybrid_search
+
+    rng = np.random.default_rng(42)
+    n, d, bsz, k = 4096, 64, 16, 10
+    slots, vocab = 8, 1 << 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    corpus = build_corpus(jnp.asarray(emb), dtype=jnp.int8, error_signs=True)
+    plain = build_corpus(jnp.asarray(emb), dtype=jnp.int8)
+
+    # lexical side with NO query matches: the fused result is exactly the
+    # dense branch, which isolates the refine behavior
+    terms = rng.integers(0, vocab, (n, slots)).astype(np.int32)
+    tfs = np.ones((n, slots), np.float32)
+    doc_len = tfs.sum(1)
+    lex = LexicalCorpus(terms=jnp.asarray(terms),
+                        tfs=jnp.asarray(tfs, jnp.bfloat16),
+                        doc_len=jnp.asarray(doc_len))
+    avgdl = jnp_.float32(float(doc_len.mean()))
+    inverted = build_inverted(terms, tfs, doc_len, vocab,
+                              postings_per_term=32,
+                              avgdl=float(doc_len.mean()))
+    q_terms = jnp.full((bsz, 4), vocab, jnp.int32)  # all pads
+    q_idf = jnp.zeros((bsz, 4), jnp.float32)
+    queries = rng.standard_normal((bsz, d)).astype(np.float32)
+    qj = jnp.asarray(queries)
+
+    def run(c, refine):
+        return np.asarray(hybrid_search(
+            qj, q_terms, q_idf, c, lex, avgdl, inverted=inverted,
+            vocab_size=vocab, k=k, candidates=64, use_pallas=False,
+            block_size=2048, rescore=False, dense_refine=refine,
+        ).indices)
+
+    got_plain = run(plain, 0)
+    got_ref = run(corpus, 128)
+
+    # (a) manual recompute of the refined ordering over the full corpus
+    # (the phase-1 pool is 128 of 4096 — deep enough that the refined
+    # top-10 equals the full-corpus refined top-10 for random data)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    codes = np.asarray(corpus.values, np.float32)
+    scales = np.asarray(corpus.scales)
+    signs = np.where(
+        emb_n / np.where(scales > 0, scales, 1.0)[:, None] - codes > 0,
+        1.0, -1.0).astype(np.float32)
+    refined_scores = ((codes + 0.25 * signs) @ qn.T).T * scales[None, :]
+    manual = np.argsort(-refined_scores, axis=1, kind="stable")[:, :k]
+    assert float(np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / k
+        for a, b in zip(got_ref, manual)
+    ])) >= 0.95
+
+    # (b) refined ranks track the exact f32 ranking at least as well
+    exact = np.argsort(-(emb_n @ qn.T).T, axis=1, kind="stable")[:, :k]
+
+    def ov(got):
+        return float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(got, exact)
+        ]))
+
+    assert ov(got_ref) >= ov(got_plain), (ov(got_ref), ov(got_plain))
