@@ -74,12 +74,17 @@ def main() -> None:
     argv = sys.argv[1:]
     prepare_only = "--prepare" in argv
     prepare_ivf = "--prepare-ivf" in argv
-    full = prepare_only or prepare_ivf or "--full" in argv
+    # --recall-cpu: the recall@10 + hybrid-fidelity gates are backend-
+    # independent (same arrays, same programs, no timing) — run them on
+    # the CPU backend at the FULL 10M shapes when the TPU relay is
+    # unavailable, writing a separate artifact.  QPS/p50 stay TPU-only.
+    recall_cpu = "--recall-cpu" in argv
+    full = prepare_only or prepare_ivf or recall_cpu or "--full" in argv
     nprobe_args = [int(a) for a in argv if not a.startswith("--")]
 
     import jax
 
-    if prepare_only or prepare_ivf:
+    if prepare_only or prepare_ivf or recall_cpu:
         # host-only phases: force CPU so the TPU claim stays free (the
         # axon sitecustomize overrides JAX_PLATFORMS — re-force it).
         # --prepare-ivf runs the IVF build here too: k-means/assignment
@@ -278,6 +283,30 @@ def main() -> None:
 
     inv_np = cached(f"inverted_{tag}_p{postings_per_term}", build_inv)
 
+    # -- CSR (untruncated) inverted tier --------------------------------------
+    # The fixed [V, P] table's build cap is the binding fidelity constraint
+    # at 10M (DIAG_10M_FIDELITY.json: lexical generation tops out at 0.45
+    # overlap even reading ALL stored postings).  The CSR layout stores
+    # every posting (~2.3 GB vs the table's 0.75 GB truncated), leaving
+    # the query-time budget as the only truncation.  BENCH_LEX_TIER=csr
+    # serves it; budgets via BENCH_PQ / BENCH_DEEP_TERMS / BENCH_DEEP_POSTINGS.
+    use_csr = os.environ.get("BENCH_LEX_TIER", "csr") == "csr"
+    csr_np = None
+    if use_csr or prepare_only:
+        def build_csr():
+            from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+
+            csr = build_inverted_csr(terms, tfs32, doc_len, vocab,
+                                     avgdl=avgdl)
+            return {"docs": np.asarray(csr.postings_docs),
+                    "impact": np.asarray(
+                        csr.postings_impact.astype(jnp.float32)).astype(
+                            np.float16),
+                    "offsets": np.asarray(csr.offsets),
+                    "num_docs": np.int64(csr.num_docs)}
+
+        csr_np = cached(f"csr_{tag}", build_csr)
+
     if prepare_only:
         log("prepare done (lex, dense gold, bm25 gold, inverted cached); "
             "run on TPU next")
@@ -348,11 +377,24 @@ def main() -> None:
     log(f"ivf on device (overflow={overflow_n})")
 
     # -- device lexical + inverted -------------------------------------------
-    inverted = InvertedIndex(
-        postings_ids=jnp.asarray(inv_np["ids"]),
-        postings_impact=jnp.asarray(inv_np["impact"]).astype(jnp.bfloat16),
-        num_docs=int(inv_np["num_docs"]),
-    )
+    if use_csr and csr_np is not None:
+        from super_rag_tpu.ops.bm25_inverted import CSRInvertedIndex
+
+        inverted = CSRInvertedIndex(
+            postings_docs=jnp.asarray(csr_np["docs"]),
+            postings_impact=jnp.asarray(csr_np["impact"]).astype(
+                jnp.bfloat16),
+            offsets=jnp.asarray(csr_np["offsets"]),
+            num_docs=int(csr_np["num_docs"]),
+        )
+        del csr_np
+    else:
+        inverted = InvertedIndex(
+            postings_ids=jnp.asarray(inv_np["ids"]),
+            postings_impact=jnp.asarray(inv_np["impact"]).astype(
+                jnp.bfloat16),
+            num_docs=int(inv_np["num_docs"]),
+        )
     del inv_np
     lexical = LexicalCorpus(
         terms=jnp.asarray(terms), tfs=jnp.asarray(tfs32, jnp.bfloat16),
@@ -391,6 +433,15 @@ def main() -> None:
             chosen = np_
             break
 
+    lex_pq = int(os.environ.get("BENCH_PQ", "2048" if use_csr else "768"))
+    lex_dt = int(os.environ.get("BENCH_DEEP_TERMS", "4" if use_csr else "0"))
+    _dp_default = "16384" if use_csr else ""
+    _dp = os.environ.get("BENCH_DEEP_POSTINGS", _dp_default)
+    lex_dp = int(_dp) if _dp else None
+    lex_gen = int(os.environ.get("BENCH_LEX_GEN", "250"))
+    log(f"lexical tier={'csr' if use_csr else 'table'} pq={lex_pq} "
+        f"deep={lex_dt}x{lex_dp} lex_gen={lex_gen}")
+
     def run(q, t, i):
         return hybrid_search(
             q, t, i, None, lexical, avgdl_j,
@@ -399,8 +450,10 @@ def main() -> None:
             use_pallas=on_tpu, nprobe=chosen,
             # the 1M fidelity frontier (docs/design/kernels.md): deeper
             # per-term postings budgets + exact-pool rescore recover what
-            # truncation costs; P_q=768 of the stored 1024
-            postings_per_query_term=768, rescore=True, lex_gen=250,
+            # truncation costs.  CSR default: df-adaptive deep budgets on
+            # the 4 lowest-idf terms (the ones the cap actually truncates)
+            postings_per_query_term=lex_pq, rescore=True, lex_gen=lex_gen,
+            lex_deep_terms=lex_dt, lex_deep_postings=lex_dp,
             num_docs=n,
             # native int8 MXU phase-1 on the flat tier (2x bf16 rate);
             # the sign-refine stage re-scores the pool with f32 queries
@@ -419,6 +472,29 @@ def main() -> None:
     sync(res)
     hybrid_fidelity = recall_of(np.asarray(res.indices), gold_hybrid)
     log(f"hybrid fidelity {hybrid_fidelity:.4f}")
+
+    if recall_cpu:
+        recall = dense_recalls[chosen]
+        result = {
+            "metric": "hybrid_north_star_10m_quality_gates_cpu_backend",
+            "backend": jax.default_backend(),
+            "n": n, "d": d, "nlist": nlist, "nprobe": chosen,
+            "dense_recall_at_10_vs_exact_f32": recall,
+            "dense_recall_by_nprobe": dense_recalls,
+            "hybrid_fidelity_vs_exact_hybrid": round(hybrid_fidelity, 4),
+            "ivf_overflow_rows": overflow_n,
+            "recall_gate_0.95": recall >= 0.95,
+            "note": "quality gates recomputed on the CPU backend from the "
+                    "same cached 10M index the TPU run serves (bit-"
+                    "identical arrays, same XLA programs minus Pallas); "
+                    "QPS/p50 gates require the chip and are NOT claimed "
+                    "here",
+        }
+        print(json.dumps(result), flush=True)
+        with open(os.path.join(ROOT, "BENCH_10M_RECALL_CPU.json"), "w") as f:
+            json.dump(result, f, indent=1)
+        log("wrote BENCH_10M_RECALL_CPU.json")
+        return
 
     def timed(fn, lo=4, hi=12):
         def total(depth):

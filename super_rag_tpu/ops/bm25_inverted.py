@@ -129,7 +129,12 @@ def build_inverted(
 
 def _segment_sum_runs(ids: jax.Array, w: jax.Array):
     """Per-row: sort (id, w) by id, sum equal-id runs, return run totals at
-    run ends (other positions -inf) plus the sorted ids."""
+    run ends (other positions -inf) plus the sorted ids.
+
+    PRECONDITION: ``w >= 0``.  The run base is recovered with a cummax
+    over per-run cumsum snapshots, which requires a nondecreasing cumsum;
+    BM25 weights (idf * impact, both nonnegative) satisfy this, arbitrary
+    signed weights do not."""
     # sort by id; jax.lax.sort applied to (keys, payload) per trailing dim
     sorted_ids, sorted_w = jax.lax.sort((ids, w), dimension=-1, num_keys=1)
     csum = jnp.cumsum(sorted_w, axis=-1)
@@ -184,6 +189,13 @@ def inverted_bm25_search(
     """
     if has_mask is None:
         has_mask = mask is not None
+    if isinstance(index, CSRInvertedIndex):
+        # full-index CSR tier (same contract; the pytree type is part of
+        # the jit cache key so this branch is static)
+        return _csr_bm25_search(
+            query_terms, query_idf, index, k, mask, has_mask,
+            postings_per_query_term, deep_terms, deep_postings, approx_topk,
+        )
     bsz, q = query_terms.shape
     p = index.postings_per_term
     if postings_per_query_term is not None:
@@ -219,6 +231,145 @@ def inverted_bm25_search(
     else:
         ids, w = weighted_gather(query_terms, query_idf, p)
 
+    sorted_ids, totals = _segment_sum_runs(ids, w)
+    k_eff = min(k, ids.shape[1])
+    if approx_topk:
+        v, pos = jax.lax.approx_max_k(totals, k_eff)
+    else:
+        v, pos = jax.lax.top_k(totals, k_eff)
+    i = jnp.take_along_axis(sorted_ids, pos, axis=-1)
+    i = jnp.where(jnp.isfinite(v) & (v > 0), i, -1)
+    v = jnp.where(i >= 0, v, NEG_INF)
+    return v, i
+
+
+class CSRInvertedIndex(NamedTuple):
+    """Full (untruncated) inverted index in CSR layout.
+
+    The fixed-shape ``[V+1, P]`` table above pads every term to P rows,
+    which forces a BUILD-time truncation cap: at 10M docs the affordable
+    P (1024) stores 0.5% of a df-200k term's postings and lexical
+    candidate generation tops out at ~0.45 overlap with the exact gold
+    (DIAG_10M_FIDELITY.json).  CSR stores every posting exactly once —
+    flat impact-ordered arrays + per-term offsets — so the COMPLETE 10M
+    index is ~2.3 GB (384M postings x 6 B) vs the table's 0.75 GB
+    truncated / 15.7 GB untruncated.  Query-time prefixes stay
+    static-shaped: term t contributes its top-``depth`` impacts via a
+    ``offsets[t] + arange(depth)`` gather masked by the run length, so
+    the ONLY truncation left is the query-time budget knob (and the
+    df-adaptive deep budgets can afford 8k+ on the few terms that need
+    it).
+
+    postings_docs    [E] int32   doc rows, term-major, impact-desc in-term
+    postings_impact  [E] bf16    sat(tf, dl) impact (idf NOT included)
+    offsets          [V+2] int32 run start per term; the pad bucket
+                                 (term id == vocab_size) is the empty run
+                                 [offsets[V], offsets[V+1])
+    """
+
+    postings_docs: jax.Array
+    postings_impact: jax.Array
+    offsets: jax.Array
+    num_docs: int
+
+    @property
+    def vocab_size(self) -> int:
+        return self.offsets.shape[0] - 2
+
+    @property
+    def postings_per_term(self) -> int:
+        # no build-time cap: the effective per-term depth is query-time
+        return self.postings_docs.shape[0]
+
+
+def build_inverted_csr(
+    terms: np.ndarray,  # [N, L] int32, pad = vocab_size
+    tfs: np.ndarray,  # [N, L] float
+    doc_len: np.ndarray,  # [N] float
+    vocab_size: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: Optional[float] = None,
+) -> CSRInvertedIndex:
+    """Host-side CSR build: every (term, impact, doc) triple, sorted by
+    (term asc, impact desc), with per-term offsets.  Same impact math and
+    tie order (stable lowest-doc-first) as build_inverted, minus the cap."""
+    terms = np.asarray(terms, np.int64)
+    tfs = np.asarray(tfs, np.float32)
+    doc_len = np.asarray(doc_len, np.float32)
+    n, slots = terms.shape
+    if avgdl is None:
+        avgdl = float(doc_len.mean()) if n else 1.0
+    norm = k1 * (1.0 - b + b * doc_len[:, None] / max(avgdl, 1e-6))
+    impact = (tfs * (k1 + 1.0) / (tfs + norm)).astype(np.float32)
+
+    flat_terms = terms.reshape(-1)
+    keep = flat_terms < vocab_size
+    flat_terms = flat_terms[keep]
+    flat_impact = impact.reshape(-1)[keep]
+    flat_docs = np.repeat(np.arange(n, dtype=np.int64), slots)[keep]
+    order = np.lexsort((-flat_impact, flat_terms))
+    flat_terms = flat_terms[order]
+    flat_impact = flat_impact[order]
+    flat_docs = flat_docs[order]
+
+    counts = np.bincount(flat_terms, minlength=vocab_size + 1)
+    offsets = np.zeros(vocab_size + 2, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    assert offsets[-1] == len(flat_docs)
+    return CSRInvertedIndex(
+        postings_docs=jnp.asarray(flat_docs.astype(np.int32)),
+        postings_impact=jnp.asarray(flat_impact, jnp.bfloat16),
+        offsets=jnp.asarray(offsets.astype(np.int32)),
+        num_docs=n,
+    )
+
+
+def _csr_weighted_gather(index, qt, qidf, depth, mask, has_mask, bsz):
+    """Per-term top-``depth`` impact prefix from the CSR flat arrays."""
+    start = jnp.take(index.offsets, qt)  # [B, S]
+    length = jnp.take(index.offsets, qt + 1) - start
+    steps = jnp.arange(depth, dtype=jnp.int32)
+    pos = start[..., None] + steps  # [B, S, depth]
+    valid = steps < length[..., None]
+    pos = jnp.where(valid, pos, 0)
+    ids_ = jnp.take(index.postings_docs, pos)
+    imp_ = jnp.take(index.postings_impact, pos).astype(jnp.float32)
+    w_ = jnp.where(valid, imp_ * qidf[..., None], 0.0)
+    ids_ = jnp.where(valid, ids_, -1)
+    if has_mask:
+        live = jnp.take(mask, jnp.maximum(ids_, 0)) & (ids_ >= 0)
+        ids_ = jnp.where(live, ids_, -1)
+        w_ = jnp.where(live, w_, 0.0)
+    return ids_.reshape(bsz, -1), w_.reshape(bsz, -1)
+
+
+def _csr_bm25_search(
+    query_terms, query_idf, index, k, mask, has_mask,
+    postings_per_query_term, deep_terms, deep_postings, approx_topk,
+):
+    """CSR twin of the fixed-table body below; same contract, same
+    aggregation (segment-sum over id-sorted runs), only the gather layer
+    differs.  Query terms must be < vocab_size or the pad id (== vocab),
+    whose CSR run is empty by construction."""
+    bsz, q = query_terms.shape
+    p = postings_per_query_term or 4096
+    s = min(deep_terms, q)
+    if s > 0:
+        pd = deep_postings or (4 * p)
+        key = jnp.where(query_idf > 0, query_idf, jnp.inf)
+        order = jnp.argsort(key, axis=1)
+        qt_s = jnp.take_along_axis(query_terms, order, axis=1)
+        qi_s = jnp.take_along_axis(query_idf, order, axis=1)
+        ids_d, w_d = _csr_weighted_gather(index, qt_s[:, :s], qi_s[:, :s],
+                                          pd, mask, has_mask, bsz)
+        ids_r, w_r = _csr_weighted_gather(index, qt_s[:, s:], qi_s[:, s:],
+                                          p, mask, has_mask, bsz)
+        ids = jnp.concatenate([ids_d, ids_r], axis=1)
+        w = jnp.concatenate([w_d, w_r], axis=1)
+    else:
+        ids, w = _csr_weighted_gather(index, query_terms, query_idf, p,
+                                      mask, has_mask, bsz)
     sorted_ids, totals = _segment_sum_runs(ids, w)
     k_eff = min(k, ids.shape[1])
     if approx_topk:

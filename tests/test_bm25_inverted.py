@@ -168,3 +168,173 @@ def test_df_adaptive_lossless_when_budgets_cover(setup):
                           np.asarray(da_i)[0][keep])
     assert np.allclose(np.asarray(base_v)[0][keep],
                        np.asarray(da_v)[0][keep], rtol=1e-5)
+
+
+# -- CSR (untruncated) tier ---------------------------------------------------
+
+def _zipf_corpus(n=5000, slots=24, vocab=1 << 12, seed=3):
+    rng = np.random.default_rng(seed)
+    terms = ((rng.zipf(1.3, size=(n, slots)) - 1) % vocab).astype(np.int32)
+    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
+    pad = rng.random((n, slots)) < 0.2
+    terms[pad] = vocab
+    tfs[pad] = 0.0
+    doc_len = tfs.sum(1) * 2.0 + 1.0
+    return terms, tfs, doc_len, vocab
+
+
+def _queries_from(terms, vocab, n_q=12, qn=8, seed=4):
+    n = len(terms)
+    # df over per-doc UNIQUE terms (a doc counts once): entry-level
+    # counts exceed n for common terms and flip idf negative, which BM25
+    # never produces and the segment-sum aggregation does not support
+    st = np.sort(terms, axis=1)
+    first = np.ones_like(st, bool)
+    first[:, 1:] = st[:, 1:] != st[:, :-1]
+    uniq = st[first]
+    df = np.bincount(uniq[uniq < vocab].astype(np.int64),
+                     minlength=vocab + 1)
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+    rows = np.random.default_rng(seed).integers(0, n, n_q)
+    qt = np.full((n_q, qn), vocab, np.int32)
+    for i, r in enumerate(rows):
+        uniq = [t for t in dict.fromkeys(terms[r].tolist()) if t != vocab][:qn]
+        qt[i, : len(uniq)] = uniq
+    qi = np.where(qt != vocab, idf[np.minimum(qt, vocab)], 0.0
+                  ).astype(np.float32)
+    return jnp.asarray(qt), jnp.asarray(qi)
+
+
+def test_csr_full_depth_matches_doc_major_exactly():
+    """At a query budget >= the longest posting run, the CSR tier IS the
+    exact BM25 scorer: same winners, same scores (bf16 impact rounding),
+    for zipf-shaped data where the fixed table must truncate."""
+    from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+
+    terms, tfs, doc_len, vocab = _zipf_corpus()
+    csr = build_inverted_csr(terms, tfs, doc_len, vocab)
+    corpus = build_lexical_corpus(jnp.asarray(terms),
+                                  jnp.asarray(tfs),
+                                  jnp.asarray(doc_len))
+    qt, qi = _queries_from(terms, vocab)
+    avgdl = jnp.float32(float(doc_len.mean()))
+    k = 20
+    gv, gi = bm25_search(qt, qi, corpus, avgdl, vocab_size=vocab, k=k)
+    max_run = int(np.max(np.bincount(terms[terms < vocab].astype(np.int64))))
+    cv, ci = inverted_bm25_search(qt, qi, csr, k=k,
+                                  postings_per_query_term=max_run)
+    for b in range(qt.shape[0]):
+        gold = {int(d): float(s)
+                for d, s in zip(np.asarray(gi)[b], np.asarray(gv)[b])
+                if np.isfinite(s) and s > 0}
+        got = {int(d): float(s)
+               for d, s in zip(np.asarray(ci)[b], np.asarray(cv)[b])
+               if d >= 0}
+        # identical winner sets modulo ties at the k boundary: compare
+        # score multisets instead of ids
+        np.testing.assert_allclose(sorted(got.values(), reverse=True),
+                                   sorted(gold.values(), reverse=True),
+                                   rtol=2e-2)
+        shared = set(got) & set(gold)
+        assert len(shared) >= k * 0.9
+        for d in shared:
+            np.testing.assert_allclose(got[d], gold[d], rtol=2e-2)
+
+
+def test_csr_budget_matches_fixed_table_at_equal_caps():
+    """With the same per-term budget, CSR and the fixed table see the
+    same impact-ordered prefixes -> identical candidates and scores."""
+    from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+
+    terms, tfs, doc_len, vocab = _zipf_corpus()
+    cap = 64
+    fixed = build_inverted(terms, tfs, doc_len, vocab, postings_per_term=cap,
+                           avgdl=float(doc_len.mean()))
+    csr = build_inverted_csr(terms, tfs, doc_len, vocab)
+    qt, qi = _queries_from(terms, vocab)
+    fv, fi = inverted_bm25_search(qt, qi, fixed, k=30,
+                                  postings_per_query_term=cap)
+    cv, ci = inverted_bm25_search(qt, qi, csr, k=30,
+                                  postings_per_query_term=cap)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(np.asarray(fv)), np.asarray(fv), 0.0),
+        np.where(np.isfinite(np.asarray(cv)), np.asarray(cv), 0.0),
+        rtol=1e-3)
+    keep = np.asarray(fi) >= 0
+    assert np.array_equal(np.asarray(fi)[keep], np.asarray(ci)[keep])
+
+
+def test_csr_deep_budgets_and_mask():
+    """Deep budgets lift only the low-idf terms' depth; masks drop rows."""
+    from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+
+    terms, tfs, doc_len, vocab = _zipf_corpus()
+    csr = build_inverted_csr(terms, tfs, doc_len, vocab)
+    qt, qi = _queries_from(terms, vocab)
+    corpus = build_lexical_corpus(jnp.asarray(terms), jnp.asarray(tfs),
+                                  jnp.asarray(doc_len))
+    avgdl = jnp.float32(float(doc_len.mean()))
+    gv, gi = bm25_search(qt, qi, corpus, avgdl, vocab_size=vocab, k=10)
+
+    def recall(ci):
+        hits = tot = 0
+        for b in range(qt.shape[0]):
+            gold = {int(d) for d, s in zip(np.asarray(gi)[b],
+                                           np.asarray(gv)[b])
+                    if np.isfinite(s) and s > 0}
+            got = {int(d) for d in np.asarray(ci)[b] if d >= 0}
+            hits += len(gold & got)
+            tot += len(gold)
+        return hits / max(tot, 1)
+
+    _, shallow = inverted_bm25_search(qt, qi, csr, k=10,
+                                      postings_per_query_term=16)
+    _, deep = inverted_bm25_search(qt, qi, csr, k=10,
+                                   postings_per_query_term=16,
+                                   deep_terms=4, deep_postings=4096)
+    assert recall(deep) > recall(shallow)
+    # a query budget covering the longest run makes the CSR tier exact
+    max_run = int(np.max(np.bincount(terms[terms < vocab].astype(np.int64))))
+    _, full = inverted_bm25_search(qt, qi, csr, k=10,
+                                   postings_per_query_term=max_run)
+    assert recall(full) == 1.0
+
+    # mask: banned rows never surface
+    mask = np.ones(len(terms), bool)
+    banned = set(int(x) for x in np.asarray(deep)[0] if x >= 0)
+    for r in banned:
+        mask[r] = False
+    _, masked = inverted_bm25_search(qt, qi, csr, k=10,
+                                     mask=jnp.asarray(mask), has_mask=True,
+                                     postings_per_query_term=16,
+                                     deep_terms=4, deep_postings=4096)
+    assert banned.isdisjoint(int(x) for x in np.asarray(masked)[0] if x >= 0)
+
+
+def test_csr_in_fused_hybrid():
+    """hybrid_search dispatches on the index type: a CSR index drops in
+    with rescore + RRF unchanged."""
+    from super_rag_tpu.ops.bm25 import LexicalCorpus
+    from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+    from super_rag_tpu.ops.dense import build_corpus
+    from super_rag_tpu.ops.hybrid import hybrid_search
+
+    terms, tfs, doc_len, vocab = _zipf_corpus(n=2000)
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((len(terms), 32)).astype(np.float32)
+    dense = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
+    lex = LexicalCorpus(terms=jnp.asarray(terms),
+                        tfs=jnp.asarray(tfs, jnp.bfloat16),
+                        doc_len=jnp.asarray(doc_len))
+    csr = build_inverted_csr(terms, tfs, doc_len, vocab)
+    qt, qi = _queries_from(terms, vocab, n_q=4)
+    q = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    res = hybrid_search(
+        q, qt, qi, dense, lex, jnp.float32(float(doc_len.mean())),
+        inverted=csr, vocab_size=vocab, k=5, candidates=20,
+        use_pallas=False, block_size=1024, postings_per_query_term=64,
+        rescore=True, lex_gen=40,
+    )
+    ids = np.asarray(res.indices)
+    assert ids.shape == (4, 5) and (ids >= -1).all()
+    assert (ids[:, 0] >= 0).all()
