@@ -206,5 +206,160 @@ def main() -> None:
     log("wrote DIAG_10M_FIDELITY.json")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--csr-ladder" not in sys.argv:
     main()
+
+
+def csr_ladder() -> None:
+    """Budget -> fidelity ladder on the CSR (untruncated) tier: measures
+    how fused fidelity scales with the query-time postings budget now
+    that the build cap is gone.  On this synthetic corpus the per-term
+    impacts are near-flat (tf capped at 8, quantized doc lengths), so a
+    gold doc's position in a df-200k run is ~uniform and prefix coverage
+    is ~budget/df — the ladder quantifies exactly that."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from super_rag_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from super_rag_tpu.ops.bm25 import LexicalCorpus
+    from super_rag_tpu.ops.bm25_inverted import (CSRInvertedIndex,
+                                                 inverted_bm25_search)
+    from super_rag_tpu.ops.dense import DenseCorpus
+    from super_rag_tpu.ops.fusion import rrf_fuse
+    from super_rag_tpu.ops.hybrid import hybrid_search
+    from super_rag_tpu.ops.ivf import IVFIndex
+
+    n, d, n_centers = 8192 * 1221, 768, 2048
+    nlist = 16384
+    slots, vocab = 48, 1 << 17
+    batch, k, cand = 512, 10, 100
+    tag = f"n{n}_d{d}_v{vocab}_s{slots}"
+
+    centers = (np.random.default_rng([7, 0])
+               .standard_normal((n_centers, d), dtype=np.float32) * 3.0)
+    qrng = np.random.default_rng([7, 1])
+    q_assign = qrng.integers(0, n_centers, batch)
+    q_all = centers[q_assign] + qrng.standard_normal((batch, d),
+                                                     dtype=np.float32)
+    qn = q_all / np.linalg.norm(q_all, axis=1, keepdims=True)
+    del centers, q_all
+
+    with np.load(os.path.join(CACHE, f"lex_{tag}.npz")) as z:
+        terms, tfs_u8 = z["terms"], z["tfs"]
+    tfs32 = tfs_u8.astype(np.float32)
+    doc_len = tfs32.sum(1) * 2.0 + 1.0
+    avgdl = float(doc_len.mean())
+    df = np.bincount(terms[terms < vocab].astype(np.int64),
+                     minlength=vocab + 1)
+    idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+    qterms_n = 16
+    q_rows = np.random.default_rng([7, 5]).integers(0, n, batch)
+    q_terms = np.full((batch, qterms_n), vocab, np.int32)
+    df_cap = max(64, n // 50)
+    for bi, row in enumerate(q_rows):
+        uniq = [t for t in dict.fromkeys(terms[row].tolist())
+                if t != vocab and df[t] <= df_cap][:qterms_n]
+        q_terms[bi, : len(uniq)] = uniq
+    q_idf = np.where(q_terms != vocab, idf_table[np.minimum(q_terms, vocab)],
+                     0.0).astype(np.float32)
+    qdfs = np.where(q_terms[:N_GOLD] < vocab,
+                    df[np.minimum(q_terms[:N_GOLD], vocab)], 0)
+    log(f"query-term df: median {int(np.median(qdfs[qdfs > 0]))} "
+        f"p90 {int(np.percentile(qdfs[qdfs > 0], 90))} "
+        f"max {int(qdfs.max())}")
+
+    with np.load(os.path.join(CACHE, f"dense_gold_{tag}.npz")) as z:
+        gold_dv, gold_di = z["dv"], z["di"]
+    with np.load(os.path.join(CACHE, f"bm25_gold_{tag}.npz")) as z:
+        gold_lv, gold_li = z["lv"], z["li"]
+    gdi = np.where(np.isfinite(gold_dv), gold_di, -1).astype(np.int32)
+    gli = np.where(np.isfinite(gold_lv) & (gold_lv > 0), gold_li,
+                   -1).astype(np.int32)
+    _, gold_hybrid = rrf_fuse(jnp.asarray(gdi), jnp.asarray(gli), k=k)
+    gold_hybrid = np.asarray(gold_hybrid)
+
+    def overlap(got, gold, kk):
+        return float(np.mean([
+            len({x for x in a[:kk].tolist() if x >= 0}
+                & {x for x in g[:kk].tolist() if x >= 0})
+            / max(len({x for x in g[:kk].tolist() if x >= 0}), 1)
+            for a, g in zip(np.asarray(got), gold)
+        ]))
+
+    with np.load(os.path.join(CACHE, f"csr_{tag}.npz")) as z:
+        csr = CSRInvertedIndex(
+            postings_docs=jnp.asarray(z["docs"]),
+            postings_impact=jnp.asarray(z["impact"]).astype(jnp.bfloat16),
+            offsets=jnp.asarray(z["offsets"]),
+            num_docs=int(z["num_docs"]),
+        )
+    lexical = LexicalCorpus(
+        terms=jnp.asarray(terms), tfs=jnp.asarray(tfs32, jnp.bfloat16),
+        doc_len=jnp.asarray(doc_len.astype(np.float32)),
+    )
+    del terms, tfs32, tfs_u8
+    qt = jnp.asarray(q_terms[:N_GOLD])
+    qi = jnp.asarray(q_idf[:N_GOLD])
+    out = {"lex_branch": {}, "hybrid": {}}
+    for pq in (2048, 8192, 32768, 131072):
+        lg = 250
+        lv, li = inverted_bm25_search(qt, qi, csr, k=lg,
+                                      postings_per_query_term=pq)
+        out["lex_branch"][pq] = {
+            "gen250_vs_gold_top100": round(overlap(li, gli, 100), 4),
+        }
+        log(f"csr lex pq={pq}: {out['lex_branch'][pq]}")
+
+    iv = dict(np.load(os.path.join(CACHE, f"ivf_{tag}_l{nlist}.npz")))
+    overflow = None
+    overflow_rows = None
+    if "of_values" in iv:
+        overflow = DenseCorpus(values=jnp.asarray(iv["of_values"]),
+                               scales=jnp.asarray(iv["of_scales"]))
+        overflow_rows = jnp.asarray(iv["of_rows"])
+    ivf = IVFIndex(
+        centroids=jnp.asarray(iv["centroids"]),
+        values=jnp.asarray(iv["values"]),
+        scales=jnp.asarray(iv["scales"]),
+        row_ids=jnp.asarray(iv["row_ids"]),
+        overflow=overflow, overflow_rows=overflow_rows,
+        residual=bool(iv["residual"]),
+        sign_plane=(jnp.asarray(iv["sign_plane"])
+                    if "sign_plane" in iv else None),
+        of_sign_plane=(jnp.asarray(iv["of_sign_plane"])
+                       if "of_sign_plane" in iv else None),
+        of_assign=(jnp.asarray(iv["of_assign"])
+                   if "of_assign" in iv else None),
+    )
+    del iv
+    queries = jnp.asarray(qn[:N_GOLD])
+    for pq in (8192, 32768):
+        res = hybrid_search(
+            queries, qt, qi, None, lexical, jnp.float32(avgdl),
+            inverted=csr, ivf=ivf, vocab_size=vocab, k=k, candidates=cand,
+            use_pallas=False, nprobe=32, postings_per_query_term=pq,
+            rescore=True, lex_gen=250, num_docs=n, int8_queries=True,
+        )
+        out["hybrid"][pq] = round(overlap(res.indices, gold_hybrid, k), 4)
+        log(f"csr hybrid pq={pq}: {out['hybrid'][pq]}")
+
+    path = os.path.join(ROOT, "DIAG_10M_FIDELITY.json")
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        prior = {}
+    prior["csr_ladder"] = out
+    with open(path, "w") as f:
+        json.dump(prior, f, indent=1)
+    log("csr ladder recorded")
+
+
+if __name__ == "__main__" and "--csr-ladder" in sys.argv:
+    csr_ladder()
+    sys.exit(0)

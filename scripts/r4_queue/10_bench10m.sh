@@ -1,14 +1,49 @@
 #!/bin/bash
 # BUDGET_S=3600
-# Stage 1: the 10M north-star triple with the r3 tier stack
-# (VERDICT r3 item 1).  Uses the l16384 IVF cache built on CPU in r3.
+# Stage 1: the 10M north-star triple with the CSR lexical tier
+# (VERDICT r3 item 1).  Uses the l16384 IVF cache + csr cache built on
+# CPU.  Two passes with CPU-premeasured fidelity (DIAG_10M_FIDELITY.json
+# csr_fused_frontier): a light "gates" config (fidelity 0.8125, best
+# shot at QPS>=10k + p50<5ms) and a quality config (fidelity 0.9547).
+# The canonical BENCH_10M.json keeps the deepest pass that still clears
+# the QPS gate.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+export MALLOC_MMAP_THRESHOLD_=1073741824 MALLOC_TRIM_THRESHOLD_=1073741824
 if [ -f .bench10m_cache/ivf_n10002432_d768_v131072_s48_l16384.npz ]; then
   export BENCH_NLIST=16384
 else
   export BENCH_NLIST=8192
 fi
-echo "bench_10m --full (nlist=$BENCH_NLIST) $(date +%H:%M:%S)"
-timeout 7200 python -u scripts/bench_10m.py --full 16 32 48 64 96 128
+
+echo "pass 1: gates config (pq768 + deep2x8192) $(date +%H:%M:%S)"
+BENCH_PQ=768 BENCH_DEEP_TERMS=2 BENCH_DEEP_POSTINGS=8192 \
+  timeout 3600 python -u scripts/bench_10m.py --full 32 48 64
 echo "rc=$?"
+[ -f BENCH_10M.json ] && cp BENCH_10M.json BENCH_10M_GATES.json
+
+echo "pass 2: quality config (pq2048 + deep4x65536) $(date +%H:%M:%S)"
+BENCH_PQ=2048 BENCH_DEEP_TERMS=4 BENCH_DEEP_POSTINGS=65536 \
+  timeout 3600 python -u scripts/bench_10m.py --full 32
+echo "rc=$?"
+[ -f BENCH_10M.json ] && cp BENCH_10M.json BENCH_10M_QUALITY.json
+
+python - <<'PY'
+import json
+try:
+    with open('BENCH_10M_QUALITY.json') as f:
+        q = json.load(f)
+    with open('BENCH_10M_GATES.json') as f:
+        g = json.load(f)
+except OSError:
+    raise SystemExit(0)
+best = q if q.get('gates', {}).get('qps_gate_10k') else g
+best['note'] = ('canonical = deepest config clearing the QPS gate; '
+                'see BENCH_10M_GATES.json / BENCH_10M_QUALITY.json for '
+                'both passes and DIAG_10M_FIDELITY.json for the '
+                'CPU-measured fidelity frontier')
+with open('BENCH_10M.json', 'w') as f:
+    json.dump(best, f, indent=1)
+print('canonical BENCH_10M.json =',
+      'quality' if best is q else 'gates', 'pass')
+PY

@@ -6,7 +6,9 @@
 # stages nothing (all-or-nothing), which would silently drop the
 # records that WERE produced.
 cd /root/repo
-for f in BENCH_10M.json BENCH_CONFIG.json SEMANTIC_EVAL.json \
+for f in BENCH_10M.json BENCH_10M_GATES.json BENCH_10M_QUALITY.json \
+         BENCH_10M_RECALL_CPU.json DIAG_10M_FIDELITY.json \
+         BENCH_CONFIG.json SEMANTIC_EVAL.json \
          BENCH_P50_1M.json BENCH_CHURN_1M.json BENCH_INGEST.json; do
   [ -e "$f" ] && git add "$f"
 done

@@ -59,6 +59,17 @@ class IndexSpec:
     bm25_slots: int = 64
     vocab_size: int = 1 << 17
     min_capacity: int = 4096
+    # lexical snapshot layout: "table" = fixed [V, P] impact-truncated
+    # postings (cheap, exact for small corpora where P covers the runs);
+    # "csr" = full untruncated CSR (every posting stored; query budget is
+    # the only truncation — the 10M fidelity fix, DIAG_10M_FIDELITY.json);
+    # "auto" = csr once the corpus outgrows what the table cap covers
+    lex_tier: str = "auto"
+    # auto threshold: with the default P=256 cap a df-heavy term stays
+    # exactly covered up to ~P*500 docs (build cap n//500 heuristics);
+    # past 2M rows the truncation loss dominates and CSR's extra bytes
+    # (~6 B/posting vs the padded table) are the better trade
+    csr_auto_rows: int = 2_000_000
 
 
 @dataclass(frozen=True)
@@ -616,14 +627,25 @@ class DeviceIndex:
             tfs_np = tfs_np.copy()
             terms_np[dead] = self.spec.vocab_size
             tfs_np[dead] = 0.0
-        self._inverted = build_inverted(
-            terms_np,
-            tfs_np,
-            np.asarray(self.doc_len[:n]),
-            self.spec.vocab_size,
-            postings_per_term=postings_per_term,
-            avgdl=self.df.avgdl,
-        )
+        tier = self.spec.lex_tier
+        if tier == "auto":
+            tier = "csr" if n >= self.spec.csr_auto_rows else "table"
+        if tier == "csr":
+            from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+
+            self._inverted = build_inverted_csr(
+                terms_np, tfs_np, np.asarray(self.doc_len[:n]),
+                self.spec.vocab_size, avgdl=self.df.avgdl,
+            )
+        else:
+            self._inverted = build_inverted(
+                terms_np,
+                tfs_np,
+                np.asarray(self.doc_len[:n]),
+                self.spec.vocab_size,
+                postings_per_term=postings_per_term,
+                avgdl=self.df.avgdl,
+            )
         self._inverted_upto = n
         # compaction cadence doubles as the per-tile-extraction-cap
         # guard cadence (real kernel only — interpret mode at corpus

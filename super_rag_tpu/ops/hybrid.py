@@ -247,8 +247,12 @@ def hybrid_search(
         kd = min(max(kd, dense_refine), n)
 
     if ivf is not None:
-        b = query_emb.shape[0]
-        if b * nprobe >= ivf.nlist:
+        # NOTE: must not be named `b` — that shadows the BM25 length-
+        # normalization parameter, which the downstream rescore/tail
+        # stages still need (the shadow corrupted every IVF-tier rescore
+        # with b=batch_size until the 10M fidelity diag exposed it)
+        bsz_ = query_emb.shape[0]
+        if bsz_ * nprobe >= ivf.nlist:
             # large-batch tier: the probe union covers the whole index,
             # so probing saves no bytes — one exact MXU scan of every
             # cluster tile beats any probe-driven kernel (measured

@@ -353,3 +353,103 @@ def test_dense_refine_matches_manual_and_beats_int8():
         ]))
 
     assert ov(got_ref) >= ov(got_plain), (ov(got_ref), ov(got_plain))
+
+
+def test_csr_lex_tier_in_engine():
+    """IndexSpec(lex_tier='csr'): compaction builds the untruncated CSR
+    snapshot, the hybrid path returns the same winners as the table tier
+    on a small corpus (where the table is also exact), dead rows stay
+    excluded, and the fresh tail merges."""
+    import jax.numpy as jnp_
+
+    from super_rag_tpu.ops.bm25_inverted import CSRInvertedIndex
+
+    def build(tier):
+        eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp_.float32,
+                                         vocab_size=1 << 14, lex_tier=tier))
+        eng.ingest(DOCS)
+        eng.index.compact_lexical()
+        return eng
+
+    table = build("table")
+    csr = build("csr")
+    assert isinstance(csr.index._inverted, CSRInvertedIndex)
+    assert not isinstance(table.index._inverted, CSRInvertedIndex)
+    for q in ("fox jumping dog", "matrix multiplication hardware"):
+        got_t = [h.row for h in table.search(q, top_k=4, mode="hybrid")]
+        got_c = [h.row for h in csr.search(q, top_k=4, mode="hybrid")]
+        assert got_t == got_c, (q, got_t, got_c)
+
+    # delete + recompact: the dead row never resurfaces
+    victim = csr.search("fox jumping dog", top_k=1, mode="hybrid")[0].row
+    csr.index.delete([victim])
+    csr.index.compact_lexical()
+    rows = [h.row for h in csr.search("fox jumping dog", top_k=5,
+                                      mode="hybrid")]
+    assert victim not in rows
+    # fresh tail after compaction still findable through the fused path
+    csr.index.auto_compact_rows = 10_000
+    csr.ingest(["a brand new doc about axolotls"])
+    hits = csr.search("axolotls", top_k=2, mode="hybrid")
+    assert hits and "axolotls" in hits[0].text
+
+
+def test_ivf_tier_rescore_matches_flat_rescore():
+    """Regression for the `b` shadow: the IVF branch bound the batch size
+    to `b`, so every IVF-tier RESCORE ran BM25 length-normalization with
+    b=batch_size instead of 0.75 — garbage lexical ranks that only the
+    10M diagnostics exposed.  At nprobe=nlist the IVF dense branch is
+    exact, so ivf-backed and flat-backed hybrids must return identical
+    indices WITH rescoring on."""
+    import jax.numpy as jnp_
+
+    from super_rag_tpu.ops.bm25 import LexicalCorpus
+    from super_rag_tpu.ops.bm25_inverted import build_inverted
+    from super_rag_tpu.ops.dense import build_corpus
+    from super_rag_tpu.ops.hybrid import hybrid_search
+    from super_rag_tpu.ops.ivf import build_ivf
+
+    rng = np.random.default_rng(11)
+    n, d, bsz, k, vocab, slots = 3000, 32, 8, 10, 1 << 11, 12
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    dense = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
+    ivf = build_ivf(jnp.asarray(emb), nlist=16, dtype=jnp.float32,
+                    kmeans_iters=3)
+    terms = ((rng.zipf(1.3, size=(n, slots)) - 1) % vocab).astype(np.int32)
+    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
+    doc_len = tfs.sum(1) * 2.0 + 1.0
+    lex = LexicalCorpus(terms=jnp.asarray(terms),
+                        tfs=jnp.asarray(tfs, jnp.bfloat16),
+                        doc_len=jnp.asarray(doc_len))
+    avgdl = jnp_.float32(float(doc_len.mean()))
+    inv = build_inverted(terms, tfs, doc_len, vocab, postings_per_term=64,
+                         avgdl=float(doc_len.mean()))
+    st = np.sort(terms, axis=1)
+    first = np.ones_like(st, bool)
+    first[:, 1:] = st[:, 1:] != st[:, :-1]
+    uniq_t = st[first]
+    dfreq = np.bincount(uniq_t[uniq_t < vocab].astype(np.int64),
+                        minlength=vocab + 1)
+    idf = np.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5)).astype(np.float32)
+    qrows = np.random.default_rng(12).integers(0, n, bsz)
+    q_terms = np.full((bsz, 6), vocab, np.int32)
+    for i, r in enumerate(qrows):
+        uniq = [t for t in dict.fromkeys(terms[r].tolist())
+                if t != vocab][:6]
+        q_terms[i, : len(uniq)] = uniq
+    qt = jnp.asarray(q_terms)
+    qi = jnp.asarray(np.where(q_terms != vocab,
+                              idf[np.minimum(q_terms, vocab)],
+                              0.0).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((bsz, d)).astype(np.float32))
+
+    common = dict(vocab_size=vocab, k=k, candidates=50, use_pallas=False,
+                  block_size=1024, postings_per_query_term=32,
+                  rescore=True, lex_gen=80)
+    flat = hybrid_search(q, qt, qi, dense, lex, avgdl, inverted=inv,
+                         **common)
+    # nprobe=16=nlist: every cluster probed, IVF dense branch is exact
+    via_ivf = hybrid_search(q, qt, qi, None, lex, avgdl, inverted=inv,
+                            ivf=ivf, nprobe=16, num_docs=n, **common)
+    np.testing.assert_array_equal(np.asarray(flat.indices),
+                                  np.asarray(via_ivf.indices))
