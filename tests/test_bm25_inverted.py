@@ -338,3 +338,103 @@ def test_csr_in_fused_hybrid():
     ids = np.asarray(res.indices)
     assert ids.shape == (4, 5) and (ids >= -1).all()
     assert (ids[:, 0] >= 0).all()
+
+
+def test_csr_sharded_exact_equals_unsharded_at_full_coverage():
+    """Doc-sharded CSR (C parallel narrow aggregations) must reproduce the
+    unsharded tier exactly when the per-term budget covers every run:
+    shards are id-disjoint so per-shard segment sums are exact and the
+    top-k-of-top-ks merge is the global top-k."""
+    from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+
+    terms, tfs, doc_len, vocab = _zipf_corpus()
+    flat = build_inverted_csr(terms, tfs, doc_len, vocab)
+    qt, qi = _queries_from(terms, vocab)
+    max_run = int(np.max(np.bincount(terms[terms < vocab].astype(np.int64))))
+    fv, fi = inverted_bm25_search(qt, qi, flat, k=25,
+                                  postings_per_query_term=max_run)
+    for c in (4, 7):
+        sharded = build_inverted_csr(terms, tfs, doc_len, vocab, shards=c)
+        assert sharded.shards == c and sharded.vocab_size == vocab
+        sv, si = inverted_bm25_search(qt, qi, sharded, k=25,
+                                      postings_per_query_term=max_run)
+        # identical score multisets; identical ids wherever scores are
+        # tie-free (tie order may differ across layouts)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(np.asarray(fv)), np.asarray(fv), 0.0),
+            np.where(np.isfinite(np.asarray(sv)), np.asarray(sv), 0.0),
+            rtol=1e-3)
+        fvn, svn = np.asarray(fv), np.asarray(sv)
+        for b in range(qt.shape[0]):
+            gold = {int(d): float(s) for d, s in zip(np.asarray(fi)[b], fvn[b])
+                    if d >= 0}
+            got = {int(d): float(s) for d, s in zip(np.asarray(si)[b], svn[b])
+                   if d >= 0}
+            boundary = min(gold.values(), default=0.0)
+            for d, s in gold.items():
+                if s > boundary + 1e-5:
+                    assert d in got, (c, b, d)
+
+
+def test_csr_sharded_truncating_budget_keeps_recall():
+    """At a truncating TOTAL budget, the sharded tier reads ceil(b/C)+slack
+    per shard — coverage must not regress vs the unsharded prefix."""
+    from super_rag_tpu.ops.bm25_inverted import build_inverted_csr
+
+    terms, tfs, doc_len, vocab = _zipf_corpus()
+    flat = build_inverted_csr(terms, tfs, doc_len, vocab)
+    sharded = build_inverted_csr(terms, tfs, doc_len, vocab, shards=8)
+    qt, qi = _queries_from(terms, vocab, n_q=24)
+    corpus = build_lexical_corpus(jnp.asarray(terms), jnp.asarray(tfs),
+                                  jnp.asarray(doc_len))
+    gv, gi = bm25_search(qt, qi, corpus, jnp.float32(float(doc_len.mean())),
+                         vocab_size=vocab, k=10)
+
+    def recall(ci):
+        hits = tot = 0
+        for b in range(qt.shape[0]):
+            gold = {int(d) for d, s in zip(np.asarray(gi)[b],
+                                           np.asarray(gv)[b])
+                    if np.isfinite(s) and s > 0}
+            got = {int(d) for d in np.asarray(ci)[b] if d >= 0}
+            hits += len(gold & got)
+            tot += len(gold)
+        return hits / max(tot, 1)
+
+    _, fi_ = inverted_bm25_search(qt, qi, flat, k=10,
+                                  postings_per_query_term=64,
+                                  deep_terms=3, deep_postings=512)
+    _, si_ = inverted_bm25_search(qt, qi, sharded, k=10,
+                                  postings_per_query_term=64,
+                                  deep_terms=3, deep_postings=512)
+    assert recall(si_) >= recall(fi_) - 0.02, (recall(si_), recall(fi_))
+    # mask parity under sharding: dropped rows never surface
+    mask = np.ones(len(terms), bool)
+    mask[::3] = False
+    _, mi = inverted_bm25_search(qt, qi, sharded, k=10,
+                                 postings_per_query_term=64,
+                                 mask=jnp.asarray(mask))
+    got = np.asarray(mi)
+    bad = got[got >= 0]
+    assert not np.any(bad % 3 == 0)
+
+
+def test_reshard_csr_host_matches_direct_sharded_build():
+    """reshard_csr_host (the cached-snapshot path) must produce the same
+    arrays as building the sharded layout from the corpus."""
+    from super_rag_tpu.ops.bm25_inverted import (build_inverted_csr,
+                                                 reshard_csr_host)
+
+    terms, tfs, doc_len, vocab = _zipf_corpus(n=800)
+    flat = build_inverted_csr(terms, tfs, doc_len, vocab)
+    for c in (2, 5, 8):
+        direct = build_inverted_csr(terms, tfs, doc_len, vocab, shards=c)
+        docs, impact, off2d = reshard_csr_host(
+            np.asarray(flat.postings_docs),
+            np.asarray(flat.postings_impact.astype(jnp.float32)),
+            np.asarray(flat.offsets), c)
+        np.testing.assert_array_equal(docs, np.asarray(direct.postings_docs))
+        np.testing.assert_array_equal(off2d, np.asarray(direct.offsets))
+        np.testing.assert_allclose(
+            impact,
+            np.asarray(direct.postings_impact.astype(jnp.float32)))

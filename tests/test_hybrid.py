@@ -453,3 +453,28 @@ def test_ivf_tier_rescore_matches_flat_rescore():
                             ivf=ivf, nprobe=16, num_docs=n, **common)
     np.testing.assert_array_equal(np.asarray(flat.indices),
                                   np.asarray(via_ivf.indices))
+
+
+def test_csr_sharded_tier_in_engine():
+    """IndexSpec(csr_shards=4): compaction builds the doc-sharded CSR and
+    the serving path returns the same winners as the unsharded CSR tier."""
+    import jax.numpy as jnp_
+
+    from super_rag_tpu.ops.bm25_inverted import CSRInvertedIndex
+
+    def build(shards):
+        eng = CollectionEngine(IndexSpec(dim=32, dtype=jnp_.float32,
+                                         vocab_size=1 << 14, lex_tier="csr",
+                                         csr_shards=shards))
+        eng.ingest(DOCS)
+        eng.index.compact_lexical()
+        return eng
+
+    flat = build(1)
+    sharded = build(4)
+    assert isinstance(sharded.index._inverted, CSRInvertedIndex)
+    assert sharded.index._inverted.shards == 4
+    for q in ("fox jumping dog", "matrix multiplication hardware"):
+        got_f = [h.row for h in flat.search(q, top_k=4, mode="hybrid")]
+        got_s = [h.row for h in sharded.search(q, top_k=4, mode="hybrid")]
+        assert got_f == got_s, (q, got_f, got_s)
