@@ -16,6 +16,17 @@ else
   export BENCH_NLIST=8192
 fi
 
+# lexical layout: stage 08's TPU A/B recommends sharded (16) or flat (1);
+# default to flat if the A/B never ran.  The csr16 cache is prebuilt on
+# CPU so the measuring process only device-puts.
+shards=1
+if [ -f AB_LEX_SHARDS.json ]; then
+  shards=$(python -c "import json;print(json.load(open('AB_LEX_SHARDS.json')).get('recommended_csr_shards',1))")
+fi
+[ -f .bench10m_cache/csr16_n10002432_d768_v131072_s48.npz ] || shards=1
+export BENCH_CSR_SHARDS=$shards
+echo "lexical layout: BENCH_CSR_SHARDS=$shards"
+
 echo "pass 1: gates config (pq768 + deep2x8192) $(date +%H:%M:%S)"
 BENCH_PQ=768 BENCH_DEEP_TERMS=2 BENCH_DEEP_POSTINGS=8192 \
   timeout 3600 python -u scripts/bench_10m.py --full 32 48 64

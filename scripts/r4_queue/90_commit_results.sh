@@ -8,6 +8,7 @@
 cd /root/repo
 for f in BENCH_10M.json BENCH_10M_GATES.json BENCH_10M_QUALITY.json \
          BENCH_10M_RECALL_CPU.json DIAG_10M_FIDELITY.json \
+         AB_LEX_SHARDS.json \
          BENCH_CONFIG.json SEMANTIC_EVAL.json \
          BENCH_P50_1M.json BENCH_CHURN_1M.json BENCH_INGEST.json; do
   [ -e "$f" ] && git add "$f"
