@@ -42,17 +42,25 @@ def main() -> None:
     from super_rag_tpu.ops.hybrid import hybrid_search
 
     on_tpu = jax.default_backend() != "cpu"
-    n = 1_000_000 if on_tpu else 10_000
-    d = 768 if on_tpu else 128
-    batch = 512 if on_tpu else 16
+    # TUNE_REAL_FIDELITY_CPU=1: run the REAL 1M corpus on the CPU backend
+    # at a fidelity-only batch — hybrid fidelity is backend-independent
+    # (same XLA programs minus Pallas; per_tile_k=2 measured
+    # fidelity-neutral, kernels.md), so the sweep's quality column can be
+    # recorded without a TPU claim.  QPS is NOT measured in this mode and
+    # BENCH_CONFIG.json is not written (on_tpu gate below).
+    real_fid = (os.environ.get("TUNE_REAL_FIDELITY_CPU") == "1"
+                and not on_tpu)
+    n = 1_000_000 if (on_tpu or real_fid) else 10_000
+    d = 768 if (on_tpu or real_fid) else 128
+    batch = 512 if on_tpu else (64 if real_fid else 16)
     k, cand = 10, 100
-    slots = 64 if on_tpu else 16
+    slots = 64 if (on_tpu or real_fid) else 16
     # sweep at the SERVING query distribution (bench.py BENCH_QTERMS
     # default 6 — the reference analyzer emits ~3-8 discriminative
     # terms); 16 uniform terms is the adversarial diagnostic case
     qterms_n = int(os.environ.get("BENCH_QTERMS", "6"))
-    vocab = (1 << 17) if on_tpu else (1 << 14)
-    sample = 64 if on_tpu else 16
+    vocab = (1 << 17) if (on_tpu or real_fid) else (1 << 14)
+    sample = 64 if (on_tpu or real_fid) else 16
 
     # identical corpus recipe to bench.py (seed 0)
     rng = np.random.default_rng(0)
@@ -95,7 +103,7 @@ def main() -> None:
                      0.0).astype(np.float32)
     q_terms_j = jnp.asarray(q_terms)
     q_idf_j = jnp.asarray(q_idf)
-    tile = 8192 if on_tpu else 512
+    tile = 8192 if (on_tpu or real_fid) else 512
 
     # truncation-free gold (sample queries)
     dv, di = dense_search(queries[:sample], dense_f32, k=cand,
@@ -117,14 +125,22 @@ def main() -> None:
             for a, b in zip(got, ref)
         ]))
 
-    # branch-wise diagnosis at the headline caps
+    # branch-wise diagnosis at the headline caps (skipped in the
+    # real-1M CPU fidelity mode: interpret-mode Pallas at 1M x 768 is
+    # pathologically slow on one vCPU and the branch split is already
+    # recorded by the simulator diagnostics)
     from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
-    pdv, pdi = pallas_dense_topk(queries[:sample], dense_int8, k=cand,
-                                 tile=tile, int8_queries=True, per_tile_k=8,
-                                 interpret=not on_tpu)
-    print(json.dumps({"branch": "dense_int8_cap8",
-                      "top10_overlap_vs_f32": overlap(
-                          np.asarray(pdi)[:, :k], gold_dense)}), flush=True)
+    if real_fid:
+        pdi = None
+    else:
+        pdv, pdi = pallas_dense_topk(queries[:sample], dense_int8, k=cand,
+                                     tile=tile, int8_queries=True,
+                                     per_tile_k=8, interpret=not on_tpu)
+    if pdi is not None:
+        print(json.dumps({"branch": "dense_int8_cap8",
+                          "top10_overlap_vs_f32": overlap(
+                              np.asarray(pdi)[:, :k], gold_dense)}),
+              flush=True)
     for ppq in (256, 1024):
         iv_, ii_ = inverted_bm25_search(q_terms_j[:sample], q_idf_j[:sample],
                                         inverted, k=cand,
@@ -178,7 +194,8 @@ def main() -> None:
                 use_pallas=on_tpu, dense_tile=tile,
                 block_size=262_144 if on_tpu else 8_192,
                 bm25_block_size=4_096,
-                postings_per_query_term=ppq, int8_queries=on_tpu,
+                postings_per_query_term=ppq,
+                int8_queries=on_tpu or real_fid,
                 per_tile_k=ptk if on_tpu else None,
                 rescore=True, lex_gen=lg,
                 lex_deep_terms=dt, lex_deep_postings=dp,
@@ -192,15 +209,16 @@ def main() -> None:
         res = run()
         sync(res)
         fid = overlap(np.asarray(res.indices)[:sample], gold)
-        per_call = timed(run, sync)
+        per_call = None if real_fid else timed(run, sync)
         row = {
             "config": label,
             "postings_per_query_term": ppq,
             "deep_terms": dt, "deep_postings": dp, "approx": approx,
             "dense_refine": refine, "lex_gen": lg,
             "hybrid_fidelity": round(fid, 4),
-            "qps": round(batch / per_call, 1),
-            "batch512_ms": round(per_call * 1e3, 2),
+            "qps": None if per_call is None else round(batch / per_call, 1),
+            "batch512_ms": (None if per_call is None
+                            else round(per_call * 1e3, 2)),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -209,6 +227,20 @@ def main() -> None:
     # BENCH_CONFIG.json): best QPS among configs meeting the 0.95
     # fidelity bar, else the highest-fidelity config.  TPU only — CPU
     # sanity numbers must not set the chip's operating point.
+    if real_fid and results:
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "FIDELITY_1M_CPU.json")
+        with open(out_path, "w") as f:
+            json.dump({
+                "note": ("REAL 1M corpus, CPU backend, fidelity only "
+                         "(qps requires the chip); same XLA programs as "
+                         "the TPU sweep minus Pallas extraction "
+                         "(per_tile_k=2 measured fidelity-neutral)"),
+                "qterms": qterms_n,
+                "results": results,
+            }, f, indent=1)
+        print(json.dumps({"wrote": out_path}), flush=True)
     if on_tpu and results:
         eligible = [r for r in results if r["hybrid_fidelity"] >= 0.95]
         best = (max(eligible, key=lambda r: r["qps"]) if eligible
