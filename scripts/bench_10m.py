@@ -500,6 +500,13 @@ def main() -> None:
             "dense_recall_by_nprobe": dense_recalls,
             "hybrid_fidelity_vs_exact_hybrid": round(hybrid_fidelity, 4),
             "ivf_overflow_rows": overflow_n,
+            "lex": {
+                "tier": "csr" if use_csr else "table",
+                "shards": getattr(inverted, "shards", 1),
+                "postings_per_query_term": lex_pq,
+                "deep_terms": lex_dt, "deep_postings": lex_dp,
+                "lex_gen": lex_gen,
+            },
             "recall_gate_0.95": recall >= 0.95,
             "note": "quality gates recomputed on the CPU backend from the "
                     "same cached 10M index the TPU run serves (bit-"
@@ -538,9 +545,15 @@ def main() -> None:
 
     qps = batch / per_call_512
     recall = dense_recalls[chosen]
+    if hasattr(inverted, "postings_ids"):  # fixed [V, P] table tier
+        inv_bytes = (inverted.postings_ids.size * 4
+                     + inverted.postings_impact.size * 2)
+    else:  # CSR tier (flat or doc-sharded)
+        inv_bytes = (inverted.postings_docs.size * 4
+                     + inverted.postings_impact.size * 2
+                     + inverted.offsets.size * 4)
     hbm_gb = (ivf.values.size + (lexical.terms.size * 4)
-              + (lexical.tfs.size * 2) + inverted.postings_ids.size * 4
-              + inverted.postings_impact.size * 2) / 2**30
+              + (lexical.tfs.size * 2) + inv_bytes) / 2**30
     gates = {
         "recall_gate_0.95": recall >= 0.95,
         "qps_gate_10k": qps >= 10_000,
@@ -558,6 +571,13 @@ def main() -> None:
         "batch32_ms": round(per_call_32 * 1e3, 2),
         "hbm_gb": round(hbm_gb, 2),
         "ivf_overflow_rows": overflow_n,
+        "lex": {
+            "tier": "csr" if use_csr else "table",
+            "shards": getattr(inverted, "shards", 1),
+            "postings_per_query_term": lex_pq,
+            "deep_terms": lex_dt, "deep_postings": lex_dp,
+            "lex_gen": lex_gen,
+        },
         "gates": gates,
         "all_gates": all(gates.values()),
     }
