@@ -121,7 +121,10 @@ def main() -> None:
         # the latency-tier union kernel streams per probe.
         nlist = int(os.environ.get("BENCH_NLIST", "16384"))
         slots, vocab = 48, 1 << 17
-        batch, k, cand = 512, 10, 100
+        # BENCH_BATCH: OOM headroom knob — the 10M residents are ~14.6 GB
+        # of 16 GB HBM and the quality config's gather+sort transients
+        # scale with batch; 256 halves them if 512 trips the allocator
+        batch, k, cand = int(os.environ.get("BENCH_BATCH", "512")), 10, 100
         train_sample = 300_000
         postings_per_term = 1024
         nprobes = nprobe_args or [32, 48, 64, 96, 128]

@@ -36,8 +36,21 @@ echo "rc=$?"
 echo "pass 2: quality config (pq2048 + deep4x65536) $(date +%H:%M:%S)"
 BENCH_PQ=2048 BENCH_DEEP_TERMS=4 BENCH_DEEP_POSTINGS=65536 \
   timeout 3600 python -u scripts/bench_10m.py --full 32
-echo "rc=$?"
-[ -f BENCH_10M.json ] && cp BENCH_10M.json BENCH_10M_QUALITY.json
+rc2=$?
+echo "rc=$rc2"
+if [ "$rc2" -ne 0 ] && [ "$rc2" -ne 124 ]; then
+  # likely HBM pressure (the quality config's gather+sort transients at
+  # b512 on top of ~14.6 GB residents): halve the batch and retry once
+  echo "pass 2 retry at BENCH_BATCH=256 $(date +%H:%M:%S)"
+  BENCH_PQ=2048 BENCH_DEEP_TERMS=4 BENCH_DEEP_POSTINGS=65536 \
+  BENCH_BATCH=256 timeout 2400 python -u scripts/bench_10m.py --full 32
+  echo "rc=$?"
+fi
+# only label the file a quality pass if pass 2 actually rewrote it
+# (on double failure BENCH_10M.json still holds pass 1's output)
+if [ -f BENCH_10M.json ] && ! cmp -s BENCH_10M.json BENCH_10M_GATES.json; then
+  cp BENCH_10M.json BENCH_10M_QUALITY.json
+fi
 
 python - <<'PY'
 import json
