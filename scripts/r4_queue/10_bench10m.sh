@@ -28,8 +28,12 @@ export BENCH_CSR_SHARDS=$shards
 echo "lexical layout: BENCH_CSR_SHARDS=$shards"
 
 echo "pass 1: gates config (pq768 + deep2x8192) $(date +%H:%M:%S)"
+# nprobe list starts at 16: if 16 clears the 0.95 dense-recall gate the
+# b512 timing stays in the probe tier (512*16 = 8192 < nlist) instead of
+# the exact full scan — roughly half the dense bytes; the selection loop
+# falls through to 32/48 automatically if 16 misses the gate
 BENCH_PQ=768 BENCH_DEEP_TERMS=2 BENCH_DEEP_POSTINGS=8192 \
-  timeout 3600 python -u scripts/bench_10m.py --full 32 48 64
+  timeout 3600 python -u scripts/bench_10m.py --full 16 32 48
 echo "rc=$?"
 [ -f BENCH_10M.json ] && cp BENCH_10M.json BENCH_10M_GATES.json
 
