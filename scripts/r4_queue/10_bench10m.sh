@@ -37,8 +37,11 @@ BENCH_PQ=768 BENCH_DEEP_TERMS=2 BENCH_DEEP_POSTINGS=8192 \
 echo "rc=$?"
 [ -f BENCH_10M.json ] && cp BENCH_10M.json BENCH_10M_GATES.json
 
-echo "pass 2: quality config (pq2048 + deep4x65536) $(date +%H:%M:%S)"
-BENCH_PQ=2048 BENCH_DEEP_TERMS=4 BENCH_DEEP_POSTINGS=65536 \
+# quality config selected by the CPU frontier sweep (csr_frontier_v2 in
+# DIAG_10M_FIDELITY.json): deep6x32768 = fused 0.9609 at 217k sort width
+# (vs 0.9547 @ 287k for deep4x65536 — better on both axes)
+echo "pass 2: quality config (pq2048 + deep6x32768) $(date +%H:%M:%S)"
+BENCH_PQ=2048 BENCH_DEEP_TERMS=6 BENCH_DEEP_POSTINGS=32768 \
   timeout 3600 python -u scripts/bench_10m.py --full 32
 rc2=$?
 echo "rc=$rc2"
@@ -46,7 +49,7 @@ if [ "$rc2" -ne 0 ] && [ "$rc2" -ne 124 ]; then
   # likely HBM pressure (the quality config's gather+sort transients at
   # b512 on top of ~14.6 GB residents): halve the batch and retry once
   echo "pass 2 retry at BENCH_BATCH=256 $(date +%H:%M:%S)"
-  BENCH_PQ=2048 BENCH_DEEP_TERMS=4 BENCH_DEEP_POSTINGS=65536 \
+  BENCH_PQ=2048 BENCH_DEEP_TERMS=6 BENCH_DEEP_POSTINGS=32768 \
   BENCH_BATCH=256 timeout 2400 python -u scripts/bench_10m.py --full 32
   echo "rc=$?"
 fi
