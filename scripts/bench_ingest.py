@@ -40,6 +40,12 @@ def emit(rec: dict) -> None:
 
 def main() -> None:
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize overrides JAX_PLATFORMS — re-force it so
+        # `JAX_PLATFORMS=cpu` really runs CPU (without this the CPU
+        # sanity run inits the axon backend and queues for the TPU claim)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from super_rag_tpu.utils.jaxcache import enable_compilation_cache
