@@ -127,6 +127,9 @@ def main():
 
     import os
 
+    if os.environ.get("BENCH_PREBUILD") == "1":
+        on_tpu = True  # prebuild the TPU-shape corpus on the CPU backend
+
     n = 1_000_000 if on_tpu else 10_000
     d = 768 if on_tpu else 128
     batch = 512 if on_tpu else 16
@@ -138,59 +141,121 @@ def main():
     qterms_n = int(os.environ.get("BENCH_QTERMS", "6"))
     vocab = (1 << 17) if on_tpu else (1 << 14)
 
-    rng = np.random.default_rng(0)
-    # f32 draw: this host's f64 ziggurat is ~50x slower (measured)
-    emb = rng.standard_normal((n, d), dtype=np.float32)
+    def _stage(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    def _zipf_fast(g, a, size):
+        # inverse-CDF power-law sampler: rng.zipf's f64 rejection loop
+        # runs ~50x slower on this host (CLAUDE.md quirks) — 128M draws
+        # cost ~13 min and blew the whole bench window in r4.  X =
+        # floor(u^(-1/(a-1))) gives P(X=k) ~ k^-a, same zipfian posting
+        # skew the comment below relies on; exact tail constants differ
+        # from rng.zipf but nothing downstream depends on them.
+        u = g.random(size, dtype=np.float32).astype(np.float64)
+        u = np.maximum(u, 1e-9)
+        return np.exp(np.log(u) * (-1.0 / (a - 1.0))).astype(np.int64) + 1
+
+    # the host corpus build is deterministic given the shape key; cache
+    # it on disk so the driver's round-end bench (fresh process) skips
+    # straight to device work
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _cache_dir = os.path.join(_here, ".bench_cache")
+    _ck = os.path.join(
+        _cache_dir, f"host_n{n}_d{d}_s{slots}_v{vocab}_q{qterms_n}_b{batch}.npz")
+    if os.path.exists(_ck):
+        _stage(f"loading host corpus cache {os.path.basename(_ck)}")
+        _z = np.load(_ck)
+        emb = _z["emb"]
+        terms = _z["terms"]
+        tfs = _z["tfs"]
+        doc_len = _z["doc_len"]
+        idf_table = _z["idf_table"]
+        queries_np = _z["queries"]
+        q_terms = _z["q_terms"]
+        q_idf = _z["q_idf"]
+        _stage("host corpus cache loaded")
+    else:
+        _stage("generating host corpus (cache miss)")
+        rng = np.random.default_rng(0)
+        # f32 draw: this host's f64 ziggurat is ~50x slower (measured)
+        emb = rng.standard_normal((n, d), dtype=np.float32)
+
+        # synthetic BM25 corpus with a ZIPFIAN term distribution (natural
+        # language is zipf-distributed; a uniform draw would give every
+        # term ~N*L/V near-equal-impact postings, the worst case for
+        # impact-ordered pruning and unlike any real corpus)
+        zipf_raw = _zipf_fast(rng, 1.3, (n, slots))
+        terms = ((zipf_raw - 1) % vocab).astype(np.int32)
+        tfs = np.minimum(_zipf_fast(rng, 2.0, (n, slots)), 8).astype(
+            np.float32)
+        pad_mask = rng.random((n, slots)) < 0.2  # some empty slots
+        terms[pad_mask] = vocab
+        tfs[pad_mask] = 0.0
+        doc_len = (tfs.sum(1) * 2.0 + 1.0).astype(np.float32)
+
+        # document frequency -> true BM25 idf per bucket
+        # vectorized per-row unique: sort slots, drop adjacent duplicates
+        sorted_terms = np.sort(terms, axis=1)
+        first = np.ones_like(sorted_terms, bool)
+        first[:, 1:] = sorted_terms[:, 1:] != sorted_terms[:, :-1]
+        uniq_flat = sorted_terms[first]
+        df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
+        idf_table = np.log(
+            1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+
+        queries_np = rng.standard_normal((batch, d), dtype=np.float32)
+        # query terms drawn from corpus rows so lexical matches exist;
+        # terms are DEDUPED per query (the analyzer's query_entry
+        # contract — the inverted path sums postings per occurrence, so
+        # duplicates would double-count)
+        q_rows = rng.integers(0, n, batch)
+        q_terms = np.full((batch, qterms_n), vocab, np.int32)
+        df_cap = max(64, n // 50)  # discriminative terms only — the
+        # analyzer strips stopwords, so real queries never score on
+        # near-ubiquitous terms whose massive tied-posting lists make
+        # set-recall ill-defined
+        for bi, row in enumerate(q_rows):
+            uniq = [t for t in dict.fromkeys(terms[row].tolist())
+                    if t != vocab and df[t] <= df_cap][:qterms_n]
+            q_terms[bi, : len(uniq)] = uniq
+        q_idf = np.where(q_terms != vocab,
+                         idf_table[np.minimum(q_terms, vocab)],
+                         0.0).astype(np.float32)
+        _stage("host corpus generated; writing cache")
+        os.makedirs(_cache_dir, exist_ok=True)
+        _tmp = _ck + ".tmp"
+        np.savez(_tmp, emb=emb, terms=terms, tfs=tfs, doc_len=doc_len,
+                 idf_table=idf_table, queries=queries_np, q_terms=q_terms,
+                 q_idf=q_idf)
+        os.replace(_tmp + ".npz" if os.path.exists(_tmp + ".npz") else _tmp,
+                   _ck)
+        _stage(f"host corpus cache written: {os.path.basename(_ck)}")
+
+    if os.environ.get("BENCH_PREBUILD") == "1":
+        # corpus-prebuild mode: never touch the device (the TPU claim
+        # must stay free for the measuring process)
+        print(json.dumps({"prebuilt": _ck}), flush=True)
+        return
+
+    _stage("device put: dense corpus")
     # error_signs: the 1-bit refinement plane (96 MB at 1M) backing the
     # tuned dense_refine knob; unused unless the config enables it
     dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8,
                               error_signs=True)
     dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
 
-    # synthetic BM25 corpus with a ZIPFIAN term distribution (natural
-    # language is zipf-distributed; a uniform draw would give every term
-    # ~N*L/V near-equal-impact postings, the worst case for impact-ordered
-    # pruning and unlike any real corpus)
-    zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
-    terms = ((zipf_raw - 1) % vocab).astype(np.int32)
-    tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.float32)
-    pad_mask = rng.random((n, slots)) < 0.2  # some empty slots
-    terms[pad_mask] = vocab
-    tfs[pad_mask] = 0.0
-    doc_len = tfs.sum(1) * 2.0 + 1.0
     lexical = LexicalCorpus(
         terms=jnp.asarray(terms), tfs=jnp.asarray(tfs, jnp.bfloat16),
         doc_len=jnp.asarray(doc_len),
     )
     avgdl = jnp.float32(float(doc_len.mean()))
+    _stage("building inverted postings (native)")
     inverted = build_inverted(terms, tfs, doc_len, vocab,
                               postings_per_term=max(256, n // 500),
                               avgdl=float(doc_len.mean()))
-    # document frequency -> true BM25 idf per bucket
-    # vectorized per-row unique: sort slots, drop adjacent duplicates
-    sorted_terms = np.sort(terms, axis=1)
-    first = np.ones_like(sorted_terms, bool)
-    first[:, 1:] = sorted_terms[:, 1:] != sorted_terms[:, :-1]
-    uniq_flat = sorted_terms[first]
-    df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
-    idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
-
-    queries = jnp.asarray(rng.standard_normal((batch, d), dtype=np.float32))
-    # query terms drawn from corpus rows so lexical matches exist; terms
-    # are DEDUPED per query (the analyzer's query_entry contract — the
-    # inverted path sums postings per occurrence, so duplicates would
-    # double-count)
-    q_rows = rng.integers(0, n, batch)
-    q_terms = np.full((batch, qterms_n), vocab, np.int32)
-    df_cap = max(64, n // 50)  # discriminative terms only — the analyzer
-    # strips stopwords, so real queries never score on near-ubiquitous
-    # terms whose massive tied-posting lists make set-recall ill-defined
-    for bi, row in enumerate(q_rows):
-        uniq = [t for t in dict.fromkeys(terms[row].tolist())
-                if t != vocab and df[t] <= df_cap][:qterms_n]
-        q_terms[bi, : len(uniq)] = uniq
-    q_idf = np.where(q_terms != vocab, idf_table[np.minimum(q_terms, vocab)],
-                     0.0).astype(np.float32)
+    _stage("device put: queries")
+    queries = jnp.asarray(queries_np)
     q_terms_j = jnp.asarray(q_terms)
     q_idf_j = jnp.asarray(q_idf)
 
