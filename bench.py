@@ -7,9 +7,15 @@ the recall gate fails).
 
 Setup mirrors the north-star configuration at single-chip scale:
 1M chunks x 768-dim int8 embeddings + a BM25 doc-term table (64 slots),
-query batch 256, per-branch recall depth 100, fused top-10.  Recall@10 is
-measured against an exact fp32 dense + exact BM25 + host-RRF gold on a
-query sample.
+query batch 512, per-branch recall depth 100, fused top-10.  Recall@10 is
+measured against an exact fp32 dense gold computed ON THE HOST (the fp32
+corpus never touches HBM — r4's RESOURCE_EXHAUSTED came from keeping a
+3 GB fp32 gold corpus on-device next to the serving index).
+
+Robustness: the device phase runs under an OOM-fallback ladder (full
+config -> no sign-plane refine -> no rescore -> smaller blocks/batch);
+every exit path, including an unexpected exception, emits one parseable
+JSON line.
 
 Timing notes: this environment reaches the TPU through a relay whose
 block_until_ready returns early — sync must force a host transfer; the
@@ -19,6 +25,7 @@ marginal per-call time between two queue depths.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -38,6 +45,11 @@ if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import numpy as np
+
+
+def _stage(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def timed(run, sync, k_lo: int = 8, k_hi: int = 24) -> float:
@@ -61,24 +73,157 @@ def timed(run, sync, k_lo: int = 8, k_hi: int = 24) -> float:
     return (t_hi - t_lo) / (k_hi - k_lo)
 
 
+def _zipf_fast(g, a, size):
+    # inverse-CDF power-law sampler: rng.zipf's f64 rejection loop runs
+    # ~50x slower on this host (CLAUDE.md quirks) — 128M draws cost
+    # ~13 min and blew the whole bench window in r4.  X =
+    # floor(u^(-1/(a-1))) gives P(X=k) ~ k^-a, same zipfian posting skew
+    # downstream relies on; exact tail constants differ from rng.zipf
+    # but nothing depends on them.  Clip before the int64 cast (at
+    # u=1e-9, a=1.3 the float exceeds int64 range) and clamp the floor
+    # to >= 1 rather than shifting the whole distribution by +1.
+    u = g.random(size, dtype=np.float32).astype(np.float64)
+    u = np.maximum(u, 1e-9)
+    x = np.exp(np.log(u) * (-1.0 / (a - 1.0)))
+    x = np.minimum(x, 2.0 ** 62)
+    return np.maximum(x.astype(np.int64), 1)
+
+
+def _load_or_build_corpus(n, d, slots, vocab, qterms_n, batch):
+    """Host corpus (deterministic; disk-cached).  Pure host — no jax."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache_dir = os.path.join(here, ".bench_cache")
+    # v2: generator-version token in the key (ADVICE r4) — bumped when
+    # corpus generation logic changes (v2 = clamped/clipped _zipf_fast)
+    ck = os.path.join(
+        cache_dir,
+        f"host_v2_n{n}_d{d}_s{slots}_v{vocab}_q{qterms_n}_b{batch}.npz")
+    if os.path.exists(ck):
+        _stage(f"loading host corpus cache {os.path.basename(ck)}")
+        z = np.load(ck)
+        out = {k: z[k] for k in ("emb", "terms", "tfs", "doc_len",
+                                 "idf_table", "queries", "q_terms", "q_idf")}
+        _stage("host corpus cache loaded")
+        return out, ck
+
+    _stage("generating host corpus (cache miss)")
+    rng = np.random.default_rng(0)
+    # f32 draw: this host's f64 ziggurat is ~50x slower (measured)
+    emb = rng.standard_normal((n, d), dtype=np.float32)
+
+    # synthetic BM25 corpus with a ZIPFIAN term distribution (natural
+    # language is zipf-distributed; a uniform draw would give every
+    # term ~N*L/V near-equal-impact postings, the worst case for
+    # impact-ordered pruning and unlike any real corpus)
+    zipf_raw = _zipf_fast(rng, 1.3, (n, slots))
+    terms = ((zipf_raw - 1) % vocab).astype(np.int32)
+    tfs = np.minimum(_zipf_fast(rng, 2.0, (n, slots)), 8).astype(np.float32)
+    pad_mask = rng.random((n, slots)) < 0.2  # some empty slots
+    terms[pad_mask] = vocab
+    tfs[pad_mask] = 0.0
+    doc_len = (tfs.sum(1) * 2.0 + 1.0).astype(np.float32)
+
+    # document frequency -> true BM25 idf per bucket
+    # vectorized per-row unique: sort slots, drop adjacent duplicates
+    sorted_terms = np.sort(terms, axis=1)
+    first = np.ones_like(sorted_terms, bool)
+    first[:, 1:] = sorted_terms[:, 1:] != sorted_terms[:, :-1]
+    uniq_flat = sorted_terms[first]
+    df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
+    idf_table = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+
+    queries_np = rng.standard_normal((batch, d), dtype=np.float32)
+    # query terms drawn from corpus rows so lexical matches exist;
+    # terms are DEDUPED per query (the analyzer's query_entry
+    # contract — the inverted path sums postings per occurrence, so
+    # duplicates would double-count)
+    q_rows = rng.integers(0, n, batch)
+    q_terms = np.full((batch, qterms_n), vocab, np.int32)
+    df_cap = max(64, n // 50)  # discriminative terms only — the
+    # analyzer strips stopwords, so real queries never score on
+    # near-ubiquitous terms whose massive tied-posting lists make
+    # set-recall ill-defined
+    for bi, row in enumerate(q_rows):
+        uniq = [t for t in dict.fromkeys(terms[row].tolist())
+                if t != vocab and df[t] <= df_cap][:qterms_n]
+        q_terms[bi, : len(uniq)] = uniq
+    q_idf = np.where(q_terms != vocab,
+                     idf_table[np.minimum(q_terms, vocab)],
+                     0.0).astype(np.float32)
+    _stage("host corpus generated; writing cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    # per-writer private tmp (pid suffix) before the atomic publish —
+    # two concurrent cache-miss runs must not interleave one tmp file
+    tmp = ck + f".{os.getpid()}.tmp.npz"
+    np.savez(tmp, emb=emb, terms=terms, tfs=tfs, doc_len=doc_len,
+             idf_table=idf_table, queries=queries_np, q_terms=q_terms,
+             q_idf=q_idf)
+    os.replace(tmp, ck)
+    _stage(f"host corpus cache written: {os.path.basename(ck)}")
+    return {"emb": emb, "terms": terms, "tfs": tfs, "doc_len": doc_len,
+            "idf_table": idf_table, "queries": queries_np,
+            "q_terms": q_terms, "q_idf": q_idf}, ck
+
+
+def _host_dense_gold(emb, queries, sample, cand):
+    """Exact fp32 cosine scores [sample, N] computed on the host.
+
+    Replaces the on-device fp32 gold corpus (3 GB HBM at 1M x 768) that
+    OOMed the r4 driver bench.  Matches ops/dense.py semantics: rows and
+    queries L2-normalized in f32, dot product in f32.
+    """
+    q = queries[:sample].astype(np.float32)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    q = q / np.where(qn > 0, qn, 1.0)
+    n = emb.shape[0]
+    scores = np.empty((q.shape[0], n), np.float32)
+    blk = 131_072
+    for lo in range(0, n, blk):
+        hi = min(lo + blk, n)
+        block = emb[lo:hi]
+        norms = np.linalg.norm(block, axis=1)
+        s = q @ block.T
+        s /= np.where(norms > 0, norms, 1.0)[None, :]
+        scores[:, lo:hi] = s
+    return scores
+
+
 def main():
-    import os as _os
+    t_start = time.time()
+
+    # ---- corpus-prebuild mode: CPU-only BY CONSTRUCTION (ADVICE r4
+    # medium) — force the cpu platform before ANY backend init so a
+    # prebuild invocation can never queue for the TPU claim.
+    prebuild = os.environ.get("BENCH_PREBUILD") == "1"
+    if prebuild:
+        os.environ.setdefault("SUPER_RAG_FORCE_CPU", "1")
 
     import jax
 
-    if _os.environ.get("JAX_PLATFORMS"):
+    if prebuild:
+        jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS"):
         # the axon sitecustomize overrides JAX_PLATFORMS; re-force it so
         # `JAX_PLATFORMS=cpu python bench.py` really is the CPU sanity run
-        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    if prebuild:
+        # TPU-shape corpus, no device work at all
+        corpus, ck = _load_or_build_corpus(
+            1_000_000, 768, 64, 1 << 17,
+            int(os.environ.get("BENCH_QTERMS", "6")), 512)
+        print(json.dumps({"prebuilt": ck}), flush=True)
+        return
+
     import jax.numpy as jnp
 
     from super_rag_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    from super_rag_tpu.ops.bm25 import LexicalCorpus
+    from super_rag_tpu.ops.bm25 import LexicalCorpus, bm25_search
     from super_rag_tpu.ops.bm25_inverted import build_inverted
-    from super_rag_tpu.ops.dense import build_corpus, dense_search
+    from super_rag_tpu.ops.dense import build_corpus
     from super_rag_tpu.ops.fusion import rrf_fuse
     from super_rag_tpu.ops.hybrid import hybrid_search
 
@@ -95,12 +240,11 @@ def main():
         # REAL TPU measurement alongside (clearly labeled as prior) so
         # the round's record distinguishes 'infra down' from 'no result'
         prior = None
-        import os as _os
-
-        here = _os.path.dirname(_os.path.abspath(__file__))
-        for rec in ("BENCH_r03.json", "BENCH_r02.json", "BENCH_r01.json"):
+        here = os.path.dirname(os.path.abspath(__file__))
+        for rec in ("BENCH_r04.json", "BENCH_r03.json", "BENCH_r02.json",
+                    "BENCH_r01.json"):
             try:
-                with open(_os.path.join(here, rec)) as fh:
+                with open(os.path.join(here, rec)) as fh:
                     parsed = json.load(fh).get("parsed") or {}
                 if parsed.get("value", 0) > 0:
                     prior = {"record": rec, "metric": parsed.get("metric"),
@@ -116,7 +260,7 @@ def main():
                      "wedged; see CLAUDE.md relay notes",
             "last_known_good_tpu_run": prior,
         }), flush=True)
-        _os._exit(3)
+        os._exit(3)
 
     _wd = threading.Timer(600.0, _claim_watchdog)
     _wd.daemon = True
@@ -124,11 +268,6 @@ def main():
     backend = jax.default_backend()
     _wd.cancel()
     on_tpu = backend not in ("cpu",)
-
-    import os
-
-    if os.environ.get("BENCH_PREBUILD") == "1":
-        on_tpu = True  # prebuild the TPU-shape corpus on the CPU backend
 
     n = 1_000_000 if on_tpu else 10_000
     d = 768 if on_tpu else 128
@@ -141,132 +280,19 @@ def main():
     qterms_n = int(os.environ.get("BENCH_QTERMS", "6"))
     vocab = (1 << 17) if on_tpu else (1 << 14)
 
-    def _stage(msg):
-        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
-              file=sys.stderr, flush=True)
+    corpus, _ = _load_or_build_corpus(n, d, slots, vocab, qterms_n, batch)
+    emb = corpus["emb"]
+    terms = corpus["terms"]
+    tfs = corpus["tfs"]
+    doc_len = corpus["doc_len"]
+    queries_np = corpus["queries"]
+    q_terms = corpus["q_terms"]
+    q_idf = corpus["q_idf"]
 
-    def _zipf_fast(g, a, size):
-        # inverse-CDF power-law sampler: rng.zipf's f64 rejection loop
-        # runs ~50x slower on this host (CLAUDE.md quirks) — 128M draws
-        # cost ~13 min and blew the whole bench window in r4.  X =
-        # floor(u^(-1/(a-1))) gives P(X=k) ~ k^-a, same zipfian posting
-        # skew the comment below relies on; exact tail constants differ
-        # from rng.zipf but nothing downstream depends on them.
-        u = g.random(size, dtype=np.float32).astype(np.float64)
-        u = np.maximum(u, 1e-9)
-        return np.exp(np.log(u) * (-1.0 / (a - 1.0))).astype(np.int64) + 1
-
-    # the host corpus build is deterministic given the shape key; cache
-    # it on disk so the driver's round-end bench (fresh process) skips
-    # straight to device work
-    _here = os.path.dirname(os.path.abspath(__file__))
-    _cache_dir = os.path.join(_here, ".bench_cache")
-    _ck = os.path.join(
-        _cache_dir, f"host_n{n}_d{d}_s{slots}_v{vocab}_q{qterms_n}_b{batch}.npz")
-    if os.path.exists(_ck):
-        _stage(f"loading host corpus cache {os.path.basename(_ck)}")
-        _z = np.load(_ck)
-        emb = _z["emb"]
-        terms = _z["terms"]
-        tfs = _z["tfs"]
-        doc_len = _z["doc_len"]
-        idf_table = _z["idf_table"]
-        queries_np = _z["queries"]
-        q_terms = _z["q_terms"]
-        q_idf = _z["q_idf"]
-        _stage("host corpus cache loaded")
-    else:
-        _stage("generating host corpus (cache miss)")
-        rng = np.random.default_rng(0)
-        # f32 draw: this host's f64 ziggurat is ~50x slower (measured)
-        emb = rng.standard_normal((n, d), dtype=np.float32)
-
-        # synthetic BM25 corpus with a ZIPFIAN term distribution (natural
-        # language is zipf-distributed; a uniform draw would give every
-        # term ~N*L/V near-equal-impact postings, the worst case for
-        # impact-ordered pruning and unlike any real corpus)
-        zipf_raw = _zipf_fast(rng, 1.3, (n, slots))
-        terms = ((zipf_raw - 1) % vocab).astype(np.int32)
-        tfs = np.minimum(_zipf_fast(rng, 2.0, (n, slots)), 8).astype(
-            np.float32)
-        pad_mask = rng.random((n, slots)) < 0.2  # some empty slots
-        terms[pad_mask] = vocab
-        tfs[pad_mask] = 0.0
-        doc_len = (tfs.sum(1) * 2.0 + 1.0).astype(np.float32)
-
-        # document frequency -> true BM25 idf per bucket
-        # vectorized per-row unique: sort slots, drop adjacent duplicates
-        sorted_terms = np.sort(terms, axis=1)
-        first = np.ones_like(sorted_terms, bool)
-        first[:, 1:] = sorted_terms[:, 1:] != sorted_terms[:, :-1]
-        uniq_flat = sorted_terms[first]
-        df = np.bincount(uniq_flat[uniq_flat < vocab], minlength=vocab + 1)
-        idf_table = np.log(
-            1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
-
-        queries_np = rng.standard_normal((batch, d), dtype=np.float32)
-        # query terms drawn from corpus rows so lexical matches exist;
-        # terms are DEDUPED per query (the analyzer's query_entry
-        # contract — the inverted path sums postings per occurrence, so
-        # duplicates would double-count)
-        q_rows = rng.integers(0, n, batch)
-        q_terms = np.full((batch, qterms_n), vocab, np.int32)
-        df_cap = max(64, n // 50)  # discriminative terms only — the
-        # analyzer strips stopwords, so real queries never score on
-        # near-ubiquitous terms whose massive tied-posting lists make
-        # set-recall ill-defined
-        for bi, row in enumerate(q_rows):
-            uniq = [t for t in dict.fromkeys(terms[row].tolist())
-                    if t != vocab and df[t] <= df_cap][:qterms_n]
-            q_terms[bi, : len(uniq)] = uniq
-        q_idf = np.where(q_terms != vocab,
-                         idf_table[np.minimum(q_terms, vocab)],
-                         0.0).astype(np.float32)
-        _stage("host corpus generated; writing cache")
-        os.makedirs(_cache_dir, exist_ok=True)
-        _tmp = _ck + ".tmp"
-        np.savez(_tmp, emb=emb, terms=terms, tfs=tfs, doc_len=doc_len,
-                 idf_table=idf_table, queries=queries_np, q_terms=q_terms,
-                 q_idf=q_idf)
-        os.replace(_tmp + ".npz" if os.path.exists(_tmp + ".npz") else _tmp,
-                   _ck)
-        _stage(f"host corpus cache written: {os.path.basename(_ck)}")
-
-    if os.environ.get("BENCH_PREBUILD") == "1":
-        # corpus-prebuild mode: never touch the device (the TPU claim
-        # must stay free for the measuring process)
-        print(json.dumps({"prebuilt": _ck}), flush=True)
-        return
-
-    _stage("device put: dense corpus")
-    # error_signs: the 1-bit refinement plane (96 MB at 1M) backing the
-    # tuned dense_refine knob; unused unless the config enables it
-    dense_int8 = build_corpus(jnp.asarray(emb), dtype=jnp.int8,
-                              error_signs=True)
-    dense_f32 = build_corpus(jnp.asarray(emb), dtype=jnp.float32)
-
-    lexical = LexicalCorpus(
-        terms=jnp.asarray(terms), tfs=jnp.asarray(tfs, jnp.bfloat16),
-        doc_len=jnp.asarray(doc_len),
-    )
-    avgdl = jnp.float32(float(doc_len.mean()))
-    _stage("building inverted postings (native)")
-    inverted = build_inverted(terms, tfs, doc_len, vocab,
-                              postings_per_term=max(256, n // 500),
-                              avgdl=float(doc_len.mean()))
-    _stage("device put: queries")
-    queries = jnp.asarray(queries_np)
-    q_terms_j = jnp.asarray(q_terms)
-    q_idf_j = jnp.asarray(q_idf)
-
-    tile = 8192 if on_tpu else 512
-    # exact-BM25 rescoring of the fused candidate pool (VERDICT r1 item
-    # 2): generation depth LEX_GEN feeds the pool; the rescoring stage
-    # restores exact lexical ranks over it (ops/hybrid.py).  Defaults
-    # are the measured >=0.92-fidelity operating point from
-    # scripts/tune_qterms.py + tune_stages.py (kernels.md frontier).
-    # operating point: tuned sweep winner (BENCH_CONFIG.json, written by
-    # scripts/tune_fidelity.py on TPU) < env overrides < defaults
+    # ---- operating point: tuned sweep winner (BENCH_CONFIG.json,
+    # written by scripts/tune_fidelity.py on TPU) < env overrides <
+    # defaults.  Parsed BEFORE device puts so the sign-plane build is
+    # conditional on the config actually using it.
     tuned: dict = {}
     cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_CONFIG.json")
@@ -294,69 +320,171 @@ def main():
     dense_refine = int(os.environ.get(
         "BENCH_DENSE_REFINE", str(tuned.get("dense_refine", 0))))
 
-    def make_run(rescore, lex_gen, pq, ptk):
+    # ---- host-side exact gold (before any device work: keeps the host
+    # quiet during TPU timing and holds the claim for less time)
+    sample = min(32, batch)
+    _stage("computing host fp32 dense gold")
+    ds_full = _host_dense_gold(emb, queries_np, sample, cand)
+    # exact top-k / top-cand indices from the same matrix (one partial
+    # sort: top-cand, then the first k of it)
+    part = np.argpartition(-ds_full, cand, axis=1)[:, :cand]
+    order = np.argsort(-np.take_along_axis(ds_full, part, axis=1), axis=1)
+    di_host = np.take_along_axis(part, order, axis=1).astype(np.int32)
+    exact_i = di_host[:, :k]
+    _stage("host gold done")
+
+    tile = 8192 if on_tpu else 512
+    base_cfg = dict(
+        rescore=rescore, lex_gen=lex_gen, pq=pq, ptk=ptk,
+        deep_terms=deep_terms, deep_postings=deep_postings,
+        approx_topk=approx_topk, dense_refine=dense_refine,
+        batch=batch, block_size=262_144 if on_tpu else 8_192,
+    )
+
+    # ---- OOM-fallback ladder (VERDICT r4 item 1c): each rung sheds HBM
+    # until the program fits; every rung rebuilds device state from the
+    # host corpus.  The final JSON line is emitted no matter what.
+    ladder = [dict(base_cfg)]
+    if base_cfg["dense_refine"]:
+        ladder.append(dict(base_cfg, dense_refine=0))
+    ladder.append(dict(base_cfg, dense_refine=0, rescore=False))
+    ladder.append(dict(base_cfg, dense_refine=0, rescore=False,
+                       batch=max(batch // 2, 32),
+                       block_size=131_072 if on_tpu else 8_192))
+
+    result = None
+    errors = []
+    state: dict = {}
+
+    def _free_state():
+        for key in list(state):
+            state.pop(key, None)
+        gc.collect()
+
+    def _build_state(cfg):
+        _stage(f"device put: dense corpus (dense_refine={cfg['dense_refine']})")
+        # sign plane (96 MB at 1M) only when the config refines with it
+        state["dense_int8"] = build_corpus(
+            jnp.asarray(emb), dtype=jnp.int8,
+            error_signs=cfg["dense_refine"] > 0)
+        state["lexical"] = LexicalCorpus(
+            terms=jnp.asarray(terms), tfs=jnp.asarray(tfs, jnp.bfloat16),
+            doc_len=jnp.asarray(doc_len),
+        )
+        state["avgdl"] = jnp.float32(float(doc_len.mean()))
+        _stage("building inverted postings (native)")
+        state["inverted"] = build_inverted(
+            terms, tfs, doc_len, vocab,
+            postings_per_term=max(256, n // 500),
+            avgdl=float(doc_len.mean()))
+        _stage("device put: queries")
+        state["queries"] = jnp.asarray(queries_np)
+        state["q_terms"] = jnp.asarray(q_terms)
+        state["q_idf"] = jnp.asarray(q_idf)
+
+    def make_run(cfg, nq=None):
+        nq = cfg["batch"] if nq is None else nq
+        qs = state["queries"][:nq]
+        ts = state["q_terms"][:nq]
+        idfs = state["q_idf"][:nq]
+
         def run():
             return hybrid_search(
-                queries, q_terms_j, q_idf_j, dense_int8, lexical, avgdl,
-                inverted=inverted,
+                qs, ts, idfs, state["dense_int8"], state["lexical"],
+                state["avgdl"], inverted=state["inverted"],
                 vocab_size=vocab, k=k, candidates=cand,
                 use_pallas=on_tpu, dense_tile=tile,
-                block_size=262_144 if on_tpu else 8_192,
+                block_size=cfg["block_size"],
                 bm25_block_size=4_096,
-                postings_per_query_term=pq,
+                postings_per_query_term=cfg["pq"],
                 int8_queries=on_tpu,
-                per_tile_k=ptk if on_tpu else None,
-                rescore=rescore, lex_gen=lex_gen if rescore else None,
-                lex_deep_terms=deep_terms,
-                lex_deep_postings=deep_postings,
-                lex_approx_topk=approx_topk,
-                dense_refine=dense_refine,
+                per_tile_k=cfg["ptk"] if on_tpu else None,
+                rescore=cfg["rescore"],
+                lex_gen=cfg["lex_gen"] if cfg["rescore"] else None,
+                lex_deep_terms=cfg["deep_terms"],
+                lex_deep_postings=cfg["deep_postings"],
+                lex_approx_topk=cfg["approx_topk"],
+                dense_refine=cfg["dense_refine"],
             )
         return run
-
-    run = make_run(rescore, lex_gen, pq, ptk)
 
     def sync(out):
         np.asarray(out.indices)
 
-    res = run()
-    sync(res)
+    # test hook: BENCH_FAULT_RUNGS="0,1" makes those rungs raise, so the
+    # ladder + honest-JSON paths are exercisable without a real OOM
+    fault_rungs = {int(x) for x in
+                   os.environ.get("BENCH_FAULT_RUNGS", "").split(",") if x}
+
+    used_cfg = None
+    used_rung = -1
+    for rung, cfg in enumerate(ladder):
+        try:
+            _free_state()
+            if rung in fault_rungs:
+                raise RuntimeError("injected fault (BENCH_FAULT_RUNGS)")
+            _build_state(cfg)
+            run = make_run(cfg)
+            _stage(f"rung {rung}: compile+first run "
+                   f"(cfg={ {kk: cfg[kk] for kk in ('rescore', 'dense_refine', 'batch', 'block_size')} })")
+            res = run()
+            sync(res)
+            result = res
+            used_cfg = cfg
+            used_rung = rung
+            break
+        except Exception as e:  # noqa: BLE001 — OOM ladder must catch all
+            msg = f"rung {rung} failed: {type(e).__name__}: {str(e)[:300]}"
+            _stage(msg)
+            errors.append(msg)
+            continue
+
+    if result is None:
+        print(json.dumps({
+            "metric": "hybrid top-10 QPS/chip (all fallback rungs failed)",
+            "value": 0.0, "unit": "queries/sec", "vs_baseline": 0.0,
+            "error": errors[-3:],
+        }), flush=True)
+        return
+
+    cfg = used_cfg
+    batch = cfg["batch"]
+    sample = min(sample, batch)
 
     # Gate metric (BASELINE north star): recall@10 of the APPROXIMATE
     # dense retrieval (int8 storage + int8 queries, the serving config)
-    # vs EXACT fp32 dense search — the classic ANN recall definition
-    # 'match exact-search recall@10 at equal memory'.
-    sample = min(32, batch)
+    # vs EXACT fp32 dense search (host gold) — the classic ANN recall
+    # definition 'match exact-search recall@10 at equal memory'.
     from super_rag_tpu.ops.pallas_topk import pallas_dense_topk
 
-    _, exact_i = dense_search(queries[:sample], dense_f32, k=k,
-                              block_size=262_144 if on_tpu else 8_192)
     if on_tpu:
-        _, approx_i = pallas_dense_topk(queries[:sample], dense_int8, k=k,
-                                        tile=tile, int8_queries=True,
-                                        per_tile_k=ptk)
+        _, approx_i = pallas_dense_topk(
+            state["queries"][:sample], state["dense_int8"], k=k,
+            tile=tile, int8_queries=True, per_tile_k=cfg["ptk"])
     else:
-        _, approx_i = dense_search(queries[:sample], dense_int8, k=k,
-                                   block_size=8_192)
-    exact_i, approx_i = np.asarray(exact_i), np.asarray(approx_i)
+        from super_rag_tpu.ops.dense import dense_search
+
+        _, approx_i = dense_search(
+            state["queries"][:sample], state["dense_int8"], k=k,
+            block_size=8_192)
+    approx_i = np.asarray(approx_i)
     recall = float(np.mean([
         len(set(a.tolist()) & set(b.tolist())) / k
-        for a, b in zip(approx_i, exact_i)
+        for a, b in zip(approx_i, exact_i[:sample])
     ]))
 
     # Secondary fidelity number: fused hybrid result vs a truncation-free
-    # exact-hybrid gold (strictly harder than the gate; reported only)
-    dv, di = dense_search(queries[:sample], dense_f32, k=cand,
-                          block_size=262_144 if on_tpu else 8_192)
-    from super_rag_tpu.ops.bm25 import bm25_search
-
-    lv, li = bm25_search(q_terms_j[:sample], q_idf_j[:sample], lexical,
-                         avgdl, vocab_size=vocab, k=cand, block_size=8_192)
-    di = jnp.where(jnp.isfinite(dv), di, -1)
+    # exact-hybrid gold (strictly harder than the gate; reported only).
+    # Dense branch of the gold comes from the host matrix; the lexical
+    # branch reuses the device-resident corpus.
+    lv, li = bm25_search(state["q_terms"][:sample], state["q_idf"][:sample],
+                         state["lexical"], state["avgdl"],
+                         vocab_size=vocab, k=cand, block_size=8_192)
     li = jnp.where(jnp.isfinite(lv) & (lv > 0), li, -1)
-    _, gold_i = rrf_fuse(di.astype(jnp.int32), li.astype(jnp.int32), k=k)
+    _, gold_i = rrf_fuse(jnp.asarray(di_host[:sample]),
+                         li.astype(jnp.int32), k=k)
     gold = np.asarray(gold_i)
-    got = np.asarray(res.indices)[:sample]
+    got = np.asarray(result.indices)[:sample]
     hybrid_fidelity = float(np.mean([
         len({x for x in a.tolist() if x >= 0}
             & {x for x in b.tolist() if x >= 0})
@@ -370,21 +498,21 @@ def main():
     # (docs/design/kernels.md).  Competition ranks (rank = #docs with a
     # STRICTLY better exact score) make the gold well-defined: a
     # returned doc counts iff its exact-hybrid RRF score — computed from
-    # exact f32 dense and exact BM25 over the full corpus, same branch
-    # depth and rrf_k as the program — ties or beats the k-th best.
-    from super_rag_tpu.ops.dense import exact_scores
+    # exact f32 dense (host) and exact BM25 over the full corpus, same
+    # branch depth and rrf_k as the program — ties or beats the k-th best.
     from super_rag_tpu.ops.hybrid import _bm25_block, _idf_table
 
-    ds_full = np.asarray(exact_scores(queries[:sample], dense_f32))
-    table = _idf_table(q_terms_j[:sample], q_idf_j[:sample], vocab)
-    avgdl_f = jnp.maximum(avgdl.astype(jnp.float32), 1e-6)
+    table = _idf_table(state["q_terms"][:sample], state["q_idf"][:sample],
+                       vocab)
+    avgdl_f = jnp.maximum(state["avgdl"].astype(jnp.float32), 1e-6)
     blk = 65_536 if on_tpu else 8_192  # [S, blk, L] f32 transient
     bs_full = np.empty((sample, n), np.float32)
     for lo in range(0, n, blk):
         hi = min(lo + blk, n)
         bs_full[:, lo:hi] = np.asarray(_bm25_block(
-            table, lexical.terms[lo:hi], lexical.tfs[lo:hi],
-            lexical.doc_len[lo:hi], avgdl_f, 1.2, 0.75,
+            table, state["lexical"].terms[lo:hi],
+            state["lexical"].tfs[lo:hi],
+            state["lexical"].doc_len[lo:hi], avgdl_f, 1.2, 0.75,
         ))
     fid = []
     for si in range(sample):
@@ -404,6 +532,7 @@ def main():
         fid.append(min(hits, k) / k)
     fidelity_tie_aware = float(np.mean(fid))
 
+    run = make_run(cfg)
     per_call = timed(run, sync)
     qps = batch / per_call
     p50_ms = per_call * 1000.0
@@ -411,41 +540,29 @@ def main():
     # throughput-oriented alternative: same program without the exact
     # rescoring stage (the per-collection query-time tradeoff knob)
     qps_norescore = None
-    if rescore:
-        run_nr = make_run(False, None, 256, ptk)
-        sync(run_nr())
-        qps_norescore = batch / timed(run_nr, sync)
+    if cfg["rescore"]:
+        try:
+            run_nr = make_run(dict(cfg, rescore=False, pq=256))
+            sync(run_nr())
+            qps_norescore = batch / timed(run_nr, sync)
+        except Exception as e:  # noqa: BLE001 — secondary metric only
+            _stage(f"norescore variant failed: {type(e).__name__}")
 
     # latency-oriented config: small batch through the same program
     lat32_ms = None
     if on_tpu:
-        q32, t32, i32 = queries[:32], q_terms_j[:32], q_idf_j[:32]
-
-        def run32():
-            return hybrid_search(
-                q32, t32, i32, dense_int8, lexical, avgdl,
-                inverted=inverted, vocab_size=vocab, k=k, candidates=cand,
-                use_pallas=True, dense_tile=tile,
-                block_size=262_144, bm25_block_size=4_096,
-                postings_per_query_term=pq, int8_queries=True,
-                per_tile_k=ptk, rescore=rescore,
-                lex_gen=lex_gen if rescore else None,
-                lex_deep_terms=deep_terms,
-                lex_deep_postings=deep_postings,
-                lex_approx_topk=approx_topk,
-                dense_refine=dense_refine,
-            )
-
-        sync(run32())
-        lat32_ms = timed(run32, sync) * 1000.0
+        try:
+            run32 = make_run(cfg, nq=32)
+            sync(run32())
+            lat32_ms = timed(run32, sync) * 1000.0
+        except Exception as e:  # noqa: BLE001 — secondary metric only
+            _stage(f"batch-32 variant failed: {type(e).__name__}")
 
     gate_ok = recall >= 0.95
     # fold in the semantic-eval result when a run has produced one
     # (scripts/semantic_eval.py writes it; VERDICT r1 item 5)
     sem = {}
     try:
-        import os
-
         sem_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "SEMANTIC_EVAL.json")
         with open(sem_path) as fh:
@@ -469,25 +586,39 @@ def main():
             "dense_recall_at_10_vs_exact_fp32": round(recall, 4),
             "hybrid_fidelity_vs_exact_hybrid": round(hybrid_fidelity, 4),
             "hybrid_fidelity_tie_aware": round(fidelity_tie_aware, 4),
-            "rescore": rescore,
-            "lex_gen": lex_gen,
-            "dense_refine": dense_refine,
-            "postings_per_query_term": pq,
-            "per_tile_k": ptk,
-            "lex_deep_terms": deep_terms,
-            "lex_deep_postings": deep_postings,
-            "lex_approx_topk": approx_topk,
+            "rescore": cfg["rescore"],
+            "lex_gen": cfg["lex_gen"],
+            "dense_refine": cfg["dense_refine"],
+            "postings_per_query_term": cfg["pq"],
+            "per_tile_k": cfg["ptk"],
+            "lex_deep_terms": cfg["deep_terms"],
+            "lex_deep_postings": cfg["deep_postings"],
+            "lex_approx_topk": cfg["approx_topk"],
             "tuned_config": bool(tuned),
+            "fallback_rung": used_rung,
+            "fallback_errors": errors or None,
             "query_terms": qterms_n,
             "qps_norescore": round(qps_norescore, 1) if qps_norescore
             else None,
             "batch_latency_ms": round(p50_ms, 3),
             "batch32_latency_ms": round(lat32_ms, 3) if lat32_ms else None,
             "recall_gate_0.95": gate_ok,
+            "wall_s": round(time.time() - t_start, 1),
             **sem,
         },
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver parses stdout; a
+        # traceback with no JSON line (r4) must never happen again
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "hybrid top-10 QPS/chip (bench crashed)",
+            "value": 0.0, "unit": "queries/sec", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:400]}",
+        }), flush=True)
