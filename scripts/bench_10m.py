@@ -170,12 +170,22 @@ def main() -> None:
     q_gold = qn[:N_GOLD]
 
     # -- lexical corpus (zipf, as bench.py) -----------------------------------
+    def _zipf_fast(g, a, size):
+        # inverse-CDF power-law sampler (bench.py): rng.zipf's f64
+        # rejection loop runs ~50x slower on this host — at 10M x 48 x 2
+        # draws it alone would cost ~1.5 h of the prep budget
+        u = g.random(size, dtype=np.float32).astype(np.float64)
+        u = np.maximum(u, 1e-9)
+        x = np.exp(np.log(u) * (-1.0 / (a - 1.0)))
+        x = np.minimum(x, 2.0 ** 62)
+        return np.maximum(x.astype(np.int64), 1)
+
     def build_lex():
         rng = np.random.default_rng([7, 2])
-        zipf_raw = rng.zipf(1.3, size=(n, slots)).astype(np.int64)
+        zipf_raw = _zipf_fast(rng, 1.3, (n, slots))
         terms = ((zipf_raw - 1) % vocab).astype(np.int32)
         del zipf_raw
-        tfs = np.minimum(rng.zipf(2.0, size=(n, slots)), 8).astype(np.uint8)
+        tfs = np.minimum(_zipf_fast(rng, 2.0, (n, slots)), 8).astype(np.uint8)
         pad_mask = rng.random((n, slots)) < 0.2
         terms[pad_mask] = vocab
         tfs[pad_mask] = 0

@@ -1,8 +1,10 @@
 """Archive extraction for uploaded bundles.
 
-Counterpart of the reference's utils/uncompress.py (7z/rar/zip via
-external libs).  zip and tar are stdlib; 7z/rar would need external
-binaries and raise a clear error.  Extraction is traversal-safe.
+Counterpart of the reference's utils/uncompress.py:28 (7z/rar/zip via
+external libs).  zip and tar are stdlib; 7z is handled by the
+pure-Python reader in utils/sevenzip.py (stdlib lzma/bz2/zlib codecs);
+rar's codecs are proprietary and stay documented-out with a clear
+error.  Extraction is traversal-safe.
 """
 
 from __future__ import annotations
@@ -13,10 +15,12 @@ import tarfile
 import zipfile
 from typing import Iterator
 
+from super_rag_tpu.utils.sevenzip import iter_7z
+
 
 def supported_archive(name: str) -> bool:
     return name.lower().endswith(
-        (".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2")
+        (".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2", ".7z")
     )
 
 
@@ -59,9 +63,19 @@ def iter_archive(name: str, data: bytes,
                 yield member.name, f.read()
                 count += 1
         return
-    if lower.endswith((".7z", ".rar")):
+    if lower.endswith(".7z"):
+        count = 0
+        for member, payload in iter_7z(data):
+            if count >= max_members:
+                return
+            if not safe(member) or len(payload) > limit:
+                continue
+            yield member, payload
+            count += 1
+        return
+    if lower.endswith(".rar"):
         raise ValueError(
-            f"{os.path.splitext(name)[1]} archives need external tooling "
-            "not present in this deployment; use zip or tar"
+            ".rar archives use proprietary codecs unavailable in this "
+            "deployment; use zip, tar or 7z"
         )
     raise ValueError(f"not a supported archive: {name}")

@@ -55,7 +55,7 @@ def test_tar_extraction():
 
 
 def test_unsupported_archive():
-    with pytest.raises(ValueError, match="external tooling"):
+    with pytest.raises(ValueError, match="proprietary codecs"):
         list(iter_archive("x.rar", b""))
 
 
