@@ -26,7 +26,28 @@ if ROOT not in sys.path:  # `python scripts/...` puts scripts/ first
     sys.path.insert(0, ROOT)
 
 
-def recall_at_k(query_emb, doc_emb, gold, k=10, block=8192):
+def _norm_text(t: str) -> str:
+    return " ".join(t.split()).lower()
+
+
+def gold_sets(gold: list[int], corpus_texts: list[str]) -> list[set[int]]:
+    """Text-aware gold: the docstring corpus contains EXACT duplicate
+    passages (the same docstring shipped by several packages), so an
+    index-level gold counts a text-identical duplicate of the right
+    answer as a miss — metric noise that penalizes retriever and
+    reranker alike (and the reranker more, since duplicates of the
+    positive are its hardest candidates).  A hit is any returned index
+    whose normalized text equals the gold passage's text — the same
+    text-equality contract the reference's merge dedup uses
+    (super_rag/nodeflow/runners/merge.py:61)."""
+    by_text: dict[str, set[int]] = {}
+    for i, t in enumerate(corpus_texts):
+        by_text.setdefault(_norm_text(t), set()).add(i)
+    return [by_text[_norm_text(corpus_texts[g])] for g in gold]
+
+
+def recall_at_k(query_emb, doc_emb, gold_ok: list[set[int]], k=10,
+                block=8192):
     import jax
     import jax.numpy as jnp
 
@@ -38,8 +59,8 @@ def recall_at_k(query_emb, doc_emb, gold, k=10, block=8192):
         qb = jnp.asarray(query_emb[i: i + 256])
         _, idx = dense_search(qb, corpus, k=k, block_size=block)
         idx = np.asarray(idx)
-        for j, g in enumerate(gold[i: i + 256]):
-            if g in idx[j].tolist():
+        for j, ok in enumerate(gold_ok[i: i + 256]):
+            if ok.intersection(idx[j].tolist()):
                 hits += 1
     return hits / len(query_emb)
 
@@ -100,16 +121,19 @@ def main() -> None:
     distractors = train_docs[:4000]
     eval_corpus_texts = [p.positive for p in eval_pairs] + distractors
     gold = list(range(len(eval_pairs)))
+    g_ok = gold_sets(gold, eval_corpus_texts)
+    dup_rate = sum(len(s) > 1 for s in g_ok) / len(g_ok)
     queries = [p.query for p in eval_pairs]
     print(f"eval: {len(eval_pairs)} queries over "
-          f"{len(eval_corpus_texts)} passages")
+          f"{len(eval_corpus_texts)} passages "
+          f"({dup_rate:.1%} of golds have text duplicates)")
 
     # -- baseline: hash embedder -------------------------------------------
     dim = 256
     hasher = HashEmbedder(dim=dim)
     r_hash = recall_at_k(
         np.asarray(hasher.embed(queries)),
-        np.asarray(hasher.embed(eval_corpus_texts)), gold,
+        np.asarray(hasher.embed(eval_corpus_texts)), g_ok,
     )
     print(f"hash embedder recall@10: {r_hash:.4f}")
 
@@ -203,7 +227,7 @@ def main() -> None:
     svc = EncoderService(cfg=enc_cfg, params=state.params, tokenizer=tok)
     q_emb_tr = np.asarray(svc.embed(queries))
     d_emb_tr = np.asarray(svc.embed(eval_corpus_texts))
-    r_trained = recall_at_k(q_emb_tr, d_emb_tr, gold)
+    r_trained = recall_at_k(q_emb_tr, d_emb_tr, g_ok)
     print(f"trained encoder recall@10: {r_trained:.4f}")
 
     # -- stage 2 (SEM_RERANK=1): train the cross-encoder on hard negatives
@@ -221,6 +245,7 @@ def main() -> None:
             rerank_with_ce,
         )
 
+        reuse_ce = os.environ.get("SEM_REUSE_CE") == "1"
         ce_steps = int(os.environ.get("SEM_RERANK_STEPS",
                                       "1500" if on_tpu else "3"))
         # keep CE training under ~one epoch of the mined set: 2500 steps
@@ -235,46 +260,67 @@ def main() -> None:
         # 3-random groups trained an 8-way classifier dominated by easy
         # negatives and it generalized below the retriever.
         n_negs = int(os.environ.get("SEM_CE_NEGS", "19" if on_tpu else "7"))
-        t0 = time.time()
-        hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=n_negs)
-        print(f"mined {n_negs} hard negatives for {len(mine_pairs)} pairs "
-              f"({time.time() - t0:.0f}s)", flush=True)
-
-        ce_model = CrossEncoder(enc_cfg)
-        ce_cfg = RerankTrainConfig(
-            total_steps=ce_steps, warmup_steps=max(10, ce_steps // 20),
-            n_negatives=n_negs,
-            # warm-started backbone: the r2 default 2e-4 left CE accuracy
-            # noise-bound at ~0.35 (8-way); fine-tune-scale lr trains
-            learning_rate=float(os.environ.get("SEM_CE_LR", "7e-5")),
-        )
-        ce_state = create_ce_state(ce_model, jax.random.PRNGKey(1), ce_cfg,
-                                   backbone_params=state.params["backbone"])
-        ce_step = make_ce_train_step(ce_model, ce_cfg)
-        done_ce, ce_last = 0, {}
-        crng = np.random.default_rng(2)
         # ONE pair length everywhere (train = eval = serving): the
         # backbone position table is Embed(cfg.max_len) and XLA clips
         # OOB gathers, so any longer tokenization silently reuses the
         # last position embedding — r3 trained at 160 over a 128 table.
         ce_len = enc_cfg.max_len
-        bq = max(1, (160 if on_tpu else 32) // (1 + n_negs))
-        while done_ce < ce_steps:
-            for batch in ce_batches(mine_pairs, hard, tok, crng, ce_cfg,
-                                    batch_queries=bq, max_len=ce_len):
-                ce_state, m = ce_step(
-                    ce_state, {k: jnp.asarray(v) for k, v in batch.items()}
-                )
-                done_ce += 1
-                if done_ce % 100 == 0 or done_ce == ce_steps:
-                    ce_last = {k: float(v) for k, v in m.items()}
-                    print(f"ce step {done_ce}/{ce_steps}: "
-                          f"loss={ce_last['loss']:.4f} "
-                          f"acc={ce_last['accuracy']:.3f}", flush=True)
-                if done_ce >= ce_steps:
-                    break
-        save_params(ce_state.params, out + "_reranker", enc_cfg)
-        tok.save(out + "_reranker.tokenizer.json")  # serving sidecar
+        ce_model = CrossEncoder(enc_cfg)
+        if reuse_ce:
+            # iterate on the EVAL without re-mining/re-training the CE:
+            # load the saved reranker checkpoint + carry its train stats
+            from super_rag_tpu.models.encoder_service import load_params
+            from super_rag_tpu.train.rerank import CEState
+
+            ce_params, _ = load_params(out + "_reranker")
+            ce_state = CEState(params=ce_params, opt_state=None,
+                               step=jnp.zeros((), jnp.int32))
+            ce_last = {}
+            try:
+                with open(out + ".eval.json") as f:
+                    prior = json.load(f)
+                ce_steps = int(prior.get("rerank_train_steps", ce_steps))
+                ce_last = {"accuracy": prior.get("final_ce_accuracy")}
+            except (OSError, ValueError):
+                pass
+            print("reusing CE checkpoint", flush=True)
+        else:
+            t0 = time.time()
+            hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=n_negs)
+            print(f"mined {n_negs} hard negatives for {len(mine_pairs)} "
+                  f"pairs ({time.time() - t0:.0f}s)", flush=True)
+
+            ce_cfg = RerankTrainConfig(
+                total_steps=ce_steps, warmup_steps=max(10, ce_steps // 20),
+                n_negatives=n_negs,
+                # warm-started backbone: the r2 default 2e-4 left CE
+                # accuracy noise-bound at ~0.35; fine-tune-scale lr trains
+                learning_rate=float(os.environ.get("SEM_CE_LR", "7e-5")),
+            )
+            ce_state = create_ce_state(
+                ce_model, jax.random.PRNGKey(1), ce_cfg,
+                backbone_params=state.params["backbone"])
+            ce_step = make_ce_train_step(ce_model, ce_cfg)
+            done_ce, ce_last = 0, {}
+            crng = np.random.default_rng(2)
+            bq = max(1, (160 if on_tpu else 32) // (1 + n_negs))
+            while done_ce < ce_steps:
+                for batch in ce_batches(mine_pairs, hard, tok, crng, ce_cfg,
+                                        batch_queries=bq, max_len=ce_len):
+                    ce_state, m = ce_step(
+                        ce_state,
+                        {k: jnp.asarray(v) for k, v in batch.items()}
+                    )
+                    done_ce += 1
+                    if done_ce % 100 == 0 or done_ce == ce_steps:
+                        ce_last = {k: float(v) for k, v in m.items()}
+                        print(f"ce step {done_ce}/{ce_steps}: "
+                              f"loss={ce_last['loss']:.4f} "
+                              f"acc={ce_last['accuracy']:.3f}", flush=True)
+                    if done_ce >= ce_steps:
+                        break
+            save_params(ce_state.params, out + "_reranker", enc_cfg)
+            tok.save(out + "_reranker.tokenizer.json")  # serving sidecar
 
         # retrieve top-20 with the trained encoder, rerank, recall@10
         from super_rag_tpu.ops.dense import build_corpus, dense_search
@@ -295,31 +341,37 @@ def main() -> None:
             _, ids = dense_search(qb, corpus, k=top)
             ids = np.asarray(ids)
             for j in range(ids.shape[0]):
-                g = gold[lo + j]
+                ok = g_ok[lo + j]
                 cand = ids[j].tolist()
-                hits10 += g in cand[:10]
-                hits_top += g in cand
-                if g in cand:
+                hits10 += bool(ok.intersection(cand[:10]))
+                hits_top += bool(ok.intersection(cand))
+                if ok.intersection(cand):
                     s = rerank_with_ce(
                         ce_model, ce_state.params, tok, queries[lo + j],
                         [eval_corpus_texts[c] for c in cand],
                         max_len=ce_len,
                     )
-                    if g in [cand[i] for i in np.argsort(-s)[:10]]:
+                    if ok.intersection(
+                            cand[i] for i in np.argsort(-s)[:10]):
                         hits_rr += 1
                     # serving default: z-scored CE + retriever fusion
                     # (engine/collection._maybe_rerank)
                     cos = d_emb_tr[cand] @ q_emb_tr[lo + j]
                     fused = zs(s) + zs(cos)
-                    if g in [cand[i] for i in np.argsort(-fused)[:10]]:
+                    if ok.intersection(
+                            cand[i] for i in np.argsort(-fused)[:10]):
                         hits_fused += 1
+        _acc = ce_last.get("accuracy")
         rerank_metrics = {
             "rerank_recall_at_10": round(hits_rr / n_eval_rr, 4),
             "fused_rerank_recall_at_10": round(hits_fused / n_eval_rr, 4),
             "retriever_recall_at_10": round(hits10 / n_eval_rr, 4),
             "retriever_recall_at_20_ceiling": round(hits_top / n_eval_rr, 4),
             "rerank_train_steps": ce_steps,
-            "final_ce_accuracy": round(ce_last.get("accuracy", 0.0), 4),
+            "ce_reused": reuse_ce,
+            "final_ce_accuracy": (round(_acc, 4)
+                                  if isinstance(_acc, float)
+                                  and np.isfinite(_acc) else None),
         }
         print("rerank:", rerank_metrics)
 
@@ -335,7 +387,12 @@ def main() -> None:
         "backend": jax.default_backend(),
         "semantic_recall_at_10_trained": round(r_trained, 4),
         "semantic_recall_at_10_hash": round(r_hash, 4),
-        "final_train_accuracy": round(last.get("accuracy", 0.0), 4),
+        "gold_dup_rate": round(dup_rate, 4),
+        # None (not NaN — NaN is not valid JSON) when no record exists
+        "final_train_accuracy": (
+            round(last["accuracy"], 4)
+            if isinstance(last.get("accuracy"), float)
+            and np.isfinite(last["accuracy"]) else None),
         "checkpoint": out + ".npz",
         **rerank_metrics,
     }

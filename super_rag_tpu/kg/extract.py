@@ -42,6 +42,86 @@ ENTITY_TYPES = frozenset({
 })
 
 
+@dataclass(frozen=True)
+class EntityType:
+    """One entity type of a deployment ontology.
+
+    ``pattern`` is an optional regex cue for the OFFLINE heuristic
+    extractor (the LLM path classifies from name + description alone —
+    graphiti gets the same effect from the pydantic model docstrings it
+    renders into prompts/extract_nodes.py)."""
+
+    name: str
+    description: str = ""
+    pattern: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Ontology:
+    """Per-collection custom entity ontology.
+
+    Parity with graphiti's custom entity types: the reference passes a
+    per-deployment dict of pydantic entity models into
+    Graphiti.add_episode(entity_types=...) and the extraction prompts
+    enumerate them (graphiti_core/prompts/extract_nodes.py).  Here the
+    ontology comes from the per-collection config
+    (CollectionConfig.kg_entity_types) and flows into both the LLM
+    prompt and the offline heuristic."""
+
+    entity_types: tuple[EntityType, ...]
+
+    def prompt_types(self) -> str:
+        return "\n".join(
+            f"  {e.name}" + (f" — {e.description}" if e.description else "")
+            for e in self.entity_types
+        )
+
+    def canonical(self, raw: object) -> str:
+        v = str(raw or "").strip()
+        for e in self.entity_types:
+            if v.lower() == e.name.lower():
+                return e.name
+        return "Entity"
+
+    def classify(self, span: str) -> Optional[str]:
+        """Offline classification via the types' regex cues."""
+        for e in self.entity_types:
+            if e.pattern:
+                try:
+                    if re.search(e.pattern, span):
+                        return e.name
+                except re.error:
+                    continue
+        return None
+
+    @staticmethod
+    def from_config(cfg: object) -> "Ontology":
+        """Build from CollectionConfig.kg_entity_types (list of dicts or
+        bare names); empty/None -> the graphiti default set."""
+        if not cfg or not isinstance(cfg, (list, tuple)):
+            return DEFAULT_ONTOLOGY
+        types: list[EntityType] = []
+        for item in cfg:
+            if isinstance(item, str) and item.strip():
+                types.append(EntityType(name=item.strip()[:64]))
+            elif isinstance(item, dict) and str(item.get("name", "")).strip():
+                types.append(EntityType(
+                    name=str(item["name"]).strip()[:64],
+                    description=str(item.get("description", ""))[:300],
+                    pattern=(str(item["pattern"])[:300]
+                             if item.get("pattern") else None),
+                ))
+        return Ontology(tuple(types)) if types else DEFAULT_ONTOLOGY
+
+
+DEFAULT_ONTOLOGY = Ontology(tuple(
+    EntityType(name=n) for n in (
+        "Person", "Organization", "Location", "Product", "Technology",
+        "Event", "Concept",
+    )
+))
+
+
 @dataclass
 class Triple:
     source: str
@@ -113,7 +193,8 @@ _PASSIVE_RE = re.compile(r"\b(?:was|were|is|are|has been|have been)\s+"
                          r"(\w+(?:ed|en|n))\s+by\b", re.IGNORECASE)
 
 
-def heuristic_extract(text: str, max_triples: int = 50) -> list[Triple]:
+def heuristic_extract(text: str, max_triples: int = 50,
+                      ontology: Optional[Ontology] = None) -> list[Triple]:
     """Offline extraction: entity pairs linked by the verb BETWEEN them.
 
     Two refinements over a bare adjacent-pair chain (r4): the relation
@@ -158,8 +239,12 @@ def heuristic_extract(text: str, max_triples: int = 50) -> list[Triple]:
             triples.append(
                 Triple(source=src, relation=relation, target=dst,
                        fact=sent.strip()[:500],
-                       source_type=_entity_type(src),
-                       target_type=_entity_type(dst),
+                       source_type=(ontology.classify(src)
+                                    if ontology else None)
+                       or _entity_type(src),
+                       target_type=(ontology.classify(dst)
+                                    if ontology else None)
+                       or _entity_type(dst),
                        valid_at=_event_time(sent))
             )
             if len(triples) >= max_triples:
@@ -167,7 +252,8 @@ def heuristic_extract(text: str, max_triples: int = 50) -> list[Triple]:
     return triples
 
 
-def _parse_triples(raw: str, limit: int) -> list[Triple]:
+def _parse_triples(raw: str, limit: int,
+                   ontology: Ontology = DEFAULT_ONTOLOGY) -> list[Triple]:
     m = re.search(r"\{.*\}", str(raw), re.S)
     if not m:
         return []
@@ -187,8 +273,7 @@ def _parse_triples(raw: str, limit: int) -> list[Triple]:
             valid_at = _event_time(va) or _event_time(f"in {va[:4]}")
 
         def typ(key: str) -> str:
-            v = str(t.get(key, "") or "").strip().title()
-            return v if v in ENTITY_TYPES else "Entity"
+            return ontology.canonical(t.get(key, ""))
 
         out.append(
             Triple(
@@ -218,14 +303,16 @@ def _parse_missed(raw: str) -> list[str]:
 
 
 def llm_extract(text: str, completion: Callable, max_triples: int = 50,
-                reflexion: bool = True) -> list[Triple]:
+                reflexion: bool = True,
+                ontology: Ontology = DEFAULT_ONTOLOGY) -> list[Triple]:
     """LLM extraction with one reflexion pass (graphiti
     prompts/extract_nodes.py: extract -> 'which entities did you miss?'
     -> focused re-extraction over the missed entities)."""
     snippet = text[:6000]
     triples = _parse_triples(
-        completion(prompt=EXTRACTION_PROMPT.format(text=snippet)),
-        max_triples,
+        completion(prompt=EXTRACTION_PROMPT.format(
+            text=snippet, types=ontology.prompt_types())),
+        max_triples, ontology,
     )
     if reflexion and triples:
         found = sorted({t.source for t in triples}
@@ -237,8 +324,9 @@ def llm_extract(text: str, completion: Callable, max_triples: int = 50,
         if missed:
             extra = _parse_triples(
                 completion(prompt=KG_EXTRACTION_FOCUSED.format(
-                    entities=", ".join(missed), text=snippet)),
-                max_triples,
+                    entities=", ".join(missed), text=snippet,
+                    types=ontology.prompt_types())),
+                max_triples, ontology,
             )
             seen = {(t.source.lower(), t.relation.lower(), t.target.lower())
                     for t in triples}
@@ -252,12 +340,15 @@ def llm_extract(text: str, completion: Callable, max_triples: int = 50,
 
 
 def extract(text: str, completion: Optional[Callable] = None,
-            max_triples: int = 50) -> list[Triple]:
+            max_triples: int = 50,
+            ontology: Optional[Ontology] = None) -> list[Triple]:
+    onto = ontology or DEFAULT_ONTOLOGY
     if completion is not None:
         try:
-            triples = llm_extract(text, completion, max_triples)
+            triples = llm_extract(text, completion, max_triples,
+                                  ontology=onto)
             if triples:
                 return triples
         except Exception:  # noqa: BLE001 — fall back to the heuristic
             pass
-    return heuristic_extract(text, max_triples)
+    return heuristic_extract(text, max_triples, ontology=ontology)

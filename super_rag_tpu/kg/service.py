@@ -40,7 +40,7 @@ from super_rag_tpu.kg.construct import (
     summarize_nodes_batch,
     trigram_similarity,
 )
-from super_rag_tpu.kg.extract import Triple, extract
+from super_rag_tpu.kg.extract import Ontology, Triple, extract
 from super_rag_tpu.store.db import Database, new_id
 
 _KG_SCHEMA = """
@@ -270,7 +270,8 @@ class KnowledgeGraphService:
         return eid
 
     def add_episode(self, group_id: str, text: str, source: str = "",
-                    triples: Optional[list[Triple]] = None) -> dict:
+                    triples: Optional[list[Triple]] = None,
+                    ontology: Optional[Ontology] = None) -> dict:
         """Extract triples and upsert them (graphiti add_episode analog).
 
         A new edge with the same (source, relation, target) invalidates
@@ -282,7 +283,7 @@ class KnowledgeGraphService:
         now = time.time()
         eid = self._insert_episode(eng, group_id, text, source, now)
         triples = triples if triples is not None else extract(
-            text, self.completion
+            text, self.completion, ontology=ontology
         )
         added = []
         touched: set[str] = set()
@@ -399,7 +400,8 @@ class KnowledgeGraphService:
                 )
 
     def add_episode_bulk(self, group_id: str, texts: list[str],
-                         source: str = "") -> dict:
+                         source: str = "",
+                         ontology: Optional[Ontology] = None) -> dict:
         """Batch episode ingestion (graphiti add_episode_bulk analog,
         graphiti_core/graphiti.py:1023): extract across all chunks first,
         dedup nodes once for the whole batch, then insert every fact with
@@ -411,7 +413,7 @@ class KnowledgeGraphService:
         for text in texts:
             eid = self._insert_episode(eng, group_id, text, source, now)
             episode_ids.append(eid)
-            for t in extract(text, self.completion):
+            for t in extract(text, self.completion, ontology=ontology):
                 all_triples.append((eid, t))
 
         # one-pass node dedup across the whole batch; an entity keeps the

@@ -104,8 +104,8 @@ KG_EXTRACTION = """Extract knowledge triples from the text as JSON:
 
 Rules:
 - Only include facts stated in the text.
-- source_type/target_type is one of: Person, Organization, Location,
-  Product, Technology, Event, Concept.
+- source_type/target_type is one of:
+{types}
 - valid_at is the date the fact BECAME TRUE, only if the text states it
   (e.g. "founded in 2019" -> "2019-01-01"); otherwise null.
 
@@ -134,8 +134,9 @@ entities from the text, as JSON:
 {{"triples": [{{"source": "...", "source_type": "...", "relation": "...",
 "target": "...", "target_type": "...", "fact": "one sentence",
 "valid_at": "YYYY-MM-DD or null"}}]}}
-Entity types: Person, Organization, Location, Product, Technology,
-Event, Concept.  Only facts stated in the text.
+Entity types:
+{types}
+Only facts stated in the text.
 
 Entities: {entities}
 

@@ -26,6 +26,17 @@ class ModelSpec(BaseModel):
     dim: Optional[int] = None  # embeddings only; None = probe/default
 
 
+class KGEntityType(BaseModel):
+    """One custom KG entity type (graphiti custom-entity-types parity:
+    graphiti_core/prompts/extract_nodes.py renders per-deployment
+    pydantic entity models into its extraction prompts)."""
+
+    name: str = Field(min_length=1, max_length=64)
+    description: str = Field(default="", max_length=300)
+    # optional regex cue for the offline heuristic extractor
+    pattern: Optional[str] = Field(default=None, max_length=300)
+
+
 class CollectionConfig(BaseModel):
     """Per-collection JSON config (stored in collection.config)."""
 
@@ -36,6 +47,8 @@ class CollectionConfig(BaseModel):
     enable_summary: bool = False
     enable_vision: bool = False
     enable_knowledge_graph: bool = False
+    # custom entity ontology for the graph index; empty = default set
+    kg_entity_types: list[KGEntityType] = Field(default_factory=list)
     embedding: Optional[ModelSpec] = None
     completion: Optional[ModelSpec] = None
     rerank: Optional[ModelSpec] = None

@@ -203,8 +203,22 @@ class DocumentIndexTask:
                 raise ValueError("graph index requires the kg service")
             # bulk path: one extraction pass + one batched device write
             # for the whole document (graphiti add_episode_bulk parity)
+            # per-collection entity ontology (CollectionConfig.
+            # kg_entity_types) — graphiti's custom entity types
+            # (graphiti_core/prompts/extract_nodes.py entity_types)
+            from super_rag_tpu.kg.extract import Ontology
+
+            _cfg = coll.get("config") or {}
+            if isinstance(_cfg, str):
+                import json as _json
+
+                try:
+                    _cfg = _json.loads(_cfg)
+                except ValueError:
+                    _cfg = {}
             r = kg.add_episode_bulk(
-                coll["id"], [c.text for c in chunks], source=document_id
+                coll["id"], [c.text for c in chunks], source=document_id,
+                ontology=Ontology.from_config(_cfg.get("kg_entity_types")),
             )
             return {"rows": [], "episodes": r["episode_ids"],
                     "chunks": len(chunks)}

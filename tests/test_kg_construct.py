@@ -390,7 +390,7 @@ def test_bulk_batch_functional_supersede_directly(kg, monkeypatch):
     ]
     calls = iter(seq)
     monkeypatch.setattr(svc, "extract",
-                        lambda text, completion: next(calls))
+                        lambda text, completion, **kw: next(calls))
     r = kg.add_episode_bulk("b", ["ep1", "ep2"])
     live = {x["fact"] for x in kg.db.query(
         "SELECT fact FROM kg_edge WHERE group_id='b'"

@@ -195,7 +195,7 @@ def test_prompt_library():
                                        query="q")
     assert prompts.SUMMARY_MAP.format(text="t")
     assert prompts.SUMMARY_REDUCE.format(title="t", parts="p")
-    assert prompts.KG_EXTRACTION.format(text="t")
+    assert prompts.KG_EXTRACTION.format(text="t", types="  T")
 
     p = prompts.build_agent_query_prompt(
         "what is x",
