@@ -183,8 +183,39 @@ def main() -> None:
         (2000, 0, None, False, 300, 300, "full+r300"),
         (2000, 0, None, True, 300, 300, "full+r300+approx"),
     ]
+    # partial-progress checkpoint (VERDICT r4 item 8): each completed
+    # config persists immediately, and a restarted sweep skips rows it
+    # already measured — a 20-minute claim window still yields rows, and
+    # a wedge mid-sweep loses only the in-flight config.
+    part_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"TUNE_FIDELITY_PARTIAL_{jax.default_backend()}.json")
     results = []
+    done_labels: set[str] = set()
+    if os.path.exists(part_path):
+        try:
+            with open(part_path) as f:
+                prior = json.load(f)
+            if (prior.get("qterms") == qterms_n
+                    and prior.get("n") == n):
+                results = [r for r in prior.get("results", [])
+                           if r.get("config")]
+                done_labels = {r["config"] for r in results}
+                print(json.dumps({"resumed": sorted(done_labels)}),
+                      flush=True)
+        except (OSError, ValueError):
+            pass
+
+    def _save_partial():
+        tmp = part_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"qterms": qterms_n, "n": n, "results": results}, f,
+                      indent=1)
+        os.replace(tmp, part_path)
+
     for ppq, dt, dp, approx, refine, lg, label in configs:
+        if label in done_labels:
+            continue
         def run():
             # mirrors bench.py's serving args exactly (rescore on,
             # lex_gen 250) so the promoted config's numbers transfer
@@ -221,6 +252,7 @@ def main() -> None:
                             else round(per_call * 1e3, 2)),
         }
         results.append(row)
+        _save_partial()
         print(json.dumps(row), flush=True)
 
     # promote the winner to the bench headline (bench.py reads
