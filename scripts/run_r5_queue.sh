@@ -17,9 +17,9 @@ STAGES=(
   scripts/r4_queue/05_bench_headline.sh  # confirm headline at tuned point
   scripts/r4_queue/10_bench10m.sh        # 10M north-star triple
   scripts/r4_queue/25_p50.sh             # per-query p50/p95 via batcher
+  scripts/r4_queue/30_semantic.sh        # encoder+CE retrain (capped)
   scripts/r4_queue/50_churn.sh           # compact-while-serving at 1M
   scripts/r4_queue/60_ingest.sh          # device write-path docs/s
-  scripts/r4_queue/30_semantic.sh        # encoder+CE retrain (time-scaled)
 )
 
 finish() {
@@ -71,7 +71,7 @@ for stage in "${STAGES[@]}"; do
   name=$(basename "$stage" .sh)
   echo "=== stage $name start $(date +%H:%M:%S) (rem ${rem}s) ==="
   touch /tmp/TPU_BUSY
-  QUEUE_REMAINING=$rem timeout $((rem - 120)) bash "$stage" > "/tmp/r5_${name}.log" 2>&1
+  SEM_TIME_CAP_S=${SEM_TIME_CAP_S:-5400} QUEUE_REMAINING=$rem timeout $((rem - 120)) bash "$stage" > "/tmp/r5_${name}.log" 2>&1
   rc=$?
   rm -f /tmp/TPU_BUSY
   echo "=== stage $name rc=$rc end $(date +%H:%M:%S) ==="

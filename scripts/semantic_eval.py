@@ -400,8 +400,10 @@ def main() -> None:
         json.dump(result, f, indent=1)
     # publish to the repo-root file bench.py folds into its extras only
     # for real (TPU or explicitly requested) runs — CPU sanity runs must
-    # not clobber the recorded result
-    if jax.default_backend() != "cpu" or os.environ.get("SEM_PUBLISH") == "1":
+    # not clobber the recorded result; SEM_PUBLISH=0 suppresses even on
+    # TPU (the r5 stage publishes via its own improved-only promotion)
+    pub = os.environ.get("SEM_PUBLISH")
+    if (jax.default_backend() != "cpu" and pub != "0") or pub == "1":
         with open(os.path.join(ROOT, "SEMANTIC_EVAL.json"), "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps(result))
