@@ -448,6 +448,13 @@ DIALECTS: dict[str, type] = {
 
 
 def make_client(api_type: str = "openai", **kwargs) -> OpenAICompatClient:
-    cls = DIALECTS.get((api_type or "openai").strip().lower(),
-                       OpenAICompatClient)
+    api = (api_type or "openai").strip().lower()
+    if api in ("bedrock", "vertex", "vertex_ai") and api not in DIALECTS:
+        # signed-auth dialects live in llm/signed.py; imported lazily so
+        # the hot import path stays free of the cryptography dependency
+        from super_rag_tpu.llm.signed import BedrockClient, VertexClient
+
+        DIALECTS["bedrock"] = BedrockClient
+        DIALECTS["vertex"] = DIALECTS["vertex_ai"] = VertexClient
+    cls = DIALECTS.get(api, OpenAICompatClient)
     return cls(**kwargs)

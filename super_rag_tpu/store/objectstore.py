@@ -179,10 +179,20 @@ def sigv4_headers(
     # it is already single-percent-encoded by the caller and S3 forbids
     # the double-encoding other services apply (re-encoding '%' would
     # sign '/a%20b' as '/a%2520b' → SignatureDoesNotMatch on any key
-    # that needs encoding).
+    # that needs encoding).  Every OTHER service (bedrock, execute-api,
+    # ...) canonicalizes with the path segments encoded TWICE per the
+    # SigV4 spec: the wire path stays single-encoded, the canonical form
+    # re-encodes it (':' in bedrock model ids -> '%3A' on the wire,
+    # '%253A' in the canonical request).
+    if service == "s3":
+        canonical_path = parts.path or "/"
+    else:
+        canonical_path = "/".join(
+            _uri_encode(seg) for seg in (parts.path or "/").split("/")
+        ) or "/"
     canonical_request = "\n".join([
         method.upper(),
-        parts.path or "/",
+        canonical_path,
         canonical_query,
         canonical_headers,
         signed_headers,
