@@ -337,7 +337,10 @@ def main() -> None:
             return (x - x.mean()) / (s if s > 1e-9 else 1.0)
 
         for lo in range(0, n_eval_rr, 128):
-            qb = jnp_.asarray(q_emb_tr[lo : lo + 128])
+            # clamp to n_eval_rr: the CPU sanity path evaluates 20
+            # queries — slicing a full 128 here inflated every rerank
+            # ratio by 6.4x (denominator stayed n_eval_rr)
+            qb = jnp_.asarray(q_emb_tr[lo : min(lo + 128, n_eval_rr)])
             _, ids = dense_search(qb, corpus, k=top)
             ids = np.asarray(ids)
             for j in range(ids.shape[0]):
