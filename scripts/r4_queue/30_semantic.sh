@@ -26,6 +26,9 @@ ce=$((5000 * frac_num / frac_den)); [ "$ce" -gt 5000 ] && ce=5000
 echo "semantic stage: enc_steps=$enc ce_steps=$ce (QUEUE_REMAINING=${QUEUE_REMAINING:-unset})"
 export SEM_CORPUS=all SEM_LAYERS=6 SEM_RERANK=1 SEM_RERANK_STEPS=$ce
 export SEM_CE_LR=7e-5
+# false-negative denoising for the CE's mined groups (RocketQA recipe;
+# train/rerank.py mine_hard_negatives band/skip)
+export SEM_NEG_BAND=40 SEM_NEG_SKIP=2
 # train into a SEPARATE checkpoint and only promote on improvement — a
 # time-capped run must never clobber a better prior record
 export SEM_PUBLISH=0

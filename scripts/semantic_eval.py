@@ -286,9 +286,17 @@ def main() -> None:
             print("reusing CE checkpoint", flush=True)
         else:
             t0 = time.time()
-            hard = mine_hard_negatives(mine_pairs, svc.embed, n_hard=n_negs)
-            print(f"mined {n_negs} hard negatives for {len(mine_pairs)} "
-                  f"pairs ({time.time() - t0:.0f}s)", flush=True)
+            # false-negative denoising (RocketQA recipe): sample the
+            # group from a wider band after dropping the very hardest —
+            # SEM_NEG_BAND=0 restores take-the-hardest
+            neg_band = int(os.environ.get("SEM_NEG_BAND", "0")) or None
+            neg_skip = int(os.environ.get("SEM_NEG_SKIP", "0"))
+            hard = mine_hard_negatives(
+                mine_pairs, svc.embed, n_hard=n_negs, band=neg_band,
+                skip_hardest=neg_skip, rng=np.random.default_rng(7))
+            print(f"mined {n_negs} negatives (band={neg_band} "
+                  f"skip={neg_skip}) for {len(mine_pairs)} pairs "
+                  f"({time.time() - t0:.0f}s)", flush=True)
 
             ce_cfg = RerankTrainConfig(
                 total_steps=ce_steps, warmup_steps=max(10, ce_steps // 20),

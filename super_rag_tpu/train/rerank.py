@@ -111,10 +111,20 @@ def mine_hard_negatives(
     n_hard: int = 4,
     block: int = 2048,
     max_overlap: float = 0.6,
+    band: Optional[int] = None,
+    skip_hardest: int = 0,
+    rng: Optional[np.random.Generator] = None,
 ) -> list[list[int]]:
     """For each pair, indices (into ``pairs``) of the encoder's strongest
     WRONG positives for its query — the negatives that actually teach the
     reranker to out-rank its own retriever.
+
+    ``band``/``skip_hardest`` denoise false negatives (the RocketQA
+    observation: the retriever's VERY top wrong answers are often
+    actually relevant, and training against them teaches the CE to
+    suppress right answers).  With ``band=B``, negatives are sampled
+    from the filtered top-B candidates after dropping the first
+    ``skip_hardest``, instead of taking the absolute hardest ones.
 
     ``max_overlap`` drops candidates whose word-set Jaccard overlap with
     the true positive exceeds the threshold: corpora with boilerplate
@@ -131,14 +141,16 @@ def mine_hard_negatives(
     corpus = build_corpus(jnp_.asarray(d_emb), dtype=jnp_.float32)
     word_sets = [frozenset(d.lower().split()) for d in docs]
     out: list[list[int]] = []
-    k = n_hard * 2 + 1  # extra headroom: some candidates get filtered
+    # extra headroom: some candidates get filtered
+    k = band if band else (n_hard * 2 + 1)
+    k = max(k, n_hard + skip_hardest + 1)
     for lo in range(0, len(pairs), block):
         q = jnp_.asarray(q_emb[lo : lo + block])
-        _, ids = dense_search(q, corpus, k=k)
+        _, ids = dense_search(q, corpus, k=min(k, len(pairs)))
         ids = np.asarray(ids)
         for row, qi in enumerate(range(lo, min(lo + block, len(pairs)))):
             pos_words = word_sets[qi]
-            negs = []
+            cands = []
             for x in ids[row]:
                 x = int(x)
                 if x == qi or x < 0:
@@ -147,9 +159,13 @@ def mine_hard_negatives(
                 union = len(pos_words | word_sets[x]) or 1
                 if inter / union > max_overlap:
                     continue  # near-duplicate of the positive: skip
-                negs.append(x)
-                if len(negs) >= n_hard:
-                    break
+                cands.append(x)
+            cands = cands[skip_hardest:]
+            if band and rng is not None and len(cands) > n_hard:
+                sel = rng.choice(len(cands), size=n_hard, replace=False)
+                negs = [cands[i] for i in sorted(sel)]
+            else:
+                negs = cands[:n_hard]
             out.append(negs)
     return out
 
