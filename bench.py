@@ -36,7 +36,10 @@ import time
 # mmap/trim thresholds are raised BEFORE the process starts (glibc reads
 # them once at startup).  The driver invokes `python bench.py` bare, so
 # re-exec once with the envs set (CLAUDE.md "Host performance quirks").
-if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+if (__name__ == "__main__"
+        and os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824"):
+    # only as a script: importers (scripts/tune_fidelity.py reuses the
+    # corpus loader) must not be re-exec'd mid-import
     env = dict(
         os.environ,
         MALLOC_MMAP_THRESHOLD_="1073741824",
