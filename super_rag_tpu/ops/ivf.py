@@ -233,7 +233,11 @@ def build_ivf(
     assign = np.asarray(_assign(x, centroids))
 
     capacity = max(8, int(np.ceil(n / nlist * capacity_factor)))
-    capacity = -(-capacity // 64) * 64  # VMEM-tile-friendly (pallas_ivf)
+    # 128-aligned: the union kernel async-copies [B, C] score tiles
+    # whose LANE dim is C — Mosaic requires 128-multiple slices there
+    # (a 64-only multiple like 1216 fails AOT compile on v5e, seen in
+    # the r5 p50 run at 1M/nlist=1024)
+    capacity = -(-capacity // 128) * 128
     x_np = np.asarray(x)
     values = np.zeros((nlist, capacity, d), np.float32)
     row_ids = np.full((nlist, capacity), -1, np.int32)
@@ -748,7 +752,11 @@ def build_ivf_streaming(
     cen_np = np.asarray(centroids)
 
     capacity = max(8, int(np.ceil(n / nlist * capacity_factor)))
-    capacity = -(-capacity // 64) * 64  # VMEM-tile-friendly (pallas_ivf)
+    # 128-aligned: the union kernel async-copies [B, C] score tiles
+    # whose LANE dim is C — Mosaic requires 128-multiple slices there
+    # (a 64-only multiple like 1216 fails AOT compile on v5e, seen in
+    # the r5 p50 run at 1M/nlist=1024)
+    capacity = -(-capacity // 128) * 128
 
     store_int8 = dtype == jnp.int8
     use_signs = store_int8 and cen_np.shape[1] % 8 == 0

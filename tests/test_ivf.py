@@ -420,12 +420,15 @@ def test_residual_overflow_rows_exactly_scored(rng):
 def test_overflow_topk_respects_mask(rng):
     from super_rag_tpu.ops.ivf import overflow_topk
 
-    x = rng.standard_normal((400, 32)).astype(np.float32)
+    x = rng.standard_normal((1600, 32)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # capacity rounds UP to 128 (Mosaic lane alignment): 1600 rows over
+    # 4 lists at factor 0.4 still overflows (4 x 256 < 1600)
     index = build_ivf(jnp.asarray(x), nlist=4, capacity_factor=0.4,
                       dtype=jnp.int8, kmeans_iters=3, seed=0)
     of_rows = np.asarray(index.overflow_rows)
-    keep = np.zeros(400, bool)
+    assert of_rows.size > 0
+    keep = np.zeros(1600, bool)
     keep[of_rows[: of_rows.size // 2]] = True
     q = jnp.asarray(x[:8])
     cs = q @ index.centroids.T
@@ -461,7 +464,7 @@ def test_ivf_flat_topk_matches_full_probe_search(rng):
 
     x = rng.standard_normal((3000, 64)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    index = build_ivf(jnp.asarray(x), nlist=16, capacity_factor=0.9,
+    index = build_ivf(jnp.asarray(x), nlist=16, capacity_factor=0.5,
                       dtype=jnp.int8, kmeans_iters=4, seed=0)
     assert index.overflow is not None  # exercise the overflow merge too
     q = jnp.asarray(x[rng.choice(3000, 24)])
