@@ -92,7 +92,15 @@ def main() -> None:
 
     t0 = time.perf_counter()
     eng.index.compact_lexical(postings_per_term=max(256, n // 500))
-    eng.index.compact_dense(nlist=nlist, nprobe=16, recall_target=0.95)
+    # measure the SERVING default tier for this scale: at 1M rows the
+    # engine serves the FLAT pallas path (exact int8 scan; the IVF tier
+    # only wins at multi-M rows) — the same program the headline bench
+    # and the promoted BENCH_CONFIG operating point time.  P50_IVF=1
+    # forces the IVF tier instead (recorded r5 as
+    # BENCH_P50_1M_IVF_TIER.json: b32 probe-union runs 182 ms, 16x the
+    # flat tier — diagnosis pending in kernels.md).
+    if os.environ.get("P50_IVF") == "1":
+        eng.index.compact_dense(nlist=nlist, nprobe=16, recall_target=0.95)
     print(f"[p50] compacted in {time.perf_counter() - t0:.0f}s "
           f"(nprobe={eng.index._ivf_nprobe})", flush=True)
 
