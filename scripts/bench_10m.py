@@ -87,11 +87,15 @@ def main() -> None:
     if prepare_only or prepare_ivf or recall_cpu:
         # host-only phases: force CPU so the TPU claim stays free (the
         # axon sitecustomize overrides JAX_PLATFORMS — re-force it).
-        # --prepare-ivf runs the IVF build here too: k-means/assignment
-        # matmuls are ~30% slower than on-chip, but the ~10 GB result
-        # never crosses the relay (whose big transfers can wedge — the
-        # r3 first rebuild died exactly there) and the TPU claim stays
-        # free for concurrent training runs.
+        # --prepare-ivf runs the IVF build here too so the ~10 GB
+        # result never crosses the relay (whose big transfers can wedge
+        # — the r3 first rebuild died exactly there).  CAUTION (r5
+        # measured): the brute-force 10M x nlist x 768 assignment is
+        # ~1e17 FLOPs at nlist 16384 and this 1-core host sustains
+        # ~1e11 FLOP/s — weeks, not hours.  Until build_ivf_streaming
+        # grows a cheaper assignment, 10M-scale IVF builds must run on
+        # the TPU backend (chunk uploads are the wedge risk: never
+        # under a deadline'd timeout that can kill mid-transfer).
         jax.config.update("jax_platforms", "cpu")
     elif os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
