@@ -56,6 +56,30 @@ def main() -> None:
         churn_rounds, churn_size = 2, 1024
         n_q, k = 32, 10  # 8 queries = 1.25-pt fidelity granularity: too noisy
 
+    # serve at the PROMOTED operating point (tune_fidelity winner): the
+    # engine defaults (uniform768, no deep terms) measure ~0.93 fidelity
+    # where the serving config measures 0.95+ — churn decay must be
+    # read against the real serving baseline, not a detuned one
+    opts = {}
+    cfg_path = os.path.join(ROOT, "BENCH_CONFIG.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            tuned = json.load(f)
+        opts = {
+            "postings_per_query_term": int(
+                tuned.get("postings_per_query_term", 768)),
+            "lex_deep_terms": int(tuned.get("lex_deep_terms", 0)),
+            "lex_deep_postings": tuned.get("lex_deep_postings"),
+            "lex_approx_topk": bool(tuned.get("lex_approx_topk", False)),
+        }
+        print(f"[churn] serving opts from BENCH_CONFIG.json: {opts}",
+              flush=True)
+    # the serving default at 1M is the FLAT dense tier (BENCH_P50_1M);
+    # the IVF tier is a separate operating point — opt in via CHURN_IVF=1.
+    # Skipping it also avoids two streaming IVF builds (3 GB host-chunk
+    # uploads each, the r3 kill-mid-transfer wedge window).
+    use_ivf = os.environ.get("CHURN_IVF", "0") == "1"
+
     rng = np.random.default_rng(0)
     # realistic shape: zipf word draws (a uniform draw ties half the
     # corpus on equal idf sums and fidelity measures tie-order noise,
@@ -87,7 +111,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     idx.compact_lexical(postings_per_term=max(256, n // 500))
-    if on_tpu:
+    if on_tpu and use_ivf:
         idx.compact_dense(nlist=1024, nprobe=32, recall_target=0.95)
     compact_s = time.perf_counter() - t0
     print(f"[churn] build {build_s:.0f}s compact {compact_s:.0f}s",
@@ -99,13 +123,41 @@ def main() -> None:
 
     def timed_batch(reps=8):
         out = None
-        idx.search_hybrid(np.asarray(q_emb), queries, k=k, candidates=100)
+        idx.search_hybrid(np.asarray(q_emb), queries, k=k, candidates=100,
+                          **opts)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = idx.search_hybrid(np.asarray(q_emb), queries, k=k,
-                                    candidates=100)
+                                    candidates=100, **opts)
         np.asarray(out.indices)
         return (time.perf_counter() - t0) / reps * 1e3
+
+    # host mirrors of the stored (quantized) corpus for the gold: rows
+    # are append-only (deletes flip the validity bitmap, never rewrite
+    # rows), so each fidelity call pulls ONLY the fresh tail — the full
+    # 3 GB emb pull per call was both slow and a kill-mid-transfer
+    # wedge window through the relay
+    mirror = {"upto": 0, "emb": [], "terms": [], "tfs": [], "dl": []}
+
+    def _mirror_sync():
+        import jax.numpy as jnp
+
+        lo, hi = mirror["upto"], idx.size
+        if hi > lo:
+            e = np.asarray(idx.emb[lo:hi].astype(jnp.float32))
+            if idx.scales is not None:
+                e = e * np.asarray(idx.scales[lo:hi])[:, None]
+            mirror["emb"].append(e)
+            mirror["terms"].append(np.asarray(idx.terms[lo:hi]))
+            mirror["tfs"].append(
+                np.asarray(idx.tfs[lo:hi].astype(jnp.float32)))
+            mirror["dl"].append(np.asarray(idx.doc_len[lo:hi]))
+            for key in ("emb", "terms", "tfs", "dl"):
+                if len(mirror[key]) > 1:
+                    mirror[key] = [np.concatenate(mirror[key])]
+            mirror["upto"] = hi
+        return (mirror["emb"][0], mirror["terms"][0], mirror["tfs"][0],
+                mirror["dl"][0])
 
     def fidelity() -> float:
         """Exact hybrid gold on the CURRENT live corpus (host-side)."""
@@ -113,9 +165,7 @@ def main() -> None:
         import jax.numpy as jnp
 
         live = np.asarray(idx.valid[: idx.size])
-        emb = np.asarray(idx.emb[: idx.size].astype(jnp.float32))
-        if idx.scales is not None:
-            emb = emb * np.asarray(idx.scales[: idx.size])[:, None]
+        emb, terms, tfs, dl = _mirror_sync()
         qn = q_emb / np.linalg.norm(q_emb, axis=1, keepdims=True)
         s = qn @ emb.T
         s[:, ~live] = -np.inf
@@ -125,10 +175,7 @@ def main() -> None:
         order = np.argsort(-dv, axis=1)
         di = np.take_along_axis(di, order, axis=1)
         dv = np.take_along_axis(dv, order, axis=1)
-        # exact bm25 host-side
-        terms = np.asarray(idx.terms[: idx.size])
-        tfs = np.asarray(idx.tfs[: idx.size].astype(jnp.float32))
-        dl = np.asarray(idx.doc_len[: idx.size])
+        # exact bm25 host-side (mirrored stored arrays)
         avgdl = max(idx.df.avgdl, 1e-6)
         norm = K1 * (1.0 - B + B * dl / avgdl)
         gold_li = np.full((n_q, kk), -1, np.int64)
@@ -153,7 +200,7 @@ def main() -> None:
         _, gold = rrf_fuse(jnp.asarray(gdi), jnp.asarray(gli), k=k)
         gold = np.asarray(gold)
         res = idx.search_hybrid(np.asarray(q_emb), queries, k=k,
-                                candidates=100)
+                                candidates=100, **opts)
         got = np.asarray(res.indices)
         f = np.mean([
             len({x for x in a.tolist() if x >= 0}
@@ -167,10 +214,24 @@ def main() -> None:
                 f"deleted row {row} surfaced"
         return float(f)
 
+    partial: dict = {"metric": "churn_bench_1m", "unit": "ms_batch32",
+                     "n": n, "partial": True}
+
+    def flush(**kw) -> None:
+        """Persist partial progress after every phase (VERDICT r4 item
+        8): a timeout'd run still leaves a usable record."""
+        partial.update(kw)
+        if on_tpu:
+            with open(os.path.join(ROOT, "BENCH_CHURN_1M.partial.json"),
+                      "w") as f:
+                json.dump(partial, f, indent=1)
+
     quiescent_ms = timed_batch()
     quiescent_fid = fidelity()
     print(f"[churn] quiescent batch32 {quiescent_ms:.2f} ms "
           f"fidelity {quiescent_fid:.4f}", flush=True)
+    flush(quiescent={"batch32_ms": round(quiescent_ms, 2),
+                     "fidelity": round(quiescent_fid, 4)})
 
     tail_curve = []
     live_rows = [r for r, m_ in enumerate(idx.row_meta) if m_ is not None]
@@ -185,11 +246,13 @@ def main() -> None:
         tail_curve.append({"tail_rows": int(tail),
                            "batch32_ms": round(ms, 2)})
         print(f"[churn] tail {tail}: {ms:.2f} ms", flush=True)
+        flush(tail_curve=tail_curve)
     churn_fid = fidelity()
+    flush(after_churn_fidelity=round(churn_fid, 4))
 
     t0 = time.perf_counter()
     idx.compact_lexical(postings_per_term=max(256, n // 500))
-    if on_tpu:
+    if on_tpu and use_ivf:
         idx.compact_dense(nlist=1024, nprobe=32, recall_target=0.95)
     recompact_s = time.perf_counter() - t0
     recompact_ms = timed_batch()
@@ -200,6 +263,8 @@ def main() -> None:
         "value": round(quiescent_ms, 2),
         "unit": "ms_batch32",
         "n": n,
+        "serving_opts": opts,
+        "dense_tier": "ivf" if use_ivf else "flat",
         "quiescent": {"batch32_ms": round(quiescent_ms, 2),
                       "fidelity": round(quiescent_fid, 4)},
         "tail_curve": tail_curve,
@@ -212,6 +277,9 @@ def main() -> None:
     if on_tpu:  # persist the record (CPU sanity must not clobber it)
         with open(os.path.join(ROOT, "BENCH_CHURN_1M.json"), "w") as f:
             json.dump(result, f, indent=1)
+        part = os.path.join(ROOT, "BENCH_CHURN_1M.partial.json")
+        if os.path.exists(part):  # superseded by the complete record
+            os.remove(part)
 
 
 if __name__ == "__main__":

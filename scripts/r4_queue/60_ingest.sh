@@ -1,5 +1,5 @@
 #!/bin/bash
-# BUDGET_S=1500
+# BUDGET_S=800
 # Stage 6 (time allowing): device-resident ingest throughput — docs/s
 # through the full engine write path with the on-TPU encoder.
 cd /root/repo

@@ -352,12 +352,19 @@ class DeviceIndex:
     def delete(self, rows: Sequence[int]) -> None:
         if not rows:
             return
-        for r in rows:
-            meta = self.row_meta[r] if r < len(self.row_meta) else None
-            if meta is not None:
-                row_terms = np.asarray(self.terms[r])
+        # one batched gather for terms and doc_len: the per-row
+        # `self.terms[r]` form costs two device round-trips per row —
+        # through the ~30 ms relay a 16k-row delete took 20+ minutes
+        # (r5 churn bench); batched it is two round-trips total
+        live = [r for r in dict.fromkeys(int(r) for r in rows)
+                if r < len(self.row_meta) and self.row_meta[r] is not None]
+        if live:
+            ridx = jnp.asarray(np.asarray(live, np.int32))
+            terms_host = np.asarray(self.terms[ridx])
+            lens_host = np.asarray(self.doc_len[ridx])
+            for r, row_terms, dl in zip(live, terms_host, lens_host):
                 row_terms = row_terms[row_terms != self.analyzer.pad_id]
-                self.df.remove_doc(row_terms.tolist(), int(self.doc_len[r]))
+                self.df.remove_doc(row_terms.tolist(), int(dl))
                 self.row_meta[r] = None
         pad = -(-len(rows) // WRITE_BLOCK) * WRITE_BLOCK
         arr = np.full(pad, int(self.valid.shape[0]), np.int32)

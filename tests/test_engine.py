@@ -242,3 +242,35 @@ def test_per_collection_hybrid_opts_reach_the_program(monkeypatch):
     assert hits and "quokka" in hits[0].text
     assert seen["rescore"] is False
     assert seen["postings_per_query_term"] == 128
+
+
+def test_batched_delete_matches_per_row_semantics():
+    # Regression (r5 churn bench): delete() used to gather terms and
+    # doc_len per row — two device round-trips per deleted row, ~20 min
+    # for a 16k-row delete through the ~30 ms relay.  The batched path
+    # must leave EXACTLY the per-row df/valid state: duplicates in the
+    # rows list decrement df once, dead and out-of-range rows are
+    # ignored, and avgdl tracks the surviving docs.
+    spec = IndexSpec(dim=16, dtype=jnp.float32, vocab_size=1 << 14)
+    texts = [f"alpha beta w{i} w{i} gamma" for i in range(12)]
+    a = DeviceIndex(spec)
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((12, 16)).astype(np.float32)
+    a.add(emb, texts)
+
+    b = DeviceIndex(spec)
+    b.add(emb, texts)
+
+    # batched: dups + a dead row (deleted twice) + out-of-range
+    a.delete([1, 3, 3, 5])
+    a.delete([5, 9, 10_000])
+    # per-row reference: one call per unique live row
+    for r in (1, 3, 5, 9):
+        b.delete([r])
+
+    assert a.live_count == b.live_count == 8
+    assert a.df.num_docs == b.df.num_docs == 8
+    assert a.df._df == b.df._df
+    assert a.df.avgdl == b.df.avgdl
+    assert [m is None for m in a.row_meta] == [m is None for m in b.row_meta]
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
