@@ -118,13 +118,25 @@ def main() -> None:
           flush=True)
 
     q_emb = mk_emb(n_q)
-    q_texts = mk_texts(n_q, 10_000_000)
-    queries = [" ".join(t.split()[:4]) for t in q_texts]
+    # query terms come from the zipf TAIL (discriminative words), like
+    # bench.py's df-cap (df <= n/50): head words like w0 sit in 30%+ of
+    # a zipf(1.3) corpus, where the truncated top-2000 postings tier
+    # structurally cannot match an untruncated gold — that measures the
+    # eval's term choice, not ranking fidelity (first run read 0.73 on
+    # head-word queries vs 0.95 serving fidelity in the headline bench)
+    qrng = np.random.default_rng(17)
+    queries = [" ".join(words[j] for j in qrng.integers(
+        64, len(words), 4)) for _ in range(n_q)]
 
     def timed_batch(reps=8):
         out = None
+        t_w = time.perf_counter()
         idx.search_hybrid(np.asarray(q_emb), queries, k=k, candidates=100,
                           **opts)
+        t_w = time.perf_counter() - t_w
+        if t_w > 10:  # warmup absorbed an auto-compact and/or a compile
+            print(f"[churn] warmup (compact/compile) {t_w:.0f}s",
+                  flush=True)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = idx.search_hybrid(np.asarray(q_emb), queries, k=k,
@@ -234,14 +246,28 @@ def main() -> None:
                      "fidelity": round(quiescent_fid, 4)})
 
     tail_curve = []
+    # the tail curve measures FRESH-TAIL serving (exact tail-slice scan
+    # alongside the inverted snapshot): suspend auto-compaction so the
+    # warmup search doesn't silently rebuild postings and measure a
+    # zero-tail index under a "tail N" label (first r5 run: every round
+    # auto-compacted in the warmup — ~132 s rebuild + a new program
+    # compile per round, and the curve never saw a tail)
+    saved_auto = idx.auto_compact_rows
+    idx.auto_compact_rows = 1 << 30
     live_rows = [r for r, m_ in enumerate(idx.row_meta) if m_ is not None]
     for round_ in range(churn_rounds):
+        t0 = time.perf_counter()
         idx.add(mk_emb(churn_size), mk_texts(churn_size, n + round_ * churn_size))
+        t_add = time.perf_counter() - t0
         kill = rng.choice(len(live_rows), churn_size, replace=False)
+        t0 = time.perf_counter()
         idx.delete([live_rows[j] for j in sorted(kill)])
+        t_del = time.perf_counter() - t0
         live_rows = [r for j, r in enumerate(live_rows)
                      if j not in set(kill.tolist())]
         tail = idx.size - idx._inverted_upto
+        print(f"[churn] round {round_}: add {t_add:.1f}s del {t_del:.1f}s "
+              f"tail {tail}", flush=True)
         ms = timed_batch()
         tail_curve.append({"tail_rows": int(tail),
                            "batch32_ms": round(ms, 2)})
@@ -249,6 +275,7 @@ def main() -> None:
         flush(tail_curve=tail_curve)
     churn_fid = fidelity()
     flush(after_churn_fidelity=round(churn_fid, 4))
+    idx.auto_compact_rows = saved_auto
 
     t0 = time.perf_counter()
     idx.compact_lexical(postings_per_term=max(256, n // 500))
