@@ -92,10 +92,10 @@ def main() -> None:
         # — the r3 first rebuild died exactly there).  CAUTION (r5
         # measured): the brute-force 10M x nlist x 768 assignment is
         # ~1e17 FLOPs at nlist 16384 and this 1-core host sustains
-        # ~1e11 FLOP/s — weeks, not hours.  Until build_ivf_streaming
-        # grows a cheaper assignment, 10M-scale IVF builds must run on
-        # the TPU backend (chunk uploads are the wedge risk: never
-        # under a deadline'd timeout that can kill mid-transfer).
+        # ~1e11 FLOP/s — weeks, not hours.  The default two-level
+        # assignment (BENCH_IVF_COARSE below) cuts that ~64x to an
+        # overnight unattended CPU build; still never schedule it as a
+        # blocking gate for a deadline'd queue.
         jax.config.update("jax_platforms", "cpu")
     elif os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
@@ -347,10 +347,24 @@ def main() -> None:
         return
 
     # -- IVF build (streamed, residual int8, balanced placement) -------------
+    # two-level assignment (BENCH_IVF_COARSE, default sqrt(nlist)): the
+    # flat 10M x 16384 x 768 assignment is ~2.5e17 FLOPs — weeks on this
+    # 1-core host (CLAUDE.md round-5 addendum); coarse=128 cuts it ~64x
+    # to an overnight CPU build, removing the TPU chunk-upload wedge
+    # window from the 10M prep entirely. BENCH_IVF_COARSE=0 = flat.
+    coarse_env = os.environ.get("BENCH_IVF_COARSE")
+    coarse = (int(coarse_env) if coarse_env is not None
+              else max(1, int(np.sqrt(nlist))))
+    if coarse > 1 and nlist % coarse:
+        coarse = 1  # nlist not divisible: fall back to flat assignment
+    ivf_cache_tag = f"ivf_{tag}_l{nlist}" + (f"_c{coarse}" if coarse > 1
+                                             else "")
+
     def build_ivf_phase():
         ivf = build_ivf_streaming(
             chunks, nlist=nlist, capacity_factor=1.15, dtype=jnp.int8,
             kmeans_iters=8, seed=1, train_sample=train_sample,
+            coarse=coarse if coarse > 1 else None,
             # wide relocation: a row whose best cluster is full goes to a
             # neighbor scoring within 0.35 cosine instead of the overflow
             # segment — r3 profiling showed the 15%-of-corpus overflow
@@ -379,7 +393,7 @@ def main() -> None:
             out["of_assign"] = np.asarray(ivf.of_assign)
         return out
 
-    iv = cached(f"ivf_{tag}_l{nlist}", build_ivf_phase)
+    iv = cached(ivf_cache_tag, build_ivf_phase)
     if prepare_ivf:
         log("prepare-ivf done (IVF cached); run on TPU next")
         return

@@ -145,7 +145,21 @@ def main() -> None:
     )
     model = TextEncoder(enc_cfg)
     tok_kind = os.environ.get("SEM_TOKENIZER", "bpe")
-    if tok_kind == "bpe":
+    reuse_encoder = (os.environ.get("SEM_REUSE_ENCODER") == "1"
+                     and os.path.exists(out + ".tokenizer.json"))
+    if reuse_encoder and tok_kind == "bpe":
+        # the checkpoint's token ids are only meaningful under the
+        # tokenizer it was TRAINED with: retraining BPE here is safe
+        # only while the harvest corpus is byte-identical (deterministic
+        # merges) — the r5 CE-only run hit exactly that trap (corpus
+        # grew, fresh BPE clobbered the copied sidecar via the save
+        # below, reused encoder read the new ids, recall 0.532 -> 0.054)
+        from super_rag_tpu.models.subword import BPETokenizer
+
+        tok = BPETokenizer.load(out + ".tokenizer.json")
+        print(f"BPE tokenizer: sidecar reused ({tok.vocab_size} ids)",
+              flush=True)
+    elif tok_kind == "bpe":
         # in-domain subword vocabulary trained on the TRAIN split only
         # (models/subword.py): morphological sharing + no hash collisions
         from super_rag_tpu.models.subword import train_bpe
@@ -184,7 +198,8 @@ def main() -> None:
 
         enc_params, enc_cfg = load_params(out)
         model = TextEncoder(enc_cfg)
-        tok = BPETokenizer.load(out + ".tokenizer.json")
+        if not isinstance(tok, BPETokenizer):
+            tok = BPETokenizer.load(out + ".tokenizer.json")
         state = state._replace(params=enc_params)
         steps = 0  # skip the training loop below
         last = {"accuracy": float("nan")}

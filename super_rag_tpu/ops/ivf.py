@@ -165,6 +165,109 @@ def _assign_topc(x: jax.Array, centroids: jax.Array, c: int,
     return a.reshape(-1, c)[:n], v.reshape(-1, c)[:n]
 
 
+def kmeans_twolevel(
+    x: jax.Array, nlist: int, coarse: int, iters: int = 10, seed: int = 0,
+    metric: Metric = Metric.COSINE, coarse_train: int = 32768,
+) -> tuple[jax.Array, jax.Array]:
+    """Hierarchical spherical k-means: ``coarse`` top-level clusters, then
+    ``nlist // coarse`` fine centroids per coarse group (coarse-major
+    layout: fine centroid ``g * fpb + j`` belongs to coarse group ``g``).
+
+    Returns ``(centroids [nlist, D], coarse_centroids [coarse, D])``.
+
+    Why: flat Lloyd's at nlist=16384 over a 200k train set is
+    ~5e16 FLOPs — infeasible on this image's 1-core CPU backend
+    (~1e11 FLOP/s measured, CLAUDE.md round-5 addendum).  Hierarchical
+    training costs coarse_train x coarse + n_train x (coarse + fpb)
+    per iteration — ~64x less at nlist 16384 / coarse 128.
+    """
+    fpb, rem = divmod(nlist, coarse)
+    assert rem == 0, f"nlist {nlist} must be a multiple of coarse {coarse}"
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    if metric == Metric.COSINE:
+        nrm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.where(nrm > 0, nrm, 1.0)
+    rng = np.random.default_rng(seed)
+    sub = x if n <= coarse_train else x[jnp.asarray(
+        rng.choice(n, size=coarse_train, replace=False))]
+    cen_c = kmeans(sub, coarse, iters=iters, seed=seed, metric=metric)
+    a = np.asarray(_assign(x, cen_c))
+    x_np = np.asarray(x)
+    centroids = np.empty((nlist, d), np.float32)
+    order = np.argsort(a, kind="stable")
+    bounds = np.searchsorted(a[order], np.arange(coarse + 1))
+    for g in range(coarse):
+        rows = order[bounds[g] : bounds[g + 1]]
+        if rows.size == 0:
+            # empty coarse group: reseed its fine block from random rows
+            rows = rng.choice(n, size=min(n, 4 * fpb), replace=False)
+        members = jnp.asarray(x_np[rows])
+        if rows.size <= fpb:
+            # fewer members than fine slots: use members + random fill
+            fill = x_np[rng.choice(n, size=fpb - rows.size, replace=True)]
+            block = np.concatenate([x_np[rows], fill]) if rows.size else fill
+            centroids[g * fpb : (g + 1) * fpb] = block
+        else:
+            centroids[g * fpb : (g + 1) * fpb] = np.asarray(
+                kmeans(members, fpb, iters=iters, seed=seed + 1 + g,
+                       metric=metric))
+    return jnp.asarray(centroids), cen_c
+
+
+def _assign_topc_grouped(
+    chunk: np.ndarray,  # [m, D] unit-norm float32 (host)
+    centroids: np.ndarray,  # [nlist, D] coarse-major fine centroids (host)
+    coarse: np.ndarray,  # [kc, D] coarse centroids (host)
+    c: int,
+    p: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-level top-c assignment on host numpy (BLAS matmuls).
+
+    Scores the ``kc`` coarse centroids, then only the fine centroids of
+    each row's top-``p`` coarse groups — (kc + p * fpb) dots per row
+    instead of nlist.  Same (cand [m, c], cscore [m, c]) contract as
+    ``_assign_topc``.  Rows near a coarse boundary can miss their true
+    nearest fine centroid when it lives in an unprobed group; with
+    residual coding + balanced placement that only shifts probe-hit
+    probability, never stored-score correctness (build_ivf_streaming
+    docstring) — recall parity is asserted in
+    tests/test_ivf_twolevel.py.
+    """
+    kc, d = coarse.shape
+    nlist = centroids.shape[0]
+    fpb = nlist // kc
+    p = min(p, kc)
+    m = chunk.shape[0]
+    s_c = chunk @ coarse.T  # [m, kc]
+    topp = np.argpartition(-s_c, p - 1, axis=1)[:, :p]  # [m, p]
+    cand = np.empty((m, p * fpb), np.int32)
+    score = np.full((m, p * fpb), -np.inf, np.float32)
+    base = np.arange(fpb, dtype=np.int32)
+    for j in range(p):
+        g = topp[:, j]
+        order = np.argsort(g, kind="stable")
+        bounds = np.searchsorted(g[order], np.arange(kc + 1))
+        col = slice(j * fpb, (j + 1) * fpb)
+        for gi in range(kc):
+            rows = order[bounds[gi] : bounds[gi + 1]]
+            if rows.size == 0:
+                continue
+            blk = centroids[gi * fpb : (gi + 1) * fpb]
+            score[rows, col] = chunk[rows] @ blk.T
+            cand[rows, col] = gi * fpb + base
+    # duplicate fine ids across the p slots (two top-p groups never
+    # coincide: argpartition indices are distinct) — no dedup needed
+    c_eff = min(c, p * fpb)
+    top = np.argpartition(-score, c_eff - 1, axis=1)[:, :c_eff]
+    sv = np.take_along_axis(score, top, axis=1)
+    order = np.argsort(-sv, axis=1, kind="stable")
+    sv = np.take_along_axis(sv, order, axis=1)
+    ci = np.take_along_axis(np.take_along_axis(cand, top, axis=1),
+                            order, axis=1)
+    return ci, sv
+
+
 def kmeans(
     x: jax.Array, nlist: int, iters: int = 10, seed: int = 0,
     metric: Metric = Metric.COSINE,
@@ -691,6 +794,7 @@ def build_ivf_streaming(
     spill_margin: float = 0.15,
     host_arrays: bool = False,
     ids: Optional[np.ndarray] = None,  # original row id per streamed row
+    coarse: Optional[int] = None,
 ) -> IVFIndex:
     """Corpus-scale IVF build that never materializes the f32 matrix.
 
@@ -711,6 +815,14 @@ def build_ivf_streaming(
     own neighborhood queries, so those rows go to the exactly-scanned
     overflow instead.  ``chunks`` is a zero-arg callable returning a
     fresh iterator (the stream is consumed twice).
+
+    ``coarse`` (e.g. sqrt(nlist)) switches BOTH k-means training and
+    pass-2 assignment to the two-level path (kmeans_twolevel /
+    _assign_topc_grouped): ~(coarse + 2 * nlist/coarse) dots per row
+    instead of nlist — at the 10M x 768 / nlist 16384 north star that
+    is ~4e15 FLOPs instead of ~2.5e17, turning a weeks-long CPU build
+    (CLAUDE.md round-5 addendum) into an overnight one, and cutting the
+    on-device assignment cost the same 64x.
     """
     if residual is None:
         residual = dtype == jnp.int8
@@ -747,8 +859,15 @@ def build_ivf_streaming(
     assert n > 0 and reservoir is not None, "empty corpus stream"
     train = reservoir[:filled]
 
-    centroids = kmeans(jnp.asarray(train), nlist, iters=kmeans_iters,
-                       seed=seed, metric=metric)
+    coarse_np = None
+    if coarse is not None and coarse > 1:
+        centroids, cen_coarse = kmeans_twolevel(
+            jnp.asarray(train), nlist, coarse, iters=kmeans_iters,
+            seed=seed, metric=metric)
+        coarse_np = np.asarray(cen_coarse)
+    else:
+        centroids = kmeans(jnp.asarray(train), nlist, iters=kmeans_iters,
+                           seed=seed, metric=metric)
     cen_np = np.asarray(centroids)
 
     capacity = max(8, int(np.ceil(n / nlist * capacity_factor)))
@@ -789,9 +908,14 @@ def build_ivf_streaming(
     for chunk in chunks():
         chunk = norm(np.asarray(chunk, np.float32))
         m = chunk.shape[0]
-        cand_j, cscore_j = _assign_topc(jnp.asarray(chunk), centroids, cand_c)
-        cand = np.asarray(cand_j)
-        cscore = np.asarray(cscore_j)
+        if coarse_np is not None:
+            cand, cscore = _assign_topc_grouped(
+                chunk, cen_np, coarse_np, cand_c)
+        else:
+            cand_j, cscore_j = _assign_topc(jnp.asarray(chunk), centroids,
+                                            cand_c)
+            cand = np.asarray(cand_j)
+            cscore = np.asarray(cscore_j)
         allowed = cscore >= (cscore[:, :1] - spill_margin)
         cl, slot, spill = _balanced_place(cand, counts, capacity, allowed)
         ok = cl >= 0
